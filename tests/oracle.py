@@ -1,0 +1,76 @@
+"""Independent pure-Python oracles for the KG pipeline (FIXTURES.md §6).
+
+Deliberately implemented with different algorithms than the engine
+(O(n·labels) scans, no tries) — fixture-sized, so quadratic is fine.
+These produce the golden triples for the P/R ≥ 0.95 gate.
+"""
+
+from __future__ import annotations
+
+import re
+
+_EDGE = re.compile(r"^[^\w]+|[^\w]+$")
+
+
+def _norm(tok: str) -> str:
+    return _EDGE.sub("", tok.lower())
+
+
+def mentions_oracle(text: str, labels: list[tuple[str, str, str, str]]):
+    """Leftmost-longest non-overlapping phrase matching, independent
+    implementation: tries every label at every token position.
+
+    labels: (concept_iri, label, kind, lang); pref/alt/hidden only,
+    CUI-shaped labels excluded (mirrors engine policy). Returns
+    [(start_token_idx, concept_iri, n_tokens)] in scan order.
+    """
+    cui_rx = re.compile(r"^C[0-9]{7}$")
+    # phrase (tuple of norm tokens) -> (concept, kind_rank) keep best kind
+    kind_rank = {"pref": 0, "alt": 1, "hidden": 2}
+    phrases: dict[tuple, tuple[str, int]] = {}
+    for concept, label, kind, lang in labels:
+        if kind not in kind_rank or cui_rx.fullmatch(label.strip()):
+            continue
+        toks = tuple(t for t in (_norm(x) for x in label.split()) if t)
+        if not toks:
+            continue
+        prev = phrases.get(toks)
+        if prev is None or kind_rank[kind] < prev[1]:
+            phrases[toks] = (concept, kind_rank[kind])
+    if not phrases:
+        return []
+    max_len = max(len(p) for p in phrases)
+    toks = [t for t in (_norm(x) for x in text.split()) if t]
+    out = []
+    i = 0
+    while i < len(toks):
+        matched = False
+        for ln in range(min(max_len, len(toks) - i), 0, -1):
+            cand = tuple(toks[i : i + ln])
+            if cand in phrases:
+                out.append((i, phrases[cand][0], ln))
+                i += ln
+                matched = True
+                break
+        if not matched:
+            i += 1
+    return out
+
+
+def mention_triples_oracle(pages, labels) -> set[tuple[str, str, str]]:
+    """Golden (page_url, sifr:mention, concept_iri) triple set."""
+    pred = "http://purl.lirmm.fr/ontology/SIFR/mention"
+    triples = set()
+    for url, _ts, _html, text, _lang in pages:
+        for _i, concept, _ln in mentions_oracle(text, labels):
+            triples.add((url, pred, concept))
+    return triples
+
+
+def precision_recall(
+    emitted: set[tuple], golden: set[tuple]
+) -> tuple[float, float]:
+    tp = len(emitted & golden)
+    p = tp / len(emitted) if emitted else 1.0
+    r = tp / len(golden) if golden else 1.0
+    return p, r

@@ -1,0 +1,46 @@
+"""Byte-identical extraction invariant (BASELINE.json input_hint):
+extracted text must equal the golden ``text`` column per url, exactly."""
+
+from __future__ import annotations
+
+from sifr_project_java_ontology_processing_spark.operators.extraction import (
+    extract_pages,
+    extract_text,
+    verify_extraction,
+)
+
+
+def test_extract_text_pure_function():
+    html = (
+        b"<html><head><title>T | h</title><script>junk();</script></head>"
+        b"<body><nav><a href='/'>Home</a></nav>"
+        b"<main><article><h1>Title</h1><p>para one</p><p>para two</p></article></main>"
+        b"<div class='ads'>BUY</div><footer>foot</footer></body></html>"
+    )
+    assert extract_text(html) == "Title\npara one\npara two"
+
+
+def test_extract_text_edge_cases():
+    assert extract_text(None) == ""
+    assert extract_text(b"") == ""
+    assert extract_text(b"not html at all") == ""
+    # body fallback when no article/main
+    assert extract_text(b"<body><p>solo</p></body>") == "solo"
+
+
+def test_byte_identical_invariant(spark, kg_tables):
+    mismatches = verify_extraction(kg_tables["pages"])
+    rows = mismatches.collect()
+    assert rows == [], f"extraction mismatch on {len(rows)} urls, e.g. {rows[:2]}"
+
+
+def test_extraction_is_map_only(spark, kg_tables):
+    """Plan check: no Exchange (shuffle) in the extraction stage."""
+    plan = extract_pages(kg_tables["pages"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_extraction_deterministic(spark, kg_tables):
+    a = sorted(extract_pages(kg_tables["pages"]).select("url", "extracted_text").collect())
+    b = sorted(extract_pages(kg_tables["pages"]).select("url", "extracted_text").collect())
+    assert a == b
