@@ -1,0 +1,163 @@
+"""IRI canonicalization: connected components + skew-safe aggregation
+(SURVEY.md §7.1 canonicalization stage; north_rule skew/checkpoint
+requirements).
+
+The reference has no canonicalization — its mapping predicates
+(skos:exactMatch etc., mapping/DefaultOntologyMappingDelegate.java:27-32)
+stay as pairwise triples. At 10^12-document scale, equivalent IRIs must
+be merged: mapping/sameAs edges form a graph whose connected components
+each get one canonical IRI (the lexicographic min member — deterministic
+"first of TreeSet" semantics, SURVEY.md O3).
+
+Algorithm: alternating large-star / small-star (Kiveris et al. 2014,
+"Connected Components in MapReduce and Beyond") — converges in
+O(log² n) rounds on pathological graphs vs O(diameter) for naive label
+propagation, each round a groupBy-min + self-join expressible in pure
+DataFrame ops:
+
+  large-star: for each node u, connect every strictly-larger neighbor
+              to min(neighborhood ∪ {u});
+  small-star: for each node u, connect every smaller-or-equal neighbor
+              (and u) to min(neighborhood ∪ {u}).
+
+Checkpointing: ``localCheckpoint`` each round cuts the lineage chain —
+without it, round k's plan contains all k self-joins and the optimizer
+re-plans an exponentially growing DAG (SURVEY.md §7.4 risk 3). On a real
+cluster use reliable ``checkpoint()`` with a checkpoint dir; local
+checkpoint is the sandbox substitute (switchable via ``reliable=``).
+
+Convergence: a round is a fixpoint when no edge changes — detected with
+one ``isEmpty()`` on the changed-rows diff (an O(1)-row action, not a
+count over the full edge set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (large=True) or small-star round.
+
+    ``edges`` is an undirected edge set held as (u, v) pairs; rows are
+    interpreted symmetrically. Returns the new (u, v) edge set with
+    v = candidate parent (min of the relevant neighborhood).
+    """
+    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # min over neighborhood ∪ {u}
+    nbr_min = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    joined = sym.join(nbr_min, "u")
+    if large:
+        # connect strictly larger neighbors to m
+        out = joined.where(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        # connect u and smaller-or-equal neighbors to m
+        out = joined.where(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).union(joined.select("u", F.col("m").alias("v")))
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    reliable: bool = False,
+) -> DataFrame:
+    """edges(src, dst) → (iri, canonical_iri): every node mapped to the
+    lexicographic min of its component (singletons excluded — callers
+    union isolated nodes mapping to themselves if needed).
+    """
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    cur = cur.localCheckpoint(eager=True) if not reliable else cur.checkpoint(eager=True)
+
+    for _ in range(max_iter):
+        after_large = _star_round(cur, large=True)
+        after_small = _star_round(after_large, large=False)
+        after_small = (
+            after_small.localCheckpoint(eager=True)
+            if not reliable
+            else after_small.checkpoint(eager=True)
+        )
+        # fixpoint: edge sets identical (both directions of the diff)
+        changed = after_small.exceptAll(cur).limit(1)
+        shrunk = cur.exceptAll(after_small).limit(1)
+        cur = after_small
+        if changed.isEmpty() and shrunk.isEmpty():
+            break
+
+    # at fixpoint every edge is (member, root)
+    return cur.select(F.col("u").alias("iri"), F.col("v").alias("canonical_iri"))
+
+
+def canonical_mapping(
+    mappings: DataFrame,
+    equivalence_properties: list[str],
+    all_iris: DataFrame | None = None,
+) -> DataFrame:
+    """Mapping triples → canonical-IRI dictionary (NODES-shaped).
+
+    Only *equivalence*-flavored properties (exactMatch, sameAs, …) merge
+    components; broader/related mappings are kept as edges, not
+    identity. Nodes outside any component map to themselves when
+    ``all_iris`` (one column ``iri``) is given.
+    """
+    eq_edges = mappings.where(F.col("property").isin(equivalence_properties)).select(
+        F.col("source_iri").alias("src"), F.col("target_iri").alias("dst")
+    )
+    cc = connected_components(eq_edges)
+    if all_iris is None:
+        return cc
+    return (
+        all_iris.join(cc, "iri", "left")
+        .withColumn("canonical_iri", F.coalesce("canonical_iri", "iri"))
+        .select("iri", "canonical_iri")
+    )
+
+
+# --------------------------------------------------------------------------
+# Skew handling: salted two-stage aggregation (north_rule requirement)
+# --------------------------------------------------------------------------
+
+def salted_count(
+    df: DataFrame, keys: list[str], salt_buckets: int = 16, count_col: str = "n"
+) -> DataFrame:
+    """groupBy(keys).count() that survives head-entity skew: stage 1
+    aggregates per (key, salt) so one hot key spreads over
+    ``salt_buckets`` reducers; stage 2 sums the partials. Catalyst's
+    partial aggregation already map-side-combines, but a single hot key
+    still lands on one reducer in stage 2 of the *naive* plan — with a
+    pre-salt, stage 2's input is ≤ salt_buckets rows per key.
+
+    Use for hot-IRI / hot-URL counts (the fixture's "head entity" hosts);
+    for joins, AQE skew-join handles the split automatically.
+    """
+    # per-row salt (NOT a key hash — a hot key must spread across buckets)
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
+        F.count(F.lit(1)).alias("_partial")
+    )
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias(count_col))
+
+
+def salted_collect_set(
+    df: DataFrame, keys: list[str], value: str, salt_buckets: int = 16, out: str = "values"
+) -> DataFrame:
+    """Two-stage collect_set under skew: partial sets per (key, salt),
+    then flatten+dedup. Deterministic (sorted) final arrays."""
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
+        F.collect_set(value).alias("_vs")
+    )
+    return partial.groupBy(*keys).agg(
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("_vs")))).alias(out)
+    )

@@ -1,0 +1,297 @@
+"""CUI/TUI enrichment cascade (SURVEY.md J1-J8, A9, S11).
+
+Re-expresses the reference's per-class fallback loops
+(cli/enrichment/OntologyCUIProcessor.java:121-231 ``processCUIs`` /
+``findCUIs``, :273-297 ``processTUIs``) as ONE declarative plan:
+
+    classes LEFT JOIN (each candidate source, pre-aggregated to arrays)
+            → coalesce in priority order + stage tag
+
+Priority (reference findCUIs): own ``umls:cui`` → CUI-shaped altLabels
+→ mapping targets' CUIs → UMLS lookup by code → (optional, separate
+operator) similarity disambiguation → reject.
+
+Where the reference does O(classes) Redis-memoized point lookups
+(BaseOntologyDelegate.java:257-283), each source here is joined exactly
+once; negative caching (utils/EmptyResultsCache.java) is simply the
+null side of the left join (SURVEY.md §4.1).
+
+Scale notes:
+  * every right side is a pre-aggregated dimension (one row per
+    concept) → joins can't explode and are hinted ``broadcast`` —
+    dimension tables are ontology-sized (≤ millions), facts are
+    page-mention-sized (billions);
+  * the per-stage short-circuit of the reference (later stages only
+    fire for still-empty keys) is semantically identical to
+    coalesce-after-left-joins; Catalyst prunes columns, and the join
+    fan-out is bounded by construction, so there is no wasted work to
+    short-circuit;
+  * stage counters (reference stats/CUIOntologyStats.java:7-33) fall
+    out of ``groupBy("cui_stage").count()`` — no accumulators (those
+    are at-least-once under task retries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sifr_project_java_ontology_processing_spark.functions.text import CUI_PATTERN
+from sifr_project_java_ontology_processing_spark.functions.uris import (
+    MAPPING_PREDICATES,
+    uri_fragment_code,
+)
+
+# Stage names double as the counter names of the metrics table
+# (analogs of stats/CUIOntologyStats.java:7-33).
+STAGE_OWN = "own_cui"
+STAGE_ALT = "cui_in_alt_label"
+STAGE_MAPPING = "cui_in_mappings"
+STAGE_CODE = "cui_through_code"
+STAGE_NONE = "remaining_without_cui"
+
+TUI_STAGE_OWN = "own_tui"
+TUI_STAGE_UMLS = "tui_from_umls_by_cui"
+TUI_STAGE_MAPPING = "tui_in_mappings"
+TUI_STAGE_NONE = "remaining_without_tui"
+
+def _empty_arr():
+    return F.array().cast("array<string>")
+
+
+def _agg_set(df: DataFrame, key: str, value: str, out: str) -> DataFrame:
+    """Pre-aggregate a candidate source to one sorted-distinct array per
+    key — the TreeSet semantics of the reference (O3 determinism)."""
+    return df.groupBy(F.col(key).alias("concept_iri")).agg(
+        F.sort_array(F.collect_set(F.col(value))).alias(out)
+    )
+
+
+def find_codes(classes: DataFrame, ontology_labels: DataFrame) -> DataFrame:
+    """Composite code finder (reference code/CompositeCodeFinder.java:24-40):
+    first non-null of skos:notation → URI fragment before ``_``
+    (code/URICodeFinder.java:16-28). "First of a TreeSet" = min (O3).
+
+    Returns (concept_iri, code) with code possibly null.
+    """
+    notations = _agg_set(
+        ontology_labels.where(F.col("label_kind") == "notation"),
+        "concept_iri",
+        "label",
+        "notation_codes",
+    ).select("concept_iri", F.col("notation_codes").getItem(0).alias("notation_code"))
+    frag = uri_fragment_code(F.col("concept_iri"))
+    return (
+        classes.join(F.broadcast(notations), "concept_iri", "left")
+        .withColumn(
+            "code",
+            F.coalesce(
+                F.col("notation_code"), F.when(frag != "", frag)
+            ),
+        )
+        .drop("notation_code")
+    )
+
+
+def cui_cascade(
+    classes: DataFrame,
+    ontology_labels: DataFrame,
+    mappings: DataFrame,
+    umls_concepts: DataFrame,
+    own_cuis: DataFrame | None = None,
+    target_cuis: DataFrame | None = None,
+    lat: str | None = None,
+) -> DataFrame:
+    """→ (concept_iri, code, cuis array<string>, cui_stage string).
+
+    classes:        (concept_iri)
+    ontology_labels: ONTOLOGY_LABELS schema (pref/alt/hidden/notation)
+    mappings:       MAPPINGS schema
+    umls_concepts:  UMLS_CONCEPTS schema (the MRCONSO dim)
+    own_cuis:       (concept_iri, cui) already-asserted umls:cui triples
+    target_cuis:    (concept_iri, cui) for the *target* ontology's classes
+    lat:            optional UMLS language restriction (SQLUMLSDelegate
+                    :166-191 with-lang vs :193-217 without)
+    """
+    spark_classes = find_codes(classes.select("concept_iri").distinct(), ontology_labels)
+
+    # J1 — own CUIs
+    own = (
+        _agg_set(own_cuis, "concept_iri", "cui", "own_cuis")
+        if own_cuis is not None
+        else None
+    )
+
+    # P4 — CUI-shaped altLabels (cuis/CUIOntologyDelegateImpl.java:123-138)
+    alt = _agg_set(
+        ontology_labels.where(
+            (F.col("label_kind") == "alt") & F.trim(F.col("label")).rlike(CUI_PATTERN)
+        ).withColumn("label", F.trim(F.col("label"))),
+        "concept_iri",
+        "label",
+        "alt_cuis",
+    )
+
+    # J2+J3 — mapping targets' CUIs (6 mapping predicates,
+    # DefaultOntologyMappingDelegate.java:81-86; targets per findCUIs :201)
+    if target_cuis is not None:
+        mapped = (
+            mappings.where(F.col("property").isin(MAPPING_PREDICATES))
+            .select(F.col("source_iri").alias("concept_iri"), "target_iri")
+            .join(
+                F.broadcast(
+                    target_cuis.select(
+                        F.col("concept_iri").alias("target_iri"), "cui"
+                    )
+                ),
+                "target_iri",
+            )
+        )
+        mapped = _agg_set(mapped, "concept_iri", "cui", "mapping_cuis")
+    else:
+        mapped = None
+
+    # J4 — UMLS by code (broadcast MRCONSO dim; DISTINCT per :177,204)
+    umls = umls_concepts
+    if lat is not None:
+        umls = umls.where(F.col("lat") == lat)
+    code_cuis = _agg_set(
+        spark_classes.where(F.col("code").isNotNull())
+        .select("concept_iri", "code")
+        .join(F.broadcast(umls.select("code", "cui")), "code"),
+        "concept_iri",
+        "cui",
+        "code_cuis",
+    )
+
+    out = spark_classes
+    for dim, col in ((own, "own_cuis"), (alt, "alt_cuis"), (mapped, "mapping_cuis"), (code_cuis, "code_cuis")):
+        if dim is not None:
+            out = out.join(F.broadcast(dim), "concept_iri", "left")
+        else:
+            out = out.withColumn(col, F.lit(None).cast("array<string>"))
+
+    def nonempty(c: str):
+        return F.size(F.col(c)) > 0
+
+    out = out.withColumn(
+        "cuis",
+        F.when(nonempty("own_cuis"), F.col("own_cuis"))
+        .when(nonempty("alt_cuis"), F.col("alt_cuis"))
+        .when(nonempty("mapping_cuis"), F.col("mapping_cuis"))
+        .when(nonempty("code_cuis"), F.col("code_cuis"))
+        .otherwise(_empty_arr()),
+    ).withColumn(
+        "cui_stage",
+        F.when(nonempty("own_cuis"), STAGE_OWN)
+        .when(nonempty("alt_cuis"), STAGE_ALT)
+        .when(nonempty("mapping_cuis"), STAGE_MAPPING)
+        .when(nonempty("code_cuis"), STAGE_CODE)
+        .otherwise(STAGE_NONE),
+    )
+    return out.select("concept_iri", "code", "cuis", "cui_stage")
+
+
+def tui_cascade(
+    cascade_out: DataFrame,
+    mappings: DataFrame,
+    umls_semtypes: DataFrame,
+    own_tuis: DataFrame | None = None,
+    target_tuis: DataFrame | None = None,
+    reference_bug_compat: bool = True,
+) -> DataFrame:
+    """TUI cascade (reference processTUIs, OntologyCUIProcessor.java:273-297):
+    own ``umls:tui`` → (CUIs found? → MRSTY by CUI) → mapping lookup → none.
+
+    ``reference_bug_compat``: the reference queries the TARGET delegate
+    with the mappings' **source** classes (:280 ``Mapping::getSourceClass``)
+    where the CUI path uses targets (:201) — almost certainly a bug, kept
+    reproducible behind this flag (SURVEY.md §7.4 risk 2). With
+    compat=True the mapping stage therefore looks up the *source* IRI in
+    the target-TUI dim (matching the reference's, usually-empty, result).
+
+    → (concept_iri, cuis, cui_stage, tuis array<string>, tui_stage).
+    """
+    own = (
+        _agg_set(own_tuis, "concept_iri", "tui", "own_tuis")
+        if own_tuis is not None
+        else None
+    )
+
+    # MRSTY lookup for every found CUI (J5): explode bounded arrays,
+    # broadcast-join the dim, re-aggregate.
+    by_cui = _agg_set(
+        cascade_out.select(
+            "concept_iri", F.explode("cuis").alias("cui")
+        ).join(F.broadcast(umls_semtypes), "cui"),
+        "concept_iri",
+        "tui",
+        "umls_tuis",
+    )
+
+    if target_tuis is not None:
+        key = "source_iri" if reference_bug_compat else "target_iri"
+        mapped = _agg_set(
+            mappings.where(F.col("property").isin(MAPPING_PREDICATES))
+            .select(F.col(key).alias("lookup_iri"), F.col("source_iri"))
+            .join(
+                F.broadcast(
+                    target_tuis.select(
+                        F.col("concept_iri").alias("lookup_iri"), "tui"
+                    )
+                ),
+                "lookup_iri",
+            )
+            .select(F.col("source_iri").alias("concept_iri"), "tui"),
+            "concept_iri",
+            "tui",
+            "mapping_tuis",
+        )
+    else:
+        mapped = None
+
+    out = cascade_out
+    for dim, col in ((own, "own_tuis"), (by_cui, "umls_tuis"), (mapped, "mapping_tuis")):
+        if dim is not None:
+            out = out.join(F.broadcast(dim), "concept_iri", "left")
+        else:
+            out = out.withColumn(col, F.lit(None).cast("array<string>"))
+
+    def nonempty(c: str):
+        return F.size(F.col(c)) > 0
+
+    has_cuis = F.size(F.col("cuis")) > 0
+    out = out.withColumn(
+        "tuis",
+        F.when(nonempty("own_tuis"), F.col("own_tuis"))
+        .when(has_cuis & nonempty("umls_tuis"), F.col("umls_tuis"))
+        .when(~has_cuis & nonempty("mapping_tuis"), F.col("mapping_tuis"))
+        .otherwise(_empty_arr()),
+    ).withColumn(
+        "tui_stage",
+        F.when(nonempty("own_tuis"), TUI_STAGE_OWN)
+        .when(has_cuis & nonempty("umls_tuis"), TUI_STAGE_UMLS)
+        .when(~has_cuis & nonempty("mapping_tuis"), TUI_STAGE_MAPPING)
+        .otherwise(TUI_STAGE_NONE),
+    )
+    return out.select(
+        "concept_iri", "code", "cuis", "cui_stage", "tuis", "tui_stage"
+    )
+
+
+def stage_counters(cascade_out: DataFrame, stage_col: str = "cui_stage") -> DataFrame:
+    """A9 — named counters as an aggregation over outcome tags
+    (replaces stats/OntologyStats.java:44-56 mutable counters)."""
+    return (
+        cascade_out.groupBy(F.col(stage_col).alias("counter"))
+        .agg(F.count(F.lit(1)).alias("value"))
+        .orderBy("counter")
+    )
+
+
+def reject_sink(cascade_out: DataFrame) -> DataFrame:
+    """S11 — concepts with no CUI anywhere (reference streams them to
+    ``<ont>_concepts_without_cui.txt`` under a lock,
+    OntologyCUIProcessor.java:211-217; here it is just a filtered
+    DataFrame the caller writes with ``write.text``)."""
+    return cascade_out.where(F.col("cui_stage") == STAGE_NONE).select("concept_iri")

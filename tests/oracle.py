@@ -74,3 +74,67 @@ def precision_recall(
     p = tp / len(emitted) if emitted else 1.0
     r = tp / len(golden) if golden else 1.0
     return p, r
+
+
+def cascade_oracle(fx):
+    """Reference processCUIs/processTUIs re-implemented imperatively
+    (OntologyCUIProcessor.java:121-231,273-297) over the fixture."""
+    concepts = sorted({c for (c, _l, _k, _lg) in fx.ontology_labels})
+    labels_by_c: dict[str, list] = {}
+    for c, lbl, kind, lg in fx.ontology_labels:
+        labels_by_c.setdefault(c, []).append((lbl, kind, lg))
+    maps_by_src: dict[str, list] = {}
+    for s, p, t in fx.mappings:
+        maps_by_src.setdefault(s, []).append((p, t))
+    umls_by_code: dict[str, set] = {}
+    for code, cui, lat, s in fx.umls_concepts:
+        umls_by_code.setdefault(code, set()).add(cui)
+    sty_by_cui: dict[str, set] = {}
+    for cui, tui in fx.umls_semtypes:
+        sty_by_cui.setdefault(cui, set()).add(tui)
+    tgt_cuis = getattr(fx, "target_cuis", {})
+    cui_rx = re.compile(r"^C[0-9]{7}$")
+
+    out = {}
+    for c in concepts:
+        # code finder: min notation, else URI fragment before '_'
+        notations = sorted(l for (l, k, _g) in labels_by_c.get(c, []) if k == "notation")
+        code = notations[0] if notations else None
+        if code is None and "#" in c:
+            frag = c.split("#", 1)[1].split("_", 1)[0]
+            code = frag or None
+        cuis = sorted(fx.concept_cuis.get(c, []))
+        stage = "own_cui"
+        if not cuis:
+            alt = sorted(
+                l.strip()
+                for (l, k, _g) in labels_by_c.get(c, [])
+                if k == "alt" and cui_rx.fullmatch(l.strip())
+            )
+            if alt:
+                cuis, stage = alt, "cui_in_alt_label"
+            else:
+                mapped = set()
+                for p, t in maps_by_src.get(c, []):
+                    mapped.update(tgt_cuis.get(t, []))
+                if mapped:
+                    cuis, stage = sorted(mapped), "cui_in_mappings"
+                elif code is not None and umls_by_code.get(code):
+                    cuis, stage = sorted(umls_by_code[code]), "cui_through_code"
+                else:
+                    cuis, stage = [], "remaining_without_cui"
+        # TUIs
+        tuis = sorted(fx.concept_tuis.get(c, []))
+        tstage = "own_tui"
+        if not tuis:
+            if cuis:
+                ts = set()
+                for cui in cuis:
+                    ts.update(sty_by_cui.get(cui, []))
+                tuis, tstage = sorted(ts), ("tui_from_umls_by_cui" if ts else "remaining_without_tui")
+            else:
+                # reference bug-compat: looks up mapping SOURCE classes in
+                # the target delegate -> (here) always empty
+                tuis, tstage = [], "remaining_without_tui"
+        out[c] = (code, cuis, stage, tuis, tstage)
+    return out
