@@ -1,0 +1,243 @@
+"""The flagship KG-construction pipeline (SURVEY.md §7.1; north_star).
+
+    pages ──extract──► extracted ──trie match──► mentions
+      ──► mention triples ──► enrichment cascade ──► enrichment triples
+      ──► canonicalization (CC over equivalence mappings)
+      ──► nodes / edges / triples / metrics
+
+Every stage is a checkpointable snapshot (StageStore) keyed by run_id;
+re-running the same run_id resumes after the last committed stage.
+
+Triple kinds emitted (north_star): ``sifr:mention`` (page→concept),
+``rdf:type skos:Concept`` per concept (SKOSOntologyDelegateImpl.java:39-54
+asserts the same for every generated concept), plus the enrichment
+predicates ``umls:cui`` / ``umls:tui`` / ``umls:hasSTY``
+(cuis/CUIOntologyDelegateImpl.java:19-21,41-76).
+
+Scale shape: stages 1-2 are map-only (zero shuffle) over the 100 TB
+fact table; the first shuffles appear at the mention-triple distinct
+(hash on (url,concept)) and the cascade's dimension pre-aggregations
+(ontology-sized). Canonical-IRI application to fact rows is a broadcast
+join. Head-entity skew in the distinct/groupBys is handled by AQE +
+the salted helpers (canonicalize.salted_count) for the hot counters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sifr_project_java_ontology_processing_spark.functions.uris import (
+    RDF_TYPE,
+    SIFR_MENTION,
+    SKOS_CONCEPT,
+    UMLS_CUI,
+    UMLS_HAS_STY,
+    UMLS_TUI,
+    expand,
+    sty_uri,
+)
+from sifr_project_java_ontology_processing_spark.operators import metrics as M
+from sifr_project_java_ontology_processing_spark.operators.cascade import (
+    cui_cascade,
+    tui_cascade,
+)
+from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
+    canonical_mapping,
+)
+from sifr_project_java_ontology_processing_spark.operators.extraction import extract_pages
+from sifr_project_java_ontology_processing_spark.operators.mentions import detect_mentions
+from sifr_project_java_ontology_processing_spark.operators.scoring import (
+    concept_descriptions,
+    disambiguate,
+)
+from sifr_project_java_ontology_processing_spark.sources.stage_store import StageStore
+
+EQUIVALENCE_PROPERTIES = [
+    expand("skos:exactMatch"),
+    expand("owl:sameAs"),
+]
+
+
+@dataclass
+class PipelineResult:
+    extracted: DataFrame
+    mentions: DataFrame
+    triples: DataFrame
+    nodes: DataFrame
+    edges: DataFrame
+    metrics: DataFrame
+    stages_resumed: list[str] = field(default_factory=list)
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    ontology_labels: DataFrame,
+    mappings: DataFrame,
+    umls_concepts: DataFrame,
+    umls_semtypes: DataFrame,
+    own_cuis: DataFrame | None = None,
+    own_tuis: DataFrame | None = None,
+    target_cuis: DataFrame | None = None,
+    store: StageStore | None = None,
+    run_id: str = "run0",
+    disambiguate_cuis: bool = True,
+) -> PipelineResult:
+    """Compose the full pipeline. With a ``store``, each stage snapshot
+    commits under ``root/run_id/<stage>`` and re-runs resume."""
+    resumed: list[str] = []
+
+    def stage(name: str, thunk, partition_by=None) -> DataFrame:
+        if store is None:
+            return thunk()
+        if store.exists(name):
+            resumed.append(name)
+        return store.materialize(name, thunk, partition_by)
+
+    # -- stage 1: extraction (map-only) ------------------------------------
+    extracted = stage("extracted", lambda: extract_pages(pages))
+
+    # -- stage 2: mention detection (map-only, broadcast trie) --------------
+    mentions = stage(
+        "mentions", lambda: detect_mentions(spark, extracted, ontology_labels)
+    )
+
+    # -- stage 3: enrichment cascade over the concept dimension -------------
+    def _cascade() -> DataFrame:
+        classes = ontology_labels.select("concept_iri").distinct()
+        c = cui_cascade(
+            classes,
+            ontology_labels,
+            mappings,
+            umls_concepts,
+            own_cuis=own_cuis,
+            target_cuis=target_cuis,
+        )
+        c = tui_cascade(c, mappings, umls_semtypes, own_tuis=own_tuis)
+        if disambiguate_cuis:
+            c = disambiguate(
+                c, concept_descriptions(ontology_labels), umls_concepts
+            ).drop("disambiguated")
+        return c
+
+    cascade_df = stage("cascade", _cascade)
+
+    # -- stage 4: canonical IRI dictionary (CC over equivalence edges) ------
+    def _canonical() -> DataFrame:
+        all_iris = ontology_labels.select(
+            F.col("concept_iri").alias("iri")
+        ).distinct()
+        return canonical_mapping(mappings, EQUIVALENCE_PROPERTIES, all_iris)
+
+    canonical = stage("canonical", _canonical)
+
+    # -- stage 5: triple assembly -------------------------------------------
+    def _triples() -> DataFrame:
+        canon = F.broadcast(canonical)
+
+        mention_triples = (
+            mentions.join(canon, mentions.concept_iri == canonical.iri, "left")
+            .select(
+                F.col("url").alias("subj"),
+                F.lit(SIFR_MENTION).alias("pred"),
+                F.coalesce("canonical_iri", "concept_iri").alias("obj"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit(False).alias("obj_is_literal"),
+                F.col("url").alias("src_url"),
+            )
+            .distinct()
+        )
+        type_triples = canonical.select(
+            F.col("canonical_iri").alias("subj"),
+            F.lit(RDF_TYPE).alias("pred"),
+            F.lit(SKOS_CONCEPT).alias("obj"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(False).alias("obj_is_literal"),
+            F.lit(None).cast("string").alias("src_url"),
+        ).distinct()
+
+        canon2 = F.broadcast(
+            canonical.select(
+                F.col("iri").alias("concept_iri"), "canonical_iri"
+            )
+        )
+        enriched = cascade_df.join(canon2, "concept_iri", "left").withColumn(
+            "canon", F.coalesce("canonical_iri", "concept_iri")
+        )
+        cui_triples = enriched.select(
+            F.col("canon").alias("subj"),
+            F.lit(UMLS_CUI).alias("pred"),
+            F.explode("cuis").alias("obj"),
+        )
+        tui_triples = enriched.select(
+            F.col("canon").alias("subj"),
+            F.lit(UMLS_TUI).alias("pred"),
+            F.explode("tuis").alias("obj"),
+        )
+        sty_triples = enriched.select(
+            F.col("canon").alias("subj"),
+            F.lit(UMLS_HAS_STY).alias("pred"),
+            F.explode("tuis").alias("tui"),
+        ).select("subj", "pred", sty_uri(F.col("tui")).alias("obj"))
+        literal_triples = (
+            cui_triples.unionByName(tui_triples)
+            .unionByName(sty_triples)
+            .distinct()
+            .select(
+                "subj",
+                "pred",
+                "obj",
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit(True).alias("obj_is_literal"),
+                F.lit(None).cast("string").alias("src_url"),
+            )
+        )
+        return mention_triples.unionByName(type_triples).unionByName(
+            literal_triples
+        )
+
+    triples = stage("triples", _triples)
+
+    # -- stage 6: graph tables ------------------------------------------------
+    def _nodes() -> DataFrame:
+        return canonical.select(
+            "iri",
+            "canonical_iri",
+            F.lit("concept").alias("kind"),
+        )
+
+    def _edges() -> DataFrame:
+        return triples.where(~F.col("obj_is_literal")).select(
+            F.col("subj").alias("src"),
+            F.col("obj").alias("dst"),
+            "pred",
+            "src_url",
+        )
+
+    nodes = stage("nodes", _nodes)
+    edges = stage("edges", _edges)
+
+    # -- metrics / lineage -----------------------------------------------------
+    def _metrics() -> DataFrame:
+        return (
+            M.partition_counts(extracted, run_id, "extracted")
+            .unionByName(M.partition_counts(mentions, run_id, "mentions"))
+            .unionByName(M.counter_metrics(cascade_df, run_id, "cascade", "cui_stage"))
+            .unionByName(M.counter_metrics(cascade_df, run_id, "cascade", "tui_stage"))
+            .unionByName(M.partition_counts(triples, run_id, "triples", part_col="__none__"))
+        )
+
+    metrics_df = stage("metrics", _metrics)
+
+    return PipelineResult(
+        extracted=extracted,
+        mentions=mentions,
+        triples=triples,
+        nodes=nodes,
+        edges=edges,
+        metrics=metrics_df,
+        stages_resumed=resumed,
+    )

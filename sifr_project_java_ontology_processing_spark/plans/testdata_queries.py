@@ -1,0 +1,542 @@
+"""Driver-contract query registry: every SURVEY.md §2 operator family
+exercised over the generic testdata tables, each with a DuckDB-ANSI
+oracle twin (CORRECTNESS gate).
+
+Each entry: ``NAME -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)``.
+Column names/aliases match the oracle exactly (driver hashes sorted-by-
+column-name values). Floats are rounded on BOTH sides before compare.
+
+Parity gotchas encoded here (learned against DuckDB 1.0):
+  * DuckDB ``regexp_replace`` needs the ``'g'`` flag to match Spark's
+    replace-all; backrefs are ``\\1`` vs Spark's ``$1``.
+  * ``list_cosine_similarity`` on FLOAT lists computes in float32 —
+    cast to DOUBLE[] to match Spark's double aggregation.
+  * Spark ``sequence(a,b)`` is end-INclusive; DuckDB ``range(a,b)``
+    end-EXclusive.
+  * Spark ``slice(arr, i, n)`` (1-based, length) vs DuckDB ``arr[i:j]``
+    (1-based, end-inclusive).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Mention-detection label dictionary (fixed literal list so the oracle
+# can inline the same VALUES).
+LABELS = ["scan", "filter", "join", "window", "hash", "merge", "agg", "batch"]
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REG: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn):
+        _REG[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REG.items() if v[1] is not None}
+
+
+# ===========================================================================
+# KG / text path
+# ===========================================================================
+
+_LABEL_VALUES = ", ".join(f"('{label}')" for label in LABELS)
+
+
+@register(
+    "mention_detect",
+    f"""
+    WITH labels(label) AS (VALUES {_LABEL_VALUES}),
+    hits AS (
+      SELECT d.doc_id, l.label,
+             len(list_filter(str_split(d.text, ' '), x -> x = l.label)) AS n_mentions
+      FROM documents d CROSS JOIN labels l
+    )
+    SELECT doc_id, label, n_mentions FROM hits WHERE n_mentions > 0
+    """,
+)
+def q_mention_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 analog, SQL-checkable form: exact-token dictionary mention
+    counts per document (the trie operator itself is exercised by the
+    KG pipeline tests; this proves the same counting semantics on the
+    generic corpus). Broadcast dim × map-side count — no shuffle until
+    the (tiny) result."""
+    docs = _t(spark, sf_dir, "documents")
+    labels = spark.createDataFrame([(l,) for l in LABELS], "label string")
+    hits = docs.crossJoin(F.broadcast(labels)).select(
+        "doc_id",
+        "label",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x == F.col("label"))
+        ).alias("n_mentions"),
+    )
+    return hits.where(F.col("n_mentions") > 0)
+
+
+@register(
+    "regex_filter",
+    """
+    SELECT doc_id FROM documents
+    WHERE regexp_matches(text, 'scan [a-z]+ filter')
+    """,
+)
+def q_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4-family regex predicate pushed into the scan."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").rlike("scan [a-z]+ filter"))
+        .select("doc_id")
+    )
+
+
+@register(
+    "lang_keep_drop",
+    """
+    WITH flagged AS (
+      SELECT doc_id, source, lang,
+             max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY source) AS has_en
+      FROM documents
+    )
+    SELECT doc_id, source, lang FROM flagged
+    WHERE has_en = 0 OR lang = 'en' OR lang = ''
+    """,
+)
+def q_lang_keep_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — the reference's multilingual cleaner
+    (cli/OWLOntologyCleaner.java:169-247): within each group, if any row
+    has the target lang, drop other langs (empty lang always kept)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    flagged = docs.withColumn(
+        "has_en", F.max(F.when(F.col("lang") == "en", 1).otherwise(0)).over(w)
+    )
+    return flagged.where(
+        (F.col("has_en") == 0) | (F.col("lang") == "en") | (F.col("lang") == "")
+    ).select("doc_id", "source", "lang")
+
+
+@register(
+    "freq_share",
+    """
+    SELECT doc_id, source,
+           round(n_chars / sum(n_chars) OVER (PARTITION BY source), 6) AS char_share
+    FROM documents
+    """,
+)
+def q_freq_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W4 — per-group frequency normalization
+    (EHealth2017DictionaryToSkos.java:381-392) as a window sum."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.round(F.col("n_chars") / F.sum("n_chars").over(w), 6).alias("char_share"),
+    )
+
+
+@register(
+    "argmax_per_group",
+    """
+    SELECT source, lang AS top_lang, n AS n_docs FROM (
+      SELECT source, lang, count(*) AS n,
+             row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang ASC) AS rn
+      FROM documents GROUP BY source, lang
+    ) t WHERE rn = 1
+    """,
+)
+def q_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — most-frequent-code argmax
+    (EHealth2017DictionaryToSkos.java:318-343): deterministic tie-break
+    by key asc, not hash order."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), F.col("n").alias("n_docs"))
+    )
+
+
+@register(
+    "token_count",
+    """
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws_tokens,
+           cast(list_sum(list_transform(
+             list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> ''),
+             x -> cast(ceil(len(x) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data accounting: whitespace tokens +
+    a deterministic BPE-ish subword estimate (ceil(len/4) per word)."""
+    from sifr_project_java_ontology_processing_spark.functions.text import (
+        bpe_ish_token_count,
+        word_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        word_count(F.col("text")).cast("bigint").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("bigint").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "quality_score",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+        len(list_filter(str_split(text, ' '), x -> x <> '')) AS n_tokens,
+        len(text) AS n_chars_m,
+        len(list_filter(str_split(text, ' '), x -> x IN ('the','a','of','and','to'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE (n_chars_m - n_tokens + 1) / CAST(n_tokens AS DOUBLE) END, 6) AS avg_word_len,
+           round(CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE n_stop / CAST(n_tokens AS DOUBLE) END, 6) AS stopword_ratio
+    FROM feats
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality features (length / stopword ratios) — the
+    heuristic-quality-scoring stage of a training-data pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    stop = F.filter(
+        F.split(F.col("text"), " "),
+        lambda x: x.isin("the", "a", "of", "and", "to"),
+    )
+    n_tokens = F.size(toks)
+    feats = docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.length("text").alias("n_chars_m"),
+        F.size(stop).alias("n_stop"),
+    )
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.when(F.col("n_tokens") == 0, 0.0).otherwise(
+                (F.col("n_chars_m") - F.col("n_tokens") + 1)
+                / F.col("n_tokens").cast("double")
+            ),
+            6,
+        ).alias("avg_word_len"),
+        F.round(
+            F.when(F.col("n_tokens") == 0, 0.0).otherwise(
+                F.col("n_stop") / F.col("n_tokens").cast("double")
+            ),
+            6,
+        ).alias("stopword_ratio"),
+    )
+
+
+# ===========================================================================
+# Relational operator family (SURVEY §2.3-2.7) over TPC-H-ish tables
+# ===========================================================================
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A9 family — hash aggregate with map-side partial agg
+    (Catalyst automatic); filter pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "region_customer_count",
+    """
+    SELECT r_name, count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_region_customer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5 family — fact × two broadcast dims, then agg."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "fallback_cascade",
+    """
+    SELECT o_orderkey,
+      CASE WHEN o_orderstatus = 'F' THEN o_orderpriority
+           WHEN c_mktsegment IS NOT NULL THEN c_mktsegment
+           ELSE 'UNKNOWN' END AS resolved,
+      CASE WHEN o_orderstatus = 'F' THEN 'own'
+           WHEN c_mktsegment IS NOT NULL THEN 'customer'
+           ELSE 'none' END AS stage
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_fallback_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — coalesce-join fallback cascade with stage tag (the generic
+    shape of the CUI cascade, over testdata)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+    own = F.col("o_orderstatus") == "F"
+    return j.select(
+        "o_orderkey",
+        F.when(own, F.col("o_orderpriority"))
+        .when(F.col("c_mktsegment").isNotNull(), F.col("c_mktsegment"))
+        .otherwise("UNKNOWN")
+        .alias("resolved"),
+        F.when(own, "own")
+        .when(F.col("c_mktsegment").isNotNull(), "customer")
+        .otherwise("none")
+        .alias("stage"),
+    )
+
+
+@register(
+    "window_top1",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) t WHERE rn = 1
+    """,
+)
+def q_window_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/O1 — deterministic top-1 per key (latest order; ties by key)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "preflabel_pick",
+    """
+    SELECT p_brand, p_name AS pref_label FROM (
+      SELECT p_brand, p_name,
+        row_number() OVER (PARTITION BY p_brand ORDER BY
+          (CAST(len(p_name) - len(regexp_replace(p_name, '[^a-z]', '', 'g')) AS DOUBLE)
+             / len(p_name) < 0.25) DESC,
+          len(p_name) ASC, p_name ASC) AS rn
+      FROM part
+    ) t WHERE rn = 1
+    """,
+)
+def q_preflabel_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — the reference's prefLabel heuristic
+    (EHealth2017DictionaryToSkos.java:404-425): shortest label whose
+    uppercase-ish ratio < 0.25, fallback to any label."""
+    from sifr_project_java_ontology_processing_spark.functions.text import uppercase_ratio
+
+    p = _t(spark, sf_dir, "part")
+    good = uppercase_ratio(F.col("p_name")) < 0.25
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc(good), F.asc(F.length("p_name")), F.asc("p_name")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("p_brand", F.col("p_name").alias("pref_label"))
+    )
+
+
+@register(
+    "anti_join_orders",
+    """
+    SELECT o_orderkey FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def q_anti_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3 — targeted removal as left_anti join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return o.join(
+        li, o.o_orderkey == li.l_orderkey, "left_anti"
+    ).select("o_orderkey")
+
+
+@register(
+    "range_join_buckets",
+    """
+    SELECT e.event_id, b.bucket
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 5.0), ('mid', 5.0, 20.0), ('high', 20.0, 1e18))
+         AS b(bucket, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — value-vs-range theta join against a broadcast range table
+    (chapter assignment, EHealth2017DictionaryToSkos.java:394-402)."""
+    e = _t(spark, sf_dir, "events")
+    b = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 20.0), ("high", 20.0, 1e18)],
+        "bucket string, lo double, hi double",
+    )
+    return e.join(
+        F.broadcast(b), (e.value >= b.lo) & (e.value < b.hi)
+    ).select("event_id", "bucket")
+
+
+@register(
+    "label_concat",
+    """
+    SELECT r.r_name, string_agg(n.n_name, ' ' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_label_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/A7 — deterministic sorted concat (prefLabel description)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(" ", F.sort_array(F.collect_list("n_name"))).alias("nations")
+        )
+    )
+
+
+@register(
+    "triple_pattern",
+    """
+    SELECT n.n_name AS subj, 'in_region' AS pred, r.r_name AS obj
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE n.n_name >= 'M'
+    """,
+)
+def q_triple_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 — triple-pattern match (s-prefix, p fixed, ?o) over a
+    triples view built from testdata."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    triples = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_name").alias("subj"),
+        F.lit("in_region").alias("pred"),
+        F.col("r_name").alias("obj"),
+    )
+    return triples.where(F.col("subj") >= "M")
+
+
+@register(
+    "code_normalize",
+    """
+    SELECT code, regexp_replace(code, '^([A-Z][0-9]{2})([0-9]{1,2})$', '\\1.\\2') AS normalized
+    FROM (
+      SELECT DISTINCT concat(upper(substr(p_brand, 1, 1)),
+                             lpad(CAST(p_partkey % 100 AS VARCHAR), 2, '0'),
+                             CAST(p_size % 10 AS VARCHAR)) AS code
+      FROM part
+    ) t
+    """,
+)
+def q_code_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — ICD-10 compact-code normalization over synthesized codes."""
+    from sifr_project_java_ontology_processing_spark.functions.text import normalize_code
+
+    p = _t(spark, sf_dir, "part")
+    codes = p.select(
+        F.concat(
+            F.upper(F.substring("p_brand", 1, 1)),
+            F.lpad((F.col("p_partkey") % 100).cast("string"), 2, "0"),
+            (F.col("p_size") % 10).cast("string"),
+        ).alias("code")
+    ).distinct()
+    return codes.select("code", normalize_code(F.col("code")).alias("normalized"))
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream table — the
+    batch twin of the Structured Streaming path (streaming/)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,154 @@
+"""End-to-end KG pipeline: triple-diff P/R gate + checkpoint resume
+(north_rule: P/R ≥ 0.95 vs reference-semantics golden triples; resume
+from checkpoint reproduces identical output)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sifr_project_java_ontology_processing_spark.functions.uris import (
+    RDF_TYPE,
+    SIFR_MENTION,
+    SKOS_CONCEPT,
+    UMLS_CUI,
+    UMLS_HAS_STY,
+    UMLS_TUI,
+    STY_BASE,
+)
+from sifr_project_java_ontology_processing_spark.plans.kg_pipeline import (
+    EQUIVALENCE_PROPERTIES,
+    run_kg_pipeline,
+)
+from sifr_project_java_ontology_processing_spark.sources.stage_store import StageStore
+
+from .oracle import cascade_oracle, mentions_oracle
+
+
+def _uf(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return lambda x: find(x) if x in parent else x
+
+
+def golden_triples(fx) -> set[tuple[str, str, str]]:
+    """Independent full-pipeline oracle: mentions + type + enrichment
+    triples, canonicalized over equivalence mappings (no disambiguation
+    — the engine runs with disambiguate_cuis=False for exact diffing)."""
+    canon = _uf(
+        [
+            (s, t)
+            for (s, p, t) in fx.mappings
+            if p in EQUIVALENCE_PROPERTIES
+        ]
+    )
+    triples: set[tuple[str, str, str]] = set()
+    concepts = sorted({c for (c, _l, _k, _g) in fx.ontology_labels})
+    for c in concepts:
+        triples.add((canon(c), RDF_TYPE, SKOS_CONCEPT))
+    for url, _ts, _html, text, _lang in fx.pages:
+        for _i, concept, _ln in mentions_oracle(text, fx.ontology_labels):
+            triples.add((url, SIFR_MENTION, canon(concept)))
+    for c, (code, cuis, stage, tuis, tstage) in cascade_oracle(fx).items():
+        for cui in cuis:
+            triples.add((canon(c), UMLS_CUI, cui))
+        for tui in tuis:
+            triples.add((canon(c), UMLS_TUI, tui))
+            triples.add((canon(c), UMLS_HAS_STY, f"{STY_BASE}{tui}/"))
+    return triples
+
+
+def _run(spark, kg_fixture, kg_tables, store=None, run_id="r1"):
+    fx = kg_fixture
+    own = spark.createDataFrame(
+        [(c, cui) for c, cs in fx.concept_cuis.items() for cui in cs],
+        "concept_iri string, cui string",
+    )
+    tgt = spark.createDataFrame(
+        [(t, c) for t, cs in fx.target_cuis.items() for c in cs],
+        "concept_iri string, cui string",
+    )
+    own_t = spark.createDataFrame(
+        [(c, t) for c, ts in fx.concept_tuis.items() for t in ts],
+        "concept_iri string, tui string",
+    )
+    return run_kg_pipeline(
+        spark,
+        kg_tables["pages"],
+        kg_tables["ontology_labels"],
+        kg_tables["mappings"],
+        kg_tables["umls_concepts"],
+        kg_tables["umls_semtypes"],
+        own_cuis=own,
+        own_tuis=own_t,
+        target_cuis=tgt,
+        store=store,
+        run_id=run_id,
+        disambiguate_cuis=False,  # oracle models the no -dc path
+    )
+
+
+def _triple_set(df):
+    return {(r["subj"], r["pred"], r["obj"]) for r in df.select("subj", "pred", "obj").collect()}
+
+
+def test_pipeline_triples_match_golden_exactly(spark, kg_fixture, kg_tables):
+    result = _run(spark, kg_fixture, kg_tables)
+    got = _triple_set(result.triples)
+    want = golden_triples(kg_fixture)
+    missing, extra = want - got, got - want
+    # north_rule gate is P/R>=0.95; we hold ourselves to exact equality
+    assert not missing and not extra, (
+        f"missing={list(missing)[:3]} extra={list(extra)[:3]} "
+        f"|got|={len(got)} |want|={len(want)}"
+    )
+
+
+def test_pipeline_metrics_lineage(spark, kg_fixture, kg_tables):
+    result = _run(spark, kg_fixture, kg_tables)
+    rows = result.metrics.collect()
+    stages = {r["stage"] for r in rows}
+    assert {"extracted", "mentions", "cascade", "triples"} <= stages
+    ext_total = sum(r["value"] for r in rows if r["stage"] == "extracted" and r["counter"] == "rows")
+    assert ext_total == len(kg_fixture.pages)
+    # per-partition lineage present (multiple part_ids for extracted)
+    parts = {r["part_id"] for r in rows if r["stage"] == "extracted"}
+    assert len(parts) >= 1 and all(p >= 0 for p in parts)
+
+
+def test_pipeline_resume_identical(spark, kg_fixture, kg_tables, tmp_path):
+    store = StageStore(spark, str(tmp_path), "runA")
+    first = _run(spark, kg_fixture, kg_tables, store=store, run_id="runA")
+    assert first.stages_resumed == []
+    t1 = _triple_set(first.triples)
+
+    # full resume: every stage reloaded from snapshot
+    second = _run(spark, kg_fixture, kg_tables, store=store, run_id="runA")
+    assert set(second.stages_resumed) == {
+        "extracted", "mentions", "cascade", "canonical", "triples",
+        "nodes", "edges", "metrics",
+    }
+    assert _triple_set(second.triples) == t1
+
+    # partial resume: kill after stage 2 (invalidate downstream), rerun
+    for stage in ("cascade", "canonical", "triples", "nodes", "edges", "metrics"):
+        store.invalidate(stage)
+    third = _run(spark, kg_fixture, kg_tables, store=store, run_id="runA")
+    assert set(third.stages_resumed) == {"extracted", "mentions"}
+    assert _triple_set(third.triples) == t1
+
+
+def test_pipeline_deterministic_two_runs(spark, kg_fixture, kg_tables):
+    a = _triple_set(_run(spark, kg_fixture, kg_tables).triples)
+    b = _triple_set(_run(spark, kg_fixture, kg_tables).triples)
+    assert a == b
