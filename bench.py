@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""Headline benchmark (driver contract): runs the flagship KG pipeline +
+representative operator queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], prints ONE JSON line.
+
+The KG pipeline input is the documents table deterministically wrapped
+as HTML pages and amplified ×AMPLIFY (cross-join with a copy index) so
+the map stages have real work at bench scale; AMPLIFY is fixed per sf
+for comparable numbers across rounds.
+
+Execution is forced with the noop sink (full computation, no driver
+collect). Per-query wall seconds + derived triples/sec are reported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+AMPLIFY = int(os.environ.get("SPARK_GRAFT_BENCH_AMPLIFY", "40"))
+
+HEADLINE = [
+    "mention_detect",
+    "pricing_summary",
+    "window_top1",
+    "fallback_cascade",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "embedding_neardup",
+    "cc_components",
+    "events_hourly",
+]
+
+
+def amplified_pages(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from sifr_project_java_ontology_processing_spark.plans.flagship import (
+        documents_as_pages,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = docs.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(AMPLIFY - 1))).alias("copy")
+    ).select(
+        (F.col("doc_id") * AMPLIFY + F.col("copy")).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return documents_as_pages(copies).repartition(cpus * 2)
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from sifr_project_java_ontology_processing_spark.plans.flagship import vocab_tables
+    from sifr_project_java_ontology_processing_spark.plans.kg_pipeline import (
+        run_kg_pipeline,
+    )
+    from sifr_project_java_ontology_processing_spark.plans.testdata_queries import (
+        queries as registry,
+    )
+    from sifr_project_java_ontology_processing_spark.session import get_spark
+
+    spark = get_spark(app_name="sifr-bench")
+    timings: dict[str, float] = {}
+
+    # --- flagship KG pipeline ------------------------------------------------
+    pages = amplified_pages(spark, sf_dir)
+    pages.cache().count()  # isolate pipeline cost from parquet scan + amplify
+    dims = vocab_tables(spark)
+    t0 = time.perf_counter()
+    result = run_kg_pipeline(
+        spark,
+        pages,
+        dims["ontology_labels"],
+        dims["mappings"],
+        dims["umls_concepts"],
+        dims["umls_semtypes"],
+        own_cuis=dims["own_cuis"],
+        disambiguate_cuis=False,
+    )
+    triples = result.triples.persist()
+    run_noop(triples)
+    kg_sec = time.perf_counter() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    n_triples = triples.count()  # served from cache — no recompute
+    n_pages = pages.count()
+    triples.unpersist()
+    pages.unpersist()
+
+    # --- operator queries ------------------------------------------------------
+    reg = registry()
+    for name in HEADLINE:
+        fn = reg[name]
+        t0 = time.perf_counter()
+        run_noop(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "kg_pages": n_pages,
+                "kg_triples": n_triples,
+                "triples_per_sec": round(n_triples / kg_sec, 1),
+                "pages_per_sec": round(n_pages / kg_sec, 1),
+                "amplify": AMPLIFY,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -88,11 +88,11 @@ def connected_components(
             if not reliable
             else after_small.checkpoint(eager=True)
         )
-        # fixpoint: edge sets identical (both directions of the diff)
-        changed = after_small.exceptAll(cur).limit(1)
-        shrunk = cur.exceptAll(after_small).limit(1)
-        cur = after_small
-        if changed.isEmpty() and shrunk.isEmpty():
+        # fixpoint: edge sets identical — ONE action for both diff
+        # directions (union of the two excepts, probed with limit(1))
+        diff = after_small.exceptAll(cur).union(cur.exceptAll(after_small)).limit(1)
+        prev, cur = cur, after_small
+        if diff.isEmpty():
             break
 
     # at fixpoint every edge is (member, root)

@@ -540,3 +540,224 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ===========================================================================
+# Training-data ops: dedup / similarity / fingerprints (operators/dedup.py,
+# operators/similarity.py, operators/textanalysis.py)
+# ===========================================================================
+
+# Shared DuckDB shingle CTE (word 5-grams, distinct per doc) — mirrors
+# operators.dedup.shingle_array semantics exactly.
+_SHINGLE_CTE = """
+    toks AS (SELECT doc_id, text, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+             FROM documents),
+    sh0 AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS shingle
+            FROM toks, UNNEST(range(1, greatest(len(ts) - 3, 1))) AS u(i)),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sifr_project_java_ontology_processing_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(i / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+    WHERE i / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sifr_project_java_ontology_processing_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLE_CTE},
+    seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+    mh AS (SELECT doc_id, seed,
+                  min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+           FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(CAST(seed // 2 AS VARCHAR) || '|' ||
+                         string_agg(mh, '|' ORDER BY seed)) AS bucket
+              FROM mh GROUP BY doc_id, seed // 2)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sifr_project_java_ontology_processing_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=5, k=8, bands=4)
+
+
+@register("dedup_simhash", None)  # xxhash64 not replayable in DuckDB → rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sifr_project_java_ontology_processing_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    return simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=16, prefix_bands=4
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT qa AS query_id, vb AS neighbor_id, cs AS cos_sim,
+             row_number() OVER (PARTITION BY qa ORDER BY cs DESC, vb ASC) AS rank
+      FROM (
+        SELECT a.vec_id AS qa, b.vec_id AS vb,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cs
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 8
+      ) s
+    ) t WHERE rank <= 5
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sifr_project_java_ontology_processing_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries_df, k=5)
+
+
+@register("ann_lsh_topk", None)  # hyperplane LSH not replayed in SQL → rows-only
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sifr_project_java_ontology_processing_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries_df, dim=64, k=5, n_planes=4)
+
+
+@register(
+    "embedding_neardup",
+    """
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) t WHERE cos_sim >= 0.3
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sifr_project_java_ontology_processing_spark.operators.similarity import (
+        neardup_pairs,
+    )
+
+    return neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    WITH {_SHINGLE_CTE},
+    fp AS (SELECT doc_id, min(md5(shingle)) AS f FROM sh GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(fp.f, md5(d.text)) AS fingerprint
+    FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sifr_project_java_ontology_processing_spark.operators.textanalysis import (
+        doc_fingerprint,
+    )
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_id",
+    """
+    WITH c AS (
+      SELECT doc_id,
+        len(list_filter(str_split(lower(text),' '), x -> x IN ('the','and','of','to','a'))) AS c_en,
+        len(list_filter(str_split(lower(text),' '), x -> x IN ('le','la','et','les','des'))) AS c_fr,
+        len(list_filter(str_split(lower(text),' '), x -> x IN ('der','und','die','das','ein'))) AS c_de,
+        len(list_filter(str_split(lower(text),' '), x -> x IN ('el','los','las','una','y'))) AS c_es
+      FROM documents)
+    SELECT doc_id,
+      CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+           WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+           WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+           WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+           ELSE 'fr' END AS pred_lang,
+      CAST(greatest(c_de, c_en, c_es, c_fr) AS BIGINT) AS marker_hits
+    FROM c
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sifr_project_java_ontology_processing_spark.operators.textanalysis import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "cc_components",
+    """
+    WITH RECURSIVE
+    edges AS (SELECT 'n:' || n_nationkey AS src, 'r:' || n_regionkey AS dst FROM nation),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(node, r) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, re.r FROM reach re JOIN sym s ON s.src = re.node
+    )
+    SELECT node AS iri, min(r) AS canonical_iri
+    FROM reach GROUP BY node HAVING node <> min(r)
+    """,
+)
+def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (large-star/small-star iterative self-joins)
+    on the nation–region bipartite graph; oracle = recursive-CTE
+    reachability min-label."""
+    from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    edges = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return connected_components(edges)

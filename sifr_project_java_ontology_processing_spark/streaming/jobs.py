@@ -1,0 +1,73 @@
+"""Streaming jobs: the map-only KG stages and windowed event aggs lifted
+to Structured Streaming.
+
+Scale notes: extraction and mention detection are stateless
+``mapInPandas`` — identical code objects as the batch path (imported,
+not reimplemented), so batch/stream parity is by construction. The
+windowed aggregation keeps bounded state via watermarking; output mode
+``update`` for dashboards, ``append`` for exactly-once sinks after the
+watermark closes windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sifr_project_java_ontology_processing_spark.operators.extraction import extract_pages
+from sifr_project_java_ontology_processing_spark.operators.mentions import detect_mentions
+
+
+def streaming_events_hourly(
+    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type with late-data bound.
+    ``events`` must be a streaming DataFrame with ``ts`` event time."""
+    # watermarks need TIMESTAMP (not NTZ); normalize once (UTC session TZ)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_mentions(
+    spark: SparkSession, pages_stream: DataFrame, ontology_labels: DataFrame
+) -> DataFrame:
+    """pages stream → extracted → mentions; stateless, so the batch
+    operators apply verbatim (the broadcast label trie is rebuilt per
+    micro-batch executor process exactly as in batch)."""
+    extracted = extract_pages(pages_stream)
+    return detect_mentions(spark, extracted, ontology_labels)
+
+
+def run_events_stream_demo(
+    spark: SparkSession, source_parquet: str, checkpoint_dir: str, out_dir: str
+):
+    """File-source streaming demo over the events table directory —
+    exercises a real StreamingQuery (used by tests with
+    ``availableNow`` so it terminates deterministically)."""
+    schema = spark.read.parquet(source_parquet).schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(source_parquet)
+    )
+    agg = streaming_events_hourly(stream)
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,160 @@
+"""Cleaner (W3/E3/E4/F2), multimodal plumbing, streaming jobs, RDF sink."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sifr_project_java_ontology_processing_spark.operators.cleaner import (
+    drop_alt_equal_pref,
+    keep_target_language,
+    promote_code_to_pref,
+    synthesize_pref_labels,
+)
+from sifr_project_java_ontology_processing_spark.operators.multimodal import (
+    decode_media,
+    fake_decoder,
+    frame_sample_plan,
+    resize_spec,
+    unimplemented_decoder,
+)
+from sifr_project_java_ontology_processing_spark.sources.rdf_sink import (
+    to_ntriples_lines,
+    write_ntriples,
+)
+
+
+def _labels(spark, rows):
+    return spark.createDataFrame(
+        rows, "concept_iri string, label string, label_kind string, lang string"
+    )
+
+
+def test_keep_target_language_w3(spark):
+    df = _labels(
+        spark,
+        [
+            ("c1", "heart", "pref", "en"),
+            ("c1", "coeur", "pref", "fr"),      # dropped: group has en
+            ("c1", "herz", "pref", ""),          # empty lang always kept
+            ("c1", "cardiac", "alt", "fr"),      # kept: alt group has no en
+            ("c2", "foie", "pref", "fr"),        # kept: no en anywhere
+        ],
+    )
+    got = {(r["concept_iri"], r["label"]) for r in keep_target_language(df, "en").collect()}
+    assert got == {("c1", "heart"), ("c1", "herz"), ("c1", "cardiac"), ("c2", "foie")}
+
+
+def test_drop_alt_equal_pref_e3(spark):
+    df = _labels(
+        spark,
+        [
+            ("c1", "Heart", "pref", "en"),
+            ("c1", " heart ", "alt", "en"),   # equal modulo case/trim → dropped
+            ("c1", "cardiac organ", "alt", "en"),
+        ],
+    )
+    got = {r["label"] for r in drop_alt_equal_pref(df).collect()}
+    assert got == {"Heart", "cardiac organ"}
+
+
+def test_synthesize_pref_from_hidden_camelcase(spark):
+    df = _labels(spark, [("c1", "chronicHeartFailure", "hidden", "")])
+    out = synthesize_pref_labels(df, lang="fr")
+    pref = out.where(F.col("label_kind") == "pref").collect()[0]
+    assert pref["label"] == "chronic heart failure" and pref["lang"] == "fr"
+
+
+def test_promote_code_to_pref_e4(spark):
+    df = _labels(spark, [("c1", "angine", "pref", "fr")])
+    codes = spark.createDataFrame([("c1", "J02.9")], "concept_iri string, code string")
+    got = {(r["label"], r["label_kind"]) for r in promote_code_to_pref(df, codes).collect()}
+    assert got == {("J02.9 - angine", "pref"), ("angine", "alt")}
+
+
+def test_multimodal_decode_plumbing(spark):
+    rows = [
+        (1, "u1", "image", bytearray(b"imagebytes"), None, None, None, None),
+        (2, "u2", "video", bytearray(b"videobytes"), None, None, None, None),
+        (3, "u3", "audio", None, None, None, None, None),
+    ]
+    from sifr_project_java_ontology_processing_spark import schemas
+
+    media = spark.createDataFrame(rows, schemas.MEDIA)
+    dec = decode_media(media, fake_decoder)
+    got = {r["media_id"]: r for r in dec.collect()}
+    assert got[1]["width"] is not None and got[1]["digest"] is not None
+    assert got[2]["duration_ms"] is not None
+    assert got[3]["digest"] is None and got[3]["n_bytes"] == 0
+    # determinism of the fake decoder
+    got2 = {r["media_id"]: r["digest"] for r in decode_media(media, fake_decoder).collect()}
+    assert {k: v["digest"] for k, v in got.items()} == got2
+
+    frames = frame_sample_plan(dec, every_ms=60000, max_frames=4)
+    by_id = {}
+    for r in frames.collect():
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert 2 in by_id and len(by_id[2]) <= 4 and by_id[2][0] == 0
+
+    spec = resize_spec(dec, max_side=256).collect()
+    for r in spec:
+        assert max(r["target_width"], r["target_height"]) <= 256
+
+
+def test_unimplemented_decoder_raises(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        unimplemented_decoder(b"x", "image")
+
+
+def test_ntriples_lines(spark):
+    triples = spark.createDataFrame(
+        [
+            ("s1", "p1", "o1", None, False, None),
+            ("s2", "p2", 'say "hi"\n', "en", True, None),
+            ("s3", "p3", "plain", None, True, None),
+        ],
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean, src_url string",
+    )
+    lines = {r["line"] for r in to_ntriples_lines(triples).collect()}
+    assert "<s1> <p1> <o1> ." in lines
+    assert '<s2> <p2> "say \\"hi\\"\\n"@en .' in lines
+    assert '<s3> <p3> "plain" .' in lines
+
+
+def test_write_ntriples_roundtrip(spark, tmp_path):
+    triples = spark.createDataFrame(
+        [("s", "p", "o", None, False, None)],
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean, src_url string",
+    )
+    out = str(tmp_path / "nt")
+    write_ntriples(triples, out, single_file=True)
+    data = spark.read.text(out).collect()
+    assert [r["value"] for r in data] == ["<s> <p> <o> ."]
+
+
+def test_streaming_events_hourly(spark, tmp_path):
+    from sifr_project_java_ontology_processing_spark.streaming.jobs import (
+        run_events_stream_demo,
+    )
+
+    src = str(tmp_path / "events_src")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(
+        2000
+    ).write.parquet(src)
+    q = run_events_stream_demo(
+        spark, src, str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() > 0
+    assert set(out.columns) == {
+        "window_start", "window_end", "event_type", "n_events", "total_value"
+    }
+    # batch twin agrees on totals — modulo the final window(s), which
+    # append mode correctly withholds until the watermark closes them
+    batch_total = spark.read.parquet(src).count()
+    emitted = out.agg(F.sum("n_events")).collect()[0][0]
+    assert 0.9 * batch_total <= emitted <= batch_total

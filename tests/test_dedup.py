@@ -1,0 +1,74 @@
+"""Dedup operators vs independent Python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+
+from sifr_project_java_ontology_processing_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+
+DOCS = [
+    (0, "a b c d e f g h"),
+    (1, "a b c d e f g h"),                  # exact dup of 0
+    (2, "a b c d e f g x"),                  # near dup of 0
+    (3, "p q r s t u v w"),                  # unrelated
+    (4, "p q r s t u v w y z"),              # near dup of 3
+    (5, "one two"),                          # too short for 5-shingles
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text: str, n=5) -> set[str]:
+    toks = [t for t in text.split(" ") if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup(spark):
+    got = {r["text_hash"]: (r["n_docs"], r["keeper"]) for r in exact_dedup(_docs_df(spark)).collect()}
+    h = hashlib.md5(b"a b c d e f g h").hexdigest()
+    assert got[h] == (2, 0)
+    assert sum(n for n, _ in got.values()) == len(DOCS)
+
+
+def test_ngram_jaccard_vs_python(spark):
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(_docs_df(spark), threshold=0.01).collect()}
+    want = {}
+    for i, (ida, ta) in enumerate(DOCS):
+        for idb, tb in DOCS[i + 1 :]:
+            sa, sb = _py_shingles(ta), _py_shingles(tb)
+            inter = len(sa & sb)
+            if sa and sb and inter:
+                j = inter / len(sa | sb)
+                if j >= 0.01:
+                    want[(ida, idb)] = round(j, 6)
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+
+
+def test_minhash_identical_signatures_for_dups(spark):
+    sigs = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(_docs_df(spark)).collect()}
+    assert sigs[0] == sigs[1]          # identical docs → identical sigs
+    assert sigs[0] != sigs[3]
+    assert 5 not in sigs               # short doc: no shingles → no signature
+    assert all(len(s) == 8 for s in sigs.values())
+
+
+def test_minhash_lsh_finds_dups(spark):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(_docs_df(spark)).collect()}
+    assert (0, 1) in pairs             # exact dups always collide
+    assert (0, 3) not in pairs         # unrelated docs shouldn't
+
+
+def test_simhash_neardup(spark):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_neardup_pairs(_docs_df(spark), max_hamming=20).collect()}
+    assert pairs.get((0, 1)) == 0      # identical → hamming 0
+    near = pairs.get((0, 2))
+    assert near is not None and near <= 20

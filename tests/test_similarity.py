@@ -1,0 +1,66 @@
+"""Similarity search vs numpy oracle; LSH recall sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sifr_project_java_ontology_processing_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    neardup_pairs,
+)
+
+
+def _emb_df(spark, n=40, dim=16, seed=5):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype(np.float32)
+    vecs[1] = vecs[0] + rng.randn(dim).astype(np.float32) * 0.01  # near-dup pair
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs.astype(np.float64),
+    )
+
+
+def _np_topk(vecs, q_ids, k):
+    out = {}
+    norms = np.linalg.norm(vecs, axis=1)
+    for q in q_ids:
+        sims = (vecs @ vecs[q]) / (norms * norms[q])
+        cand = [(round(float(sims[j]), 6), j) for j in range(len(vecs)) if j != q]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        out[q] = [(j, s) for s, j in cand[:k]]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, vecs = _emb_df(spark)
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in brute_force_topk(df, queries, k=3).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cos_sim"]))
+    want = _np_topk(vecs, range(4), 3)
+    for q in range(4):
+        got_sorted = [ (n, s) for _rk, n, s in sorted(got[q]) ]
+        assert got_sorted == want[q], (q, got_sorted, want[q])
+
+
+def test_lsh_topk_valid_and_finds_neardup(spark):
+    df, vecs = _emb_df(spark)
+    queries = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = lsh_topk(df, queries, dim=16, k=3, n_planes=3).collect()
+    assert rows, "lsh bucket empty — lower n_planes"
+    # the near-identical vector lands in the same bucket and ranks first
+    top = min(rows, key=lambda r: r["rank"])
+    assert top["neighbor_id"] == 1 and top["cos_sim"] > 0.99
+
+
+def test_neardup_pairs(spark):
+    df, vecs = _emb_df(spark)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in neardup_pairs(df, threshold=0.95).collect()}
+    assert pairs == {(0, 1)}
