@@ -1,0 +1,174 @@
+"""spark-submit entry points (north_rule: launched with
+``spark-submit --py-files``).
+
+Mirrors the reference's command lines:
+  * ``enrich`` ≙ OntologyCUIProcessor.main args ``[-dc] [-mc] [-cpl]
+    [-l lang] source target`` (configuration/CUIProcessorCommandlineHandler.java:110-147)
+  * ``skosgen`` ≙ EHealth2017DictionaryToSkos.main args ``[-d] [-mfc]
+    [-a] [-l lang] dictionary.csv [corpus.csv]``
+    (configuration/SKOSGeneratorCommandlineHandler.java:104-159)
+  * ``kg`` — the target pipeline over a pages table (no reference
+    equivalent; it is the north_star job)
+
+Usage (cluster):
+  spark-submit --py-files sifr_spark.zip -m sifr_project_java_ontology_processing_spark.cli kg --pages ... --out ...
+Local: python -m sifr_project_java_ontology_processing_spark.cli <cmd> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark(app: str) -> SparkSession:
+    from sifr_project_java_ontology_processing_spark.session import get_spark
+
+    return get_spark(app_name=app)
+
+
+def cmd_enrich(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from sifr_project_java_ontology_processing_spark.operators.cascade import (
+        cui_cascade,
+        reject_sink,
+        stage_counters,
+        tui_cascade,
+    )
+    from sifr_project_java_ontology_processing_spark.operators.cleaner import (
+        promote_code_to_pref,
+    )
+    from sifr_project_java_ontology_processing_spark.operators.scoring import (
+        concept_descriptions,
+        disambiguate,
+    )
+    from sifr_project_java_ontology_processing_spark.sources.rdf_sink import (
+        write_reject_file,
+    )
+
+    spark = _spark("sifr-enrich")
+    labels = spark.read.parquet(args.labels)
+    mappings = spark.read.parquet(args.mappings)
+    umls_concepts = spark.read.parquet(args.umls_concepts)
+    umls_semtypes = spark.read.parquet(args.umls_semtypes)
+    classes = labels.select("concept_iri").distinct()
+
+    out = cui_cascade(classes, labels, mappings, umls_concepts, lat=args.lat)
+    out = tui_cascade(out, mappings, umls_semtypes)
+    if args.disambiguate or args.match:
+        out = disambiguate(out, concept_descriptions(labels), umls_concepts, lat=args.lat)
+    out.write.mode("overwrite").parquet(f"{args.out}/cascade")
+    stage_counters(out).write.mode("overwrite").parquet(f"{args.out}/counters")
+    write_reject_file(reject_sink(out), f"{args.out}/concepts_without_cui")
+    if args.code_pref_label:
+        promoted = promote_code_to_pref(
+            labels, out.select("concept_iri", "code").where(F.col("code").isNotNull())
+        )
+        promoted.write.mode("overwrite").parquet(f"{args.out}/labels_with_code_pref")
+    print(f"enrichment written to {args.out}")
+    return 0
+
+
+def cmd_skosgen(args: argparse.Namespace) -> int:
+    from sifr_project_java_ontology_processing_spark.operators.skosgen import generate_skos
+    from sifr_project_java_ontology_processing_spark.sources.csv_sources import (
+        read_chapters,
+        read_corpus,
+        read_dictionary,
+    )
+    from sifr_project_java_ontology_processing_spark.sources.rdf_sink import write_ntriples
+
+    spark = _spark("sifr-skosgen")
+    mode = "most_frequent" if args.mfc else ("adapted" if args.adapted else "default")
+    dictionary = read_dictionary(spark, args.dictionary)
+    corpus = read_corpus(spark, args.corpus) if args.corpus else None
+    chapters = read_chapters(spark, args.chapters) if args.chapters else None
+    triples = generate_skos(dictionary, corpus, chapters, mode=mode, lang=args.lang)
+    triples.write.mode("overwrite").parquet(f"{args.out}/triples")
+    write_ntriples(triples, f"{args.out}/ntriples", single_file=args.single_file)
+    print(f"skos model written to {args.out}")
+    return 0
+
+
+def cmd_kg(args: argparse.Namespace) -> int:
+    from sifr_project_java_ontology_processing_spark.plans.kg_pipeline import (
+        run_kg_pipeline,
+    )
+    from sifr_project_java_ontology_processing_spark.sources.stage_store import StageStore
+
+    spark = _spark("sifr-kg")
+    pages = spark.read.parquet(args.pages)
+    labels = spark.read.parquet(args.labels)
+    mappings = spark.read.parquet(args.mappings)
+    umls_concepts = spark.read.parquet(args.umls_concepts)
+    umls_semtypes = spark.read.parquet(args.umls_semtypes)
+    store = StageStore(spark, args.checkpoint_dir, args.run_id) if args.checkpoint_dir else None
+    result = run_kg_pipeline(
+        spark, pages, labels, mappings, umls_concepts, umls_semtypes,
+        store=store, run_id=args.run_id,
+        disambiguate_cuis=args.disambiguate,
+    )
+    result.triples.write.mode("overwrite").parquet(f"{args.out}/triples")
+    result.nodes.write.mode("overwrite").parquet(f"{args.out}/nodes")
+    result.edges.write.mode("overwrite").parquet(f"{args.out}/edges")
+    result.metrics.write.mode("overwrite").parquet(f"{args.out}/metrics")
+    if store is not None and result.stages_resumed:
+        print(f"resumed stages: {result.stages_resumed}")
+    print(f"graph written to {args.out}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sifr-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("enrich", help="CUI/TUI enrichment cascade")
+    e.add_argument("--labels", required=True)
+    e.add_argument("--mappings", required=True)
+    e.add_argument("--umls-concepts", dest="umls_concepts", required=True)
+    e.add_argument("--umls-semtypes", dest="umls_semtypes", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("-dc", "--disambiguate", action="store_true",
+                   help="disambiguate multi-CUI classes (reference -dc)")
+    e.add_argument("-mc", "--match", action="store_true",
+                   help="UMLS fallback matching (reference -mc)")
+    e.add_argument("-cpl", "--code-pref-label", action="store_true",
+                   help="prepend code to prefLabel (reference -cpl)")
+    e.add_argument("-l", "--lat", default=None, help="UMLS language (e.g. FRE)")
+    e.set_defaults(fn=cmd_enrich)
+
+    s = sub.add_parser("skosgen", help="dictionary/corpus → SKOS")
+    s.add_argument("--dictionary", required=True)
+    s.add_argument("--corpus")
+    s.add_argument("--chapters")
+    s.add_argument("--out", required=True)
+    s.add_argument("-mfc", action="store_true", help="most-frequent-code mode")
+    s.add_argument("-a", dest="adapted", action="store_true", help="adapted mode")
+    s.add_argument("-l", "--lang", default="fr")
+    s.add_argument("--single-file", action="store_true")
+    s.set_defaults(fn=cmd_skosgen)
+
+    k = sub.add_parser("kg", help="full KG-construction pipeline")
+    k.add_argument("--pages", required=True)
+    k.add_argument("--labels", required=True)
+    k.add_argument("--mappings", required=True)
+    k.add_argument("--umls-concepts", dest="umls_concepts", required=True)
+    k.add_argument("--umls-semtypes", dest="umls_semtypes", required=True)
+    k.add_argument("--out", required=True)
+    k.add_argument("--checkpoint-dir", default=None)
+    k.add_argument("--run-id", default="run0")
+    k.add_argument("-dc", "--disambiguate", action="store_true")
+    k.set_defaults(fn=cmd_kg)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -67,30 +67,63 @@ def _agg_set(df: DataFrame, key: str, value: str, out: str) -> DataFrame:
     )
 
 
-def find_codes(classes: DataFrame, ontology_labels: DataFrame) -> DataFrame:
-    """Composite code finder (reference code/CompositeCodeFinder.java:24-40):
-    first non-null of skos:notation → URI fragment before ``_``
-    (code/URICodeFinder.java:16-28). "First of a TreeSet" = min (O3).
+# Code-property priority chain (reference code/CompositeCodeFinder.java:24-40):
+# skos:notation → icd:cdCode → icpc2p:ICPCCODE, then URI-fragment fallback.
+CODE_PREDICATES = [
+    "http://www.w3.org/2004/02/skos/core#notation",          # SKOSNotationCodeFinder.java:23
+    "http://chu-rouen.fr/cismef/ICD-10#cdCode",              # ICDCodeFinder.java
+    "http://purl.lirmm.fr/ontology/ICPC2P#ICPCCODE",         # ICPC2PCodeFinder.java
+]
 
+
+def find_codes(
+    classes: DataFrame,
+    ontology_labels: DataFrame,
+    code_triples: DataFrame | None = None,
+) -> DataFrame:
+    """Composite code finder (reference code/CompositeCodeFinder.java:24-40):
+    first non-null across the prioritized code-property chain
+    (CODE_PREDICATES, each "first of a TreeSet" = min, O3), then the URI
+    fragment before ``_`` (code/URICodeFinder.java:16-28).
+
+    ``ontology_labels`` rows with label_kind='notation' are the
+    skos:notation source; ``code_triples`` (concept_iri, pred, code)
+    optionally supplies the icd/icpc2p property assertions.
     Returns (concept_iri, code) with code possibly null.
     """
+    out = classes
+    stage_cols: list[str] = []
+
     notations = _agg_set(
         ontology_labels.where(F.col("label_kind") == "notation"),
         "concept_iri",
         "label",
-        "notation_codes",
-    ).select("concept_iri", F.col("notation_codes").getItem(0).alias("notation_code"))
+        "_codes0",
+    ).select("concept_iri", F.col("_codes0").getItem(0).alias("_code0"))
+    out = out.join(F.broadcast(notations), "concept_iri", "left")
+    stage_cols.append("_code0")
+
+    if code_triples is not None:
+        for i, pred in enumerate(CODE_PREDICATES[1:], start=1):
+            dim = _agg_set(
+                code_triples.where(F.col("pred") == pred).select(
+                    "concept_iri", F.col("code").alias("c")
+                ),
+                "concept_iri",
+                "c",
+                f"_codes{i}",
+            ).select(
+                "concept_iri", F.col(f"_codes{i}").getItem(0).alias(f"_code{i}")
+            )
+            out = out.join(F.broadcast(dim), "concept_iri", "left")
+            stage_cols.append(f"_code{i}")
+
     frag = uri_fragment_code(F.col("concept_iri"))
-    return (
-        classes.join(F.broadcast(notations), "concept_iri", "left")
-        .withColumn(
-            "code",
-            F.coalesce(
-                F.col("notation_code"), F.when(frag != "", frag)
-            ),
-        )
-        .drop("notation_code")
+    out = out.withColumn(
+        "code",
+        F.coalesce(*[F.col(c) for c in stage_cols], F.when(frag != "", frag)),
     )
+    return out.drop(*stage_cols)
 
 
 def cui_cascade(

