@@ -67,10 +67,21 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     reliable: bool = False,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """edges(src, dst) → (iri, canonical_iri): every node mapped to the
     lexicographic min of its component (singletons excluded — callers
     union isolated nodes mapping to themselves if needed).
+
+    Hybrid strategy (same "broadcast the small side" rule as joins):
+    equivalence-edge graphs are usually *dimension*-sized (ontology
+    mappings), so when the deduplicated edge count fits under
+    ``driver_threshold`` the components are solved with a driver-side
+    union-find in one pass (one collect of a dimension table — the same
+    cost class as building a broadcast join side) instead of O(log n)
+    distributed rounds each costing a checkpoint + fixpoint probe. The
+    distributed large-star/small-star path below remains the scale
+    route for fact-sized graphs; set ``driver_threshold=0`` to force it.
     """
     cur = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -79,6 +90,31 @@ def connected_components(
         .distinct()
     )
     cur = cur.localCheckpoint(eager=True) if not reliable else cur.checkpoint(eager=True)
+
+    n_edges = cur.count()
+    if n_edges == 0:
+        return cur.select(F.col("u").alias("iri"), F.col("v").alias("canonical_iri"))
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in cur.toLocalIterator():
+            ra, rb = find(row["u"]), find(row["v"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in parent]
+        rows = [(n, r) for n, r in rows if n != r]
+        return edges.sparkSession.createDataFrame(
+            rows, "iri string, canonical_iri string"
+        )
 
     for _ in range(max_iter):
         after_large = _star_round(cur, large=True)

@@ -33,14 +33,16 @@ def _uf_oracle(edges: list[tuple[str, str]]) -> dict[str, str]:
 
 def _check(spark, edges):
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {
-        r["iri"]: r["canonical_iri"]
-        for r in connected_components(df).collect()
-    }
     want = _uf_oracle(edges)
-    # engine omits the root→itself row; normalize
     want_nonroot = {k: v for k, v in want.items() if k != v}
-    assert got == want_nonroot, (got, want_nonroot)
+    # both physical strategies must agree with the oracle:
+    # driver union-find (small-graph fast path) and distributed stars
+    for threshold in (200_000, 0):
+        got = {
+            r["iri"]: r["canonical_iri"]
+            for r in connected_components(df, driver_threshold=threshold).collect()
+        }
+        assert got == want_nonroot, (threshold, got, want_nonroot)
 
 
 def test_cc_chain_cycle_singleton(spark):
