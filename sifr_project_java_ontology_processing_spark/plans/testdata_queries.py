@@ -761,3 +761,44 @@ def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("dst"),
     )
     return connected_components(edges)
+
+
+@register(
+    "salted_hot_counts",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def q_salted_hot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (north_rule skew handling): the
+    5 hot event_type keys would each land on one reducer in a naive
+    plan; salted_count spreads each across 16 buckets first. The oracle
+    is the plain GROUP BY — results must be identical."""
+    from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
+        salted_count,
+    )
+
+    return salted_count(_t(spark, sf_dir, "events"), ["event_type"], salt_buckets=16)
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH {_SHINGLE_CTE},
+    seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+    mh AS (SELECT doc_id, seed,
+                  min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+           FROM sh CROSS JOIN seeds GROUP BY doc_id, seed)
+    SELECT doc_id, string_agg(mh, '|' ORDER BY seed) AS sig
+    FROM mh GROUP BY doc_id
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature (portable md5 family), serialized
+    for engine-agnostic comparison."""
+    from sifr_project_java_ontology_processing_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), n=5, k=8)
+    return sigs.select("doc_id", F.concat_ws("|", F.col("sig")).alias("sig"))
