@@ -84,7 +84,7 @@ def q_mention_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.size(
             F.filter(F.split(F.col("text"), " "), lambda x: x == F.col("label"))
-        ).alias("n_mentions"),
+        ).cast("bigint").alias("n_mentions"),  # bigint: DuckDB len() type
     )
     return hits.where(F.col("n_mentions") > 0)
 
@@ -656,7 +656,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return brute_force_topk(emb, queries_df, k=5)
+    out = brute_force_topk(emb, queries_df, k=5)
+    # bigint rank: DuckDB row_number() type
+    return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
 
 
 @register("ann_lsh_topk", None)  # hyperplane LSH not replayed in SQL → rows-only
@@ -667,7 +669,8 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries_df, dim=64, k=5, n_planes=4)
+    out = lsh_topk(emb, queries_df, dim=64, k=5, n_planes=4)
+    return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
 
 
 @register(
