@@ -111,9 +111,15 @@ def cmd_kg(args: argparse.Namespace) -> int:
         store=store, run_id=args.run_id,
         disambiguate_cuis=args.disambiguate,
     )
-    result.triples.write.mode("overwrite").parquet(f"{args.out}/triples")
-    result.nodes.write.mode("overwrite").parquet(f"{args.out}/nodes")
-    result.edges.write.mode("overwrite").parquet(f"{args.out}/edges")
+    from sifr_project_java_ontology_processing_spark.sources.graph_sink import (
+        write_edges,
+        write_nodes,
+        write_triples,
+    )
+
+    write_triples(result.triples, f"{args.out}/triples")
+    write_nodes(result.nodes, f"{args.out}/nodes")
+    write_edges(result.edges, f"{args.out}/edges")
     result.metrics.write.mode("overwrite").parquet(f"{args.out}/metrics")
     if store is not None and result.stages_resumed:
         print(f"resumed stages: {result.stages_resumed}")

@@ -13,11 +13,13 @@ trust directories where the marker exists, so a killed mid-write stage
 is re-run, not half-read). Writes go through Spark's own job commit
 protocol (task temp → rename), so a marker is only laid down after a
 fully committed write.
+
+Filesystem access goes through the Hadoop FileSystem API, so the store
+works unchanged on file://, hdfs://, s3a://, etc. — not just the local
+disk this sandbox uses.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -37,14 +39,23 @@ class StageStore:
 
     def __init__(self, spark: SparkSession, root: str, run_id: str) -> None:
         self.spark = spark
-        self.root = root
+        self.root = root.rstrip("/")
         self.run_id = run_id
+        jvm = spark._jvm
+        self._jpath = jvm.org.apache.hadoop.fs.Path
+        root_path = self._jpath(self.root)
+        self._fs = root_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
 
     def _path(self, stage: str) -> str:
-        return os.path.join(self.root, self.run_id, stage)
+        return f"{self.root}/{self.run_id}/{stage}"
+
+    def _marker(self, stage: str):
+        return self._jpath(f"{self._path(stage)}/{_MARKER}")
 
     def exists(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self._path(stage), _MARKER))
+        return bool(self._fs.exists(self._marker(stage)))
 
     def materialize(
         self,
@@ -63,12 +74,14 @@ class StageStore:
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(path)
-            # commit marker AFTER the job's own _SUCCESS commit
-            with open(os.path.join(path, _MARKER), "w") as f:
-                f.write(self.run_id)
+            # commit marker AFTER the job's own _SUCCESS commit —
+            # created atomically via the filesystem's create()
+            out = self._fs.create(self._marker(stage), True)
+            out.write(bytearray(self.run_id.encode("utf-8")))
+            out.close()
         return self.spark.read.parquet(path)
 
     def invalidate(self, stage: str) -> None:
-        marker = os.path.join(self._path(stage), _MARKER)
-        if os.path.exists(marker):
-            os.remove(marker)
+        marker = self._marker(stage)
+        if self._fs.exists(marker):
+            self._fs.delete(marker, False)

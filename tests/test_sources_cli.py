@@ -100,3 +100,55 @@ def test_cli_skosgen_end_to_end(spark, tmp_path):
     assert triples.count() > 0
     nt = spark.read.text(str(out / "ntriples"))
     assert nt.where(F.col("value").contains("J02.9")).count() > 0
+
+
+def test_tui_cascade_bug_compat_flag(spark):
+    """J7 asymmetry: reference looks up mapping SOURCE classes in the
+    target delegate (OntologyCUIProcessor.java:280) where the CUI path
+    uses targets (:201). compat=True reproduces it; compat=False fixes it."""
+    from sifr_project_java_ontology_processing_spark.operators.cascade import tui_cascade
+
+    cascade_out = spark.createDataFrame(
+        [("c:src", "X", [], "remaining_without_cui")],
+        "concept_iri string, code string, cuis array<string>, cui_stage string",
+    )
+    mappings = spark.createDataFrame(
+        [("c:src", "http://www.w3.org/2004/02/skos/core#exactMatch", "c:tgt")],
+        "source_iri string, property string, target_iri string",
+    )
+    sem = spark.createDataFrame([], "cui string, tui string")
+    target_tuis = spark.createDataFrame(
+        [("c:tgt", "T100")], "concept_iri string, tui string"
+    )
+    compat = tui_cascade(cascade_out, mappings, sem, target_tuis=target_tuis,
+                         reference_bug_compat=True).collect()[0]
+    fixed = tui_cascade(cascade_out, mappings, sem, target_tuis=target_tuis,
+                        reference_bug_compat=False).collect()[0]
+    # compat: looks up SOURCE iri in target dim -> misses -> no TUI
+    assert list(compat["tuis"]) == [] and compat["tui_stage"] == "remaining_without_tui"
+    # fixed: looks up TARGET iri -> finds T100
+    assert list(fixed["tuis"]) == ["T100"] and fixed["tui_stage"] == "tui_in_mappings"
+
+
+def test_partitioned_graph_sink(spark, tmp_path):
+    from sifr_project_java_ontology_processing_spark.sources.graph_sink import (
+        write_triples,
+    )
+    import os
+
+    triples = spark.createDataFrame(
+        [
+            ("u1", "http://purl.lirmm.fr/ontology/SIFR/mention", "c1", None, False, "u1"),
+            ("c1", "http://bioportal.bioontology.org/ontologies/umls/cui", "C1", None, True, None),
+        ],
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean, src_url string",
+    )
+    out = str(tmp_path / "t")
+    write_triples(triples, out)
+    parts = {d for d in os.listdir(out) if d.startswith("pred_kind=")}
+    assert parts == {"pred_kind=mention", "pred_kind=cui"}
+    # partition pruning: reading one kind scans only its files
+    back = spark.read.parquet(out).where("pred_kind = 'mention'")
+    assert back.count() == 1
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(pred_kind" in plan, plan
