@@ -1,0 +1,73 @@
+"""Stateful streaming sessionization vs its batch twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sifr_project_java_ontology_processing_spark.streaming.sessionize import (
+    sessionize_batch,
+    sessionize_stream,
+)
+
+
+def test_batch_sessionizer_semantics(spark):
+    rows = [
+        (1, "2026-01-01 10:00:00", 1.0),
+        (1, "2026-01-01 10:10:00", 2.0),   # same session (gap 10m < 30m)
+        (1, "2026-01-01 11:00:00", 3.0),   # new session (gap 50m)
+        (2, "2026-01-01 09:00:00", 5.0),   # single-event session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"], r["total_value"])
+        for r in sessionize_batch(df, gap_seconds=1800).collect()
+    }
+    assert got == {
+        (1, "2026-01-01 10:00:00", 2, 3.0),
+        (1, "2026-01-01 11:00:00", 1, 3.0),
+        (2, "2026-01-01 09:00:00", 1, 5.0),
+    }
+
+
+def test_stream_sessions_match_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where(F.col("user_id") < 20)
+        .select("user_id", "ts", "value")
+    )
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_seconds=600, watermark="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got, "stream emitted no sessions"
+
+    batch = sessionize_batch(
+        spark.read.parquet(src).withColumn("ts", F.col("ts").cast("timestamp")),
+        gap_seconds=600,
+    )
+    want = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in batch.collect()
+    }
+    # every emitted streaming session must be a real (batch) session;
+    # sessions still open at end-of-stream are withheld by the watermark
+    assert got <= want, got - want
+    assert len(got) >= 0.5 * len(want), (len(got), len(want))
