@@ -232,3 +232,38 @@ def simhash_neardup_pairs(
     return pairs.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def simhash_md5(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """Portable SimHash variant: token bits derive from md5 hex digits
+    instead of xxhash64, so any engine (the DuckDB oracle included) can
+    replay the signature bit-for-bit. 60 bits (15 hex chars) keeps the
+    accumulated value clear of signed-bigint overflow in every dialect.
+    The xxhash64 variant (``simhash64``) stays the production fast path.
+    → (id, simhash bigint)."""
+    tok = docs.select(
+        id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    ).withColumn("hx", F.md5("tok"))
+    bit_rows = tok.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        "hx",
+    ).withColumn(
+        "bit",
+        F.expr(
+            "shiftright(instr('0123456789abcdef', substring(hx, CAST(b / 4 AS INT) + 1, 1)) - 1, "
+            "b % 4) & 1"
+        ),
+    )
+    votes = bit_rows.groupBy(id_col, "b").agg(
+        F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1)).alias("v")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        ).alias("simhash")
+    )

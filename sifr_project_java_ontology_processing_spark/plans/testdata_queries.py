@@ -805,3 +805,32 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = minhash_signatures(_t(spark, sf_dir, "documents"), n=5, k=8)
     return sigs.select("doc_id", F.concat_ws("|", F.col("sig")).alias("sig"))
+
+
+@register(
+    "dedup_simhash_md5",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_filter(str_split(text, ' '), x -> x <> ''))) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+    bits AS (
+      SELECT doc_id, b,
+             ((strpos('0123456789abcdef', substr(hx, b // 4 + 1, 1)) - 1) >> (b % 4)) & 1 AS bit
+      FROM h, UNNEST(range(0, 60)) AS t(b)
+    ),
+    votes AS (SELECT doc_id, b, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+              FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-replayable SimHash signature (md5-derived bits); the
+    xxhash64 near-dup pair variant remains as dedup_simhash."""
+    from sifr_project_java_ontology_processing_spark.operators.dedup import simhash_md5
+
+    return simhash_md5(_t(spark, sf_dir, "documents"))
