@@ -53,14 +53,18 @@ def parse_lang_literal(lit: Column) -> tuple[Column, Column]:
     return value, lang
 
 
-def uppercase_ratio(label: Column) -> Column:
-    """F3 — fraction of uppercase chars (EHealth2017DictionaryToSkos.java:411-416).
+# Character.isUpperCase for the Latin-1 range the reference's labels use:
+# A-Z plus accented uppercase À-Ö and Ø-Þ (skipping × U+00D7).
+_UPPER_CLASS = r"[^A-ZÀ-ÖØ-Þ]"
 
-    The reference counts chars equal to their uppercased self — i.e.
-    everything except lowercase letters — over total length.
+
+def uppercase_ratio(label: Column) -> Column:
+    """F3 — fraction of uppercase LETTERS over total length
+    (EHealth2017DictionaryToSkos.java:405-416: ``Character.isUpperCase``
+    count / length). Digits, punctuation and spaces are NOT uppercase —
+    'vitamin B12' scores 1/11, not 5/11.
     """
-    non_upper = F.length(F.regexp_replace(label, r"[^a-z]", ""))
-    return (F.length(label) - non_upper) / F.length(label)
+    return F.length(F.regexp_replace(label, _UPPER_CLASS, "")) / F.length(label)
 
 
 def norm_eq(a: Column, b: Column) -> Column:

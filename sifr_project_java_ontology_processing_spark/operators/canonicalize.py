@@ -112,9 +112,17 @@ def connected_components(
                 parent[max(ra, rb)] = min(ra, rb)
         rows = [(n, find(n)) for n in parent]
         rows = [(n, r) for n, r in rows if n != r]
-        return edges.sparkSession.createDataFrame(
-            rows, "iri string, canonical_iri string"
+        # preserve the caller's node type (string IRIs or numeric doc ids)
+        from pyspark.sql.types import StructField, StructType
+
+        node_type = cur.schema["u"].dataType
+        schema = StructType(
+            [
+                StructField("iri", node_type),
+                StructField("canonical_iri", node_type),
+            ]
         )
+        return edges.sparkSession.createDataFrame(rows, schema)
 
     for _ in range(max_iter):
         after_large = _star_round(cur, large=True)

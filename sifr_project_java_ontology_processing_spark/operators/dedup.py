@@ -9,32 +9,35 @@ KG pipeline sees it.
 Design for scale:
   * exact dedup — one hash-shuffle groupBy; the canonical keeper is
     min(id) (deterministic, O3).
-  * MinHash+LSH — the scale path for near-dup: per-doc signatures are
-    map-side (explode shingles → groupBy doc — shuffle bounded by
-    #shingles); candidate pairs come from BAND-BUCKET equality joins
+  * MinHash / SimHash signatures — computed ENTIRELY map-side with
+    nested higher-order array expressions (transform/aggregate over the
+    per-doc token/shingle array): zero shuffle, exactly one output row
+    per document. Earlier designs exploded (token × 64 bit) rows into a
+    groupBy — a 64× shuffle amplification this rewrite removes.
+  * MinHash+LSH — candidate pairs come from BAND-BUCKET equality joins
     (shuffle keyed on (band, bucket)), never an all-pairs product.
     Hashes are md5-based so the DuckDB oracle can replay them exactly.
-  * n-gram Jaccard — exact verification on candidate pairs (or, at
-    test scale, all pairs sharing ≥1 shingle). The shingle self-join is
-    quadratic per hot shingle: at scale, stop-shingle removal (drop
-    shingles with doc-frequency above a cap) bounds it — exposed via
-    ``max_shingle_df``.
-  * SimHash — 64-bit bit-vote signature via xxhash64 (JVM-side);
-    near-dups = signatures within Hamming distance k over banded
-    prefix buckets.
+  * n-gram Jaccard — the shingle self-join is quadratic per hot
+    shingle; ``max_shingle_df`` (DEFAULT 1000, not opt-in) drops
+    boilerplate stop-shingles first. The canonical scale path is
+    ``jaccard_verify`` over ``minhash_lsh_pairs`` candidates — no
+    shingle×shingle self-join at all.
+  * SimHash near-dups — banded prefix buckets; pigeonhole is only
+    exact when bands ≥ hamming+1 (b bands, ≤h differing bits, h < b ⇒
+    some band untouched), which the API now enforces.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def tokens(text_col) -> F.Column:
+def tokens(text_col) -> Column:
     return F.filter(F.split(text_col, " "), lambda x: x != "")
 
 
-def shingle_array(text_col, n: int = 5) -> F.Column:
+def shingle_array(text_col, n: int = 5) -> Column:
     """Distinct word n-gram shingles; docs with < n tokens yield none.
     Pure Catalyst expressions (sequence/transform/slice) — no UDF."""
     toks = tokens(text_col)
@@ -66,26 +69,36 @@ def exact_dedup(
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 5,
-    threshold: float = 0.2,
-    max_shingle_df: int | None = None,
+def _jaccard_filtered_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int, max_shingle_df: int | None
 ) -> DataFrame:
-    """Exact n-gram Jaccard over pairs sharing ≥1 shingle.
-
-    → (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded(6).
-    ``max_shingle_df`` drops stop-shingles (doc frequency > cap) before
-    the self-join — the knob that keeps the join subquadratic at scale.
-    """
     sh = doc_shingles(docs, id_col, text_col, n)
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(
             F.col("df") > max_shingle_df
         )
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing ≥1 shingle.
+
+    → (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded(6).
+    ``max_shingle_df`` drops stop-shingles (doc frequency > cap) before
+    the self-join — the knob that keeps the join subquadratic; it
+    DEFAULTS to 1000 because one boilerplate shingle shared by 1M docs
+    is 10¹² join rows. For corpora where even capped self-join is too
+    hot, use ``jaccard_verify(docs, minhash_lsh_pairs(docs))`` instead.
+    """
+    sh = _jaccard_filtered_shingles(docs, id_col, text_col, n, max_shingle_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -106,6 +119,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_verify(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard restricted to ``candidates(doc_a, doc_b)`` — the
+    LSH→verify composition (signatures → banded buckets → exact check)
+    that replaces the shingle self-join entirely. Shuffle is bounded by
+    |candidates| + |docs|, never by shingle document frequency.
+
+    → (doc_a, doc_b, jaccard) for candidate pairs with jaccard ≥
+    threshold."""
+    sh = docs.select(
+        F.col(id_col), shingle_array(F.col(text_col), n).alias("sh_set")
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("sh_b"))
+    joined = candidates.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union.cast("double")
+    return joined.where(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def minhash_sig_expr(text_col, n: int = 5, k: int = 8) -> Column:
+    """Per-row MinHash signature expression: sig[i] =
+    min(md5(i || '|' || shingle)) over the doc's distinct shingles.
+    Null when the doc has no shingles.
+
+    md5-lexicographic-min is a valid uniform MinHash family and is
+    byte-reproducible in any engine (the DuckDB oracle replays it).
+    Pure array expressions — the signature never shuffles."""
+    sh = shingle_array(text_col, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                sh,
+                lambda g: F.md5(F.concat(s.cast("string"), F.lit("|"), g)),
+            )
+        ),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -113,28 +175,14 @@ def minhash_signatures(
     n: int = 5,
     k: int = 8,
 ) -> DataFrame:
-    """→ (id, sig array<string>[k]): sig[i] = min(md5(i || '|' || shingle)).
-
-    md5-lexicographic-min is a valid uniform MinHash family and is
-    byte-reproducible in any engine (the DuckDB oracle replays it)."""
-    sh = doc_shingles(docs, id_col, text_col, n)
-    seeded = sh.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed"),
-        "shingle",
-    ).select(
-        id_col,
-        "seed",
-        F.md5(
-            F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))
-        ).alias("h"),
-    )
-    mins = seeded.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
-    return mins.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-            lambda s: s["mh"],
-        ).alias("sig")
+    """→ (id, sig array<string>[k]) for docs with ≥1 shingle. Map-only:
+    one output row per doc, zero shuffle (the old explode-shingles →
+    double-groupBy formulation shuffled k rows per doc plus one row per
+    (doc, shingle))."""
+    sh = shingle_array(F.col(text_col), n)
+    return (
+        docs.where(F.size(sh) > 0)
+        .select(F.col(id_col), minhash_sig_expr(F.col(text_col), n, k).alias("sig"))
     )
 
 
@@ -147,24 +195,31 @@ def minhash_lsh_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """LSH candidate pairs: same bucket in ≥1 band (band = r=k/bands
-    consecutive signature rows hashed together). → (doc_a, doc_b)."""
+    consecutive signature rows hashed together). → (doc_a, doc_b).
+
+    Scale shape: bucket ids are map-side expressions; the only shuffles
+    are the (band, bucket) equi-join and the final distinct — never an
+    all-pairs product."""
     r = k // bands
     sig = minhash_signatures(docs, id_col, text_col, n, k)
     band_df = sig.select(
         id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        "sig",
-    ).select(
-        id_col,
-        "band",
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.col("band").cast("string"),
-                F.concat_ws("|", F.slice(F.col("sig"), F.col("band") * r + 1, r)),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            band.cast("string"),
+                            F.concat_ws("|", F.slice(F.col("sig"), band * r + 1, r)),
+                        )
+                    ).alias("bucket"),
+                ),
             )
-        ).alias("bucket"),
-    )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = band_df.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b = band_df.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
@@ -175,44 +230,140 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end keeper selection: near-dup ``pairs(doc_a, doc_b)`` →
+    connected components → per-cluster canonical keeper (min id) →
+    kept/dropped view over the WHOLE corpus. → (doc_id, keeper,
+    is_kept) — the operator a training-data pipeline actually runs
+    after candidate generation + verification.
+
+    Scale: components via canonicalize.connected_components (hybrid
+    driver union-find / distributed star rounds); the final join is
+    doc-count-bounded."""
+    from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(edges)  # (iri, canonical_iri), node-typed
+    return (
+        docs.select(F.col(id_col))
+        .join(cc, docs[id_col] == cc["iri"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("canonical_iri"), F.col(id_col)).alias("keeper"),
+            (F.coalesce(F.col("canonical_iri"), F.col(id_col)) == F.col(id_col)).alias(
+                "is_kept"
+            ),
+        )
+    )
+
+
+def _hex_bit(hx: Column, b: Column) -> Column:
+    """Bit ``b`` of the hex string ``hx`` under the nibble convention
+    shared with the DuckDB oracle: hex digit at 1-based position
+    b//4 + 1, shifted right by b%4. Column-valued ``b`` (a lambda
+    variable), so no shiftright — nibble // 2^(b%4) instead (exact:
+    nibble and power are small non-negatives)."""
+    nib = F.conv(F.substr(hx, (b / 4).cast("int") + 1, F.lit(1)), 16, 10).cast("int")
+    return F.floor(nib / F.pow(F.lit(2.0), (b % 4).cast("double"))).cast("int") % 2
+
+
+def _simhash_expr(hxs: Column, bits: int) -> Column:
+    """SimHash signature from an array of per-token hex strings: for
+    each bit, sum ±1 votes over tokens; set the bit when the sum is
+    positive. One nested aggregate — evaluated per row, map-side."""
+    def _bit_value(b: Column) -> Column:
+        # 2^b as bigint; bit 63 is the sign bit in two's complement
+        # (2^63 overflows signed — it's MIN_LONG, matching shiftleft)
+        val = F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
+        if bits == 64:
+            val = F.when(b == 63, F.lit(-9223372036854775808)).otherwise(val)
+        return val
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc
+        + F.when(
+            F.aggregate(
+                hxs,
+                F.lit(0),
+                lambda v, hx: v + F.when(_hex_bit(hx, b) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            _bit_value(b),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
 def simhash64(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash: per token, xxhash64 → ±1 vote per bit; signature
-    bit = sign of the vote sum. All JVM-side (explode + bit ops + agg).
-    → (id, simhash bigint)."""
-    tok = docs.select(
-        id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    bits = tok.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        F.expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END").alias("vote"),
+    """64-bit SimHash over distinct tokens, xxhash64-derived bits
+    (production fast path). Map-only: per-doc token array → hex → one
+    nested-aggregate signature; zero shuffle, one row per doc.
+    → (id, simhash bigint) for docs with ≥1 token."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    hxs = F.transform(
+        toks, lambda t: F.lower(F.lpad(F.hex(F.xxhash64(t)), 16, "0"))
     )
-    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        ).alias("simhash")
+    return docs.where(F.size(toks) > 0).select(
+        F.col(id_col), _simhash_expr(hxs, 64).alias("simhash")
+    )
+
+
+def simhash_md5(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """Portable SimHash variant: token bits derive from md5 hex digits
+    so any engine (the DuckDB oracle included) replays the signature
+    bit-for-bit. 60 bits (15 hex chars) keeps the accumulated value
+    clear of signed-bigint overflow in every dialect. Same zero-shuffle
+    map-only shape as ``simhash64``. → (id, simhash bigint)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    hxs = F.transform(toks, lambda t: F.md5(t))
+    return docs.where(F.size(toks) > 0).select(
+        F.col(id_col), _simhash_expr(hxs, bits).alias("simhash")
     )
 
 
 def simhash_neardup_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     prefix_bands: int = 4,
+    bits: int = 64,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
-    """Near-dup candidates: docs whose simhashes agree on ≥1 of
-    ``prefix_bands`` 16-bit bands (pigeonhole: hamming ≤ max_hamming ⇒
-    some band equal when max_hamming < prefix_bands*?); verified by
-    exact popcount ≤ max_hamming. → (doc_a, doc_b, hamming)."""
-    sig = simhash64(docs, id_col, text_col)
-    width = 64 // prefix_bands
-    banded = sig.select(
+    """Near-dup pairs: banded candidate generation + exact popcount
+    verify. → (doc_a, doc_b, hamming) with hamming ≤ max_hamming.
+
+    Pigeonhole: with ``prefix_bands`` equal-width bands, two signatures
+    within Hamming distance h share ≥1 identical band only when
+    h < prefix_bands — so exact coverage REQUIRES
+    ``prefix_bands >= max_hamming + 1`` (enforced here; round-1 shipped
+    bands=4 with max_hamming=16, silently losing recall).
+
+    ``signatures`` lets callers supply any (id, simhash) frame —
+    ``simhash64(docs)`` (default) or ``simhash_md5(docs)`` for the
+    oracle-replayable 60-bit variant (pass bits=60)."""
+    if prefix_bands <= max_hamming:
+        raise ValueError(
+            f"prefix_bands={prefix_bands} <= max_hamming={max_hamming}: banding "
+            "would silently miss pairs (pigeonhole needs bands >= hamming+1)"
+        )
+    if bits % prefix_bands:
+        raise ValueError(f"bits={bits} not divisible by prefix_bands={prefix_bands}")
+    if signatures is None:
+        signatures = (simhash64 if bits == 64 else simhash_md5)(docs, id_col, text_col)
+    width = bits // prefix_bands
+    banded = signatures.select(
         id_col,
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(prefix_bands - 1))).alias("band"),
@@ -232,38 +383,3 @@ def simhash_neardup_pairs(
     return pairs.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
-
-
-def simhash_md5(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
-) -> DataFrame:
-    """Portable SimHash variant: token bits derive from md5 hex digits
-    instead of xxhash64, so any engine (the DuckDB oracle included) can
-    replay the signature bit-for-bit. 60 bits (15 hex chars) keeps the
-    accumulated value clear of signed-bigint overflow in every dialect.
-    The xxhash64 variant (``simhash64``) stays the production fast path.
-    → (id, simhash bigint)."""
-    tok = docs.select(
-        id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
-    ).withColumn("hx", F.md5("tok"))
-    bit_rows = tok.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        "hx",
-    ).withColumn(
-        "bit",
-        F.expr(
-            "shiftright(instr('0123456789abcdef', substring(hx, CAST(b / 4 AS INT) + 1, 1)) - 1, "
-            "b % 4) & 1"
-        ),
-    )
-    votes = bit_rows.groupBy(id_col, "b").agg(
-        F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1)).alias("v")
-    )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        ).alias("simhash")
-    )

@@ -37,6 +37,12 @@ _BLOCK_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6", "p", "li", "pre",
                "blockquote", "td", "figcaption", "dt", "dd"}
 # Main-content containers, in preference order.
 _MAIN_TAGS = ("article", "main", "body")
+# HTML5 void elements: never have an end tag, never open a subtree.
+# Real Common-Crawl pages put <img>/<br>/<meta> inside nav/footer blocks;
+# counting them into _skip_depth would leave the parser stuck in skip
+# mode for the rest of the document.
+_VOID_TAGS = {"area", "base", "br", "col", "embed", "hr", "img", "input",
+              "link", "meta", "param", "source", "track", "wbr"}
 
 
 class _Extractor(HTMLParser):
@@ -53,6 +59,10 @@ class _Extractor(HTMLParser):
         self._blocks: dict[str, list[str]] = {t: [] for t in _MAIN_TAGS}
 
     def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID_TAGS:
+            # no subtree: nothing to collect, nothing to skip — even when
+            # the void tag itself is boilerplate (<img class="ad">)
+            return
         if self._skip_depth:
             self._skip_depth += 1
             return
@@ -76,6 +86,10 @@ class _Extractor(HTMLParser):
                 self._blocks[container].append(line)
 
     def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID_TAGS:
+            # browsers ignore stray </br>, </img>; and a self-closing
+            # <img/> start-end pair must not decrement _skip_depth
+            return
         if self._skip_depth:
             self._skip_depth -= 1
             return
@@ -85,6 +99,12 @@ class _Extractor(HTMLParser):
             while self._block_stack:  # blocks left open inside this container
                 self._flush_block()
             self._container_stack.pop()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        # <div/>-style XHTML self-closing: a balanced start+end pair;
+        # void tags stay no-ops via the checks in both handlers
+        self.handle_starttag(tag, attrs)
+        self.handle_endtag(tag)
 
     def close(self) -> None:  # flush blocks left open by malformed HTML
         super().close()

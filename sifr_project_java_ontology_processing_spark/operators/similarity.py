@@ -1,15 +1,28 @@
 """Similarity search over embedding columns (task mandate: brute-force
 cosine top-k baseline + an LSH-bucketed variant as the scale path).
 
-All vector math is double-precision Catalyst expressions
-(``zip_with`` + ``aggregate``) — JVM-side, whole-stage-codegen'd, no
-Python in the loop. The brute-force path is a broadcast nested-loop of
-queries × corpus: correct baseline, O(Q·N) — fine when Q is small or N
-is test-sized. The scale path buckets by random-hyperplane LSH so each
-query only scans its own buckets.
+Vector math on the expression path is double-precision Catalyst
+(``zip_with`` + ``aggregate``) — JVM-side, no Python in the loop. The
+heavy paths are blocked GEMM inside Arrow-batched pandas functions.
+
+Exact paths are HYBRID (same rule as ``canonicalize.connected_components``):
+  * corpus row-count ≤ ``driver_threshold`` → broadcast-GEMM: the corpus
+    matrix ships once as a broadcast (dimension-table cost class), each
+    partition runs one BLAS product. Zero shuffle.
+  * above threshold → fully distributed, NO driver collect:
+      - ``brute_force_topk``: corpus hash-sharded; queries replicated to
+        every shard (explode × S); cogrouped ``applyInPandas`` computes a
+        per-shard blocked GEMM partial top-k; a final window merges
+        partials. Exact — shard count only changes the plan, not rows.
+      - ``neardup_pairs``: block-nested-loop — corpus split into B
+        blocks, one task per unordered block pair (B(B+1)/2 tasks),
+        each a GEMM. Replication factor B per side, the classic
+        all-pairs-above-threshold shape.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -31,6 +44,18 @@ def cosine(a, b) -> F.Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _topk_merge(scored: DataFrame, query_id_col: str, k: int) -> DataFrame:
+    """Deterministic global top-k per query from (partial) candidates."""
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -38,17 +63,87 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    driver_threshold: int = 100_000,
+    num_shards: int | None = None,
 ) -> DataFrame:
     """→ (query_id, neighbor_id, cos_sim, rank): exact top-k by cosine,
     deterministic ties (rounded score desc, neighbor id asc).
     ``queries`` must have (query_id_col, vec_col).
 
-    Blocked-GEMM: the corpus is broadcast as a numpy matrix; each query
-    partition computes one (block × N) BLAS product and takes its top-k
-    locally — no per-pair expression evaluation, no shuffle at all
-    (queries are embarrassingly parallel). For corpora beyond broadcast
-    size, shard the corpus and merge per-shard top-k (same pattern as
-    every distributed ANN serving layer)."""
+    Hybrid: broadcast-GEMM under ``driver_threshold`` corpus rows;
+    sharded cogroup-GEMM above it (no driver materialization — round-1
+    collected unconditionally, which dies past driver memory)."""
+    n = corpus.count()
+    if n <= driver_threshold and num_shards is None:
+        return _broadcast_topk(corpus, queries, k, id_col, vec_col, query_id_col)
+
+    shards = num_shards or max(2, math.ceil(n / driver_threshold))
+    c = corpus.select(
+        F.pmod(F.hash(F.col(id_col)), F.lit(shards)).alias("shard"),
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
+    )
+    q = queries.select(
+        F.explode(F.sequence(F.lit(0), F.lit(shards - 1))).alias("shard"),
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qv"),
+    )
+
+    def _shard_gemm(left: "pd.DataFrame", right: "pd.DataFrame"):
+        import numpy as np
+        import pandas as pd
+
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {query_id_col: [], "neighbor_id": [], "cos_sim": []}
+            ).astype({query_id_col: "int64", "neighbor_id": "int64", "cos_sim": "float64"})
+        q_ids = left[query_id_col].to_numpy()
+        q_mat = np.array(list(left["_qv"]), dtype=np.float64)
+        c_ids = right["_cid"].to_numpy()
+        c_mat = np.array(list(right["_cv"]), dtype=np.float64)
+        sims = (q_mat @ c_mat.T) / np.outer(
+            np.linalg.norm(q_mat, axis=1), np.linalg.norm(c_mat, axis=1)
+        )
+        np.round(sims, 6, out=sims)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            row = sims[qi]
+            order = np.lexsort((c_ids, -row))
+            taken = 0
+            for j in order:
+                if c_ids[j] == q_ids[qi]:
+                    continue
+                out_q.append(q_ids[qi])
+                out_n.append(c_ids[j])
+                out_s.append(row[j])
+                taken += 1
+                if taken >= k:
+                    break
+        return pd.DataFrame(
+            {query_id_col: out_q, "neighbor_id": out_n, "cos_sim": out_s}
+        )
+
+    partials = (
+        q.groupBy("shard")
+        .cogroup(c.groupBy("shard"))
+        .applyInPandas(
+            _shard_gemm,
+            schema=f"{query_id_col} long, neighbor_id long, cos_sim double",
+        )
+    )
+    return _topk_merge(partials, query_id_col, k)
+
+
+def _broadcast_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Small-corpus path: corpus broadcast as one numpy matrix; each
+    query partition computes one (block × N) BLAS product. No shuffle."""
     import numpy as np
 
     spark = corpus.sparkSession
@@ -109,7 +204,8 @@ def brute_force_topk(
 
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 — reproducible
-    across runs/engines with no RNG state."""
+    across runs/engines with no RNG state (the DuckDB oracle inlines
+    these exact values as literals)."""
     import hashlib
 
     vals = []
@@ -119,11 +215,14 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return vals
 
 
-def lsh_bucket(vec_col, dim: int, n_planes: int = 8) -> F.Column:
-    """Sign-of-projection bit signature → bucket id (int)."""
+def lsh_bucket(vec_col, dim: int, n_planes: int = 8, table: int = 0) -> F.Column:
+    """Sign-of-projection bit signature → bucket id (int). ``table``
+    selects an independent plane set (plane index = table*n_planes+p)
+    for multi-table OR-amplification; table 0 is the canonical set the
+    DuckDB oracle inlines."""
     bucket = F.lit(0)
     for p in range(n_planes):
-        plane = F.array([F.lit(v) for v in _hyperplane(dim, p)])
+        plane = F.array([F.lit(v) for v in _hyperplane(dim, table * n_planes + p)])
         bit = F.when(dot(vec_col, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
@@ -138,39 +237,48 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket; rank
-    within candidates. Recall is tunable via n_planes (fewer planes =
-    bigger buckets = higher recall, more compute). Same output schema
-    as ``brute_force_topk``.
+    """Approximate top-k: candidates share the query's LSH bucket in ≥1
+    of ``n_tables`` independent hash tables; rank within candidates.
+    Recall knobs: fewer planes = bigger buckets; more tables =
+    OR-amplification (recall 1-(1-pᵐ)ᴸ) at L× candidate cost — measured
+    against the exact path in tests/test_similarity.py. Same output
+    schema as ``brute_force_topk``.
 
-    Scale shape: corpus is bucketed ONCE (a narrow column add), and the
-    join is an equi-join on bucket — shuffle partitioned by bucket, no
-    cross product. Multi-probe (flipping one bit) would raise recall;
-    kept single-probe here for clarity."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qv"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+    Scale shape: bucket ids are narrow map-side columns (one int per
+    table); each (table, bucket) join is an equi-join — shuffle
+    partitioned by bucket, no cross product, candidate volume bounded
+    by bucket occupancy × L."""
+    def _bucketed(df: DataFrame, out_id: str, out_vec: str, src_id) -> DataFrame:
+        buckets = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket(F.col(vec_col), dim, n_planes, table=t).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb")
+        return df.select(
+            F.col(src_id).alias(out_id), F.col(vec_col).alias(out_vec), buckets
+        ).select(out_id, out_vec, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    c = _bucketed(corpus, "neighbor_id", "_cv", id_col)
+    q = _bucketed(queries, query_id_col, "_qv", query_id_col)
     scored = (
-        q.join(c, "bucket")
+        q.join(c, ["tbl", "bucket"])
         .where(F.col(query_id_col) != F.col("neighbor_id"))
         .select(
             query_id_col,
             "neighbor_id",
             F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
         )
+        .dropDuplicates([query_id_col, "neighbor_id"])
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _topk_merge(scored, query_id_col, k)
 
 
 def neardup_pairs(
@@ -178,16 +286,82 @@ def neardup_pairs(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    driver_threshold: int = 100_000,
+    num_blocks: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs → (vec_a, vec_b, cos_sim).
+    """Embedding-cosine near-duplicate pairs → (vec_a, vec_b, cos_sim),
+    vec_a < vec_b, exact (all pairs ≥ threshold).
 
-    Blocked-GEMM design: the corpus matrix is broadcast once (numpy
-    float64), and each partition of rows computes its block × corpusᵀ
-    with one BLAS call inside ``mapInPandas`` — ~1000× the throughput of
-    a per-pair expression cross join, and the exact pattern that scales:
-    N/blocks partitions each doing an (block × N) GEMM. For corpora too
-    big to broadcast, pre-bucket with ``lsh_bucket`` and run this per
-    bucket."""
+    Hybrid: broadcast blocked-GEMM under ``driver_threshold`` rows;
+    above it, a block-nested-loop with one cogrouped GEMM task per
+    unordered block pair — B× replication, B(B+1)/2 tasks, no driver
+    materialization."""
+    n = corpus.count()
+    if n <= driver_threshold and num_blocks is None:
+        return _broadcast_neardup(corpus, threshold, id_col, vec_col)
+
+    blocks = num_blocks or max(2, math.ceil(n / driver_threshold))
+    rep = corpus.select(
+        F.pmod(F.hash(F.col(id_col)), F.lit(blocks)).alias("_b"),
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+    ).select(
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("_j"),
+        "_b",
+        "_vid",
+        "_v",
+    ).select(
+        # (least, greatest) keys are distinct across j for a fixed row,
+        # so each row lands in every relevant block-pair group exactly once
+        F.least("_b", "_j").alias("k1"),
+        F.greatest("_b", "_j").alias("k2"),
+        "_b",
+        "_vid",
+        "_v",
+    )
+
+    def _block_pair(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        k1, k2 = key
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+        )
+        ids = pdf["_vid"].to_numpy()
+        mat = np.array(list(pdf["_v"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        if k1 == k2:
+            sims = (mat @ mat.T) / np.outer(norms, norms)
+            np.round(sims, 6, out=sims)
+            ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+            vals = sims[ai, bj]
+            a_ids, b_ids = ids[ai], ids[bj]
+        else:
+            left = pdf["_b"].to_numpy() == k1
+            li, ri = np.nonzero(left)[0], np.nonzero(~left)[0]
+            if len(li) == 0 or len(ri) == 0:
+                return empty
+            sims = (mat[li] @ mat[ri].T) / np.outer(norms[li], norms[ri])
+            np.round(sims, 6, out=sims)
+            ai, bj = np.nonzero(sims >= threshold)
+            vals = sims[ai, bj]
+            a_ids, b_ids = ids[li[ai]], ids[ri[bj]]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        keep = lo != hi
+        return pd.DataFrame({"vec_a": lo[keep], "vec_b": hi[keep], "cos_sim": vals[keep]})
+
+    return rep.groupBy("k1", "k2").applyInPandas(
+        _block_pair, schema="vec_a long, vec_b long, cos_sim double"
+    )
+
+
+def _broadcast_neardup(
+    corpus: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Small-corpus path: corpus broadcast once; each partition computes
+    block × corpusᵀ with one BLAS call."""
     import numpy as np
 
     spark = corpus.sparkSession

@@ -380,7 +380,7 @@ def q_window_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_brand, p_name AS pref_label FROM (
       SELECT p_brand, p_name,
         row_number() OVER (PARTITION BY p_brand ORDER BY
-          (CAST(len(p_name) - len(regexp_replace(p_name, '[^a-z]', '', 'g')) AS DOUBLE)
+          (CAST(len(regexp_replace(p_name, '[^A-ZÀ-ÖØ-Þ]', '', 'g')) AS DOUBLE)
              / len(p_name) < 0.25) DESC,
           len(p_name) ASC, p_name ASC) AS rn
       FROM part
@@ -620,15 +620,54 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=5, k=8, bands=4)
 
 
-@register("dedup_simhash", None)  # xxhash64 not replayable in DuckDB → rows-only
+# Shared DuckDB CTE computing the md5-derived 60-bit SimHash signature —
+# bit-for-bit the same as operators.dedup.simhash_md5.
+_SIMHASH_SIG_CTE = """
+    stoks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_filter(str_split(text, ' '), x -> x <> ''))) AS tok
+      FROM documents
+    ),
+    sh_h AS (SELECT doc_id, md5(tok) AS hx FROM stoks),
+    sh_bits AS (
+      SELECT doc_id, b,
+             ((strpos('0123456789abcdef', substr(hx, b // 4 + 1, 1)) - 1) >> (b % 4)) & 1 AS bit
+      FROM sh_h, UNNEST(range(0, 60)) AS t(b)
+    ),
+    sh_votes AS (SELECT doc_id, b, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+                 FROM sh_bits GROUP BY 1, 2),
+    sh_sig AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+               FROM sh_votes GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH {_SIMHASH_SIG_CTE}
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sh_sig a JOIN sh_sig b ON a.doc_id < b.doc_id
+    ) t WHERE hamming <= 3
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on the oracle-replayable md5 signature:
+    Spark generates candidates via 4×15-bit banded buckets (pigeonhole-
+    exact for hamming ≤ 3) + popcount verify; the oracle checks ALL
+    pairs — equality proves the banding loses nothing."""
     from sifr_project_java_ontology_processing_spark.operators.dedup import (
+        simhash_md5,
         simhash_neardup_pairs,
     )
 
-    return simhash_neardup_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=16, prefix_bands=4
+    sig = simhash_md5(_t(spark, sf_dir, "documents"))
+    out = simhash_neardup_pairs(
+        signatures=sig, max_hamming=3, prefix_bands=4, bits=60
     )
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 @register(
@@ -661,7 +700,48 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
 
 
-@register("ann_lsh_topk", None)  # hyperplane LSH not replayed in SQL → rows-only
+def _lsh_planes_values(dim: int, n_planes: int) -> str:
+    """Inline the deterministic md5-derived hyperplanes as DuckDB list
+    literals so the oracle replays the exact bucket assignment (the
+    planes are pure Python constants — no RNG, no engine hashing)."""
+    from sifr_project_java_ontology_processing_spark.operators.similarity import (
+        _hyperplane,
+    )
+
+    rows = []
+    for p in range(n_planes):
+        vs = ", ".join(repr(v) for v in _hyperplane(dim, p))
+        rows.append(f"({p}, [{vs}])")
+    return ", ".join(rows)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH planes(p, vs) AS (VALUES {_lsh_planes_values(64, 4)}),
+    bucketed AS (
+      SELECT e.vec_id, e.embedding,
+             CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * pl.vs[i])) >= 0
+                  THEN 1 << pl.p ELSE 0 END) AS INT) AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id, e.embedding
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id ASC) AS rank
+      FROM bucketed q JOIN bucketed c
+        ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 8
+    ) t WHERE rank <= 5
+    """,
+)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sifr_project_java_ontology_processing_spark.operators.similarity import lsh_topk
 
@@ -809,23 +889,9 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_md5",
-    """
-    WITH toks AS (
-      SELECT DISTINCT doc_id,
-             unnest(list_distinct(list_filter(str_split(text, ' '), x -> x <> ''))) AS tok
-      FROM documents
-    ),
-    h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
-    bits AS (
-      SELECT doc_id, b,
-             ((strpos('0123456789abcdef', substr(hx, b // 4 + 1, 1)) - 1) >> (b % 4)) & 1 AS bit
-      FROM h, UNNEST(range(0, 60)) AS t(b)
-    ),
-    votes AS (SELECT doc_id, b, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
-              FROM bits GROUP BY 1, 2)
-    SELECT doc_id,
-           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
+    f"""
+    WITH {_SIMHASH_SIG_CTE}
+    SELECT doc_id, simhash FROM sh_sig
     """,
 )
 def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -834,3 +900,92 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sifr_project_java_ontology_processing_spark.operators.dedup import simhash_md5
 
     return simhash_md5(_t(spark, sf_dir, "documents"))
+
+
+# MinHash-LSH candidate pairs as a reusable CTE (identical to the
+# dedup_minhash_lsh oracle) — the front half of the LSH→verify path.
+_LSH_CAND_CTE = f"""
+    {_SHINGLE_CTE},
+    seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+    mh AS (SELECT doc_id, seed,
+                  min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+           FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(CAST(seed // 2 AS VARCHAR) || '|' ||
+                         string_agg(mh, '|' ORDER BY seed)) AS bucket
+              FROM mh GROUP BY doc_id, seed // 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+             WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+    verified AS (
+      SELECT i.doc_a, i.doc_b,
+             round(i.i / CAST(sa.n_sh + sb.n_sh - i.i AS DOUBLE), 6) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE i.i / CAST(sa.n_sh + sb.n_sh - i.i AS DOUBLE) >= 0.2)
+"""
+
+
+@register(
+    "dedup_lsh_verified",
+    f"""
+    WITH {_LSH_CAND_CTE}
+    SELECT doc_a, doc_b, jaccard FROM verified
+    """,
+)
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical scale path for near-dup: MinHash-LSH candidate
+    generation → exact Jaccard verify on candidates ONLY. No
+    shingle×shingle self-join anywhere in the plan (asserted by
+    tests/test_plans.py) — shuffle is bounded by |candidates|."""
+    from sifr_project_java_ontology_processing_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(docs, n=5, k=8, bands=4)
+    return jaccard_verify(docs, cands, n=5, threshold=0.2)
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_LSH_CAND_CTE},
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+            UNION SELECT doc_b, doc_a FROM verified),
+    reach(node, r) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, re.r FROM reach re JOIN sym s ON s.src = re.node
+    ),
+    canon AS (SELECT node, min(r) AS c FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(m.c, d.doc_id) AS keeper,
+           (coalesce(m.c, d.doc_id) = d.doc_id) AS is_kept
+    FROM documents d LEFT JOIN canon m ON d.doc_id = m.node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: LSH candidates → exact-Jaccard verify →
+    connected components → per-cluster min-id keeper + kept/dropped
+    view over the whole corpus. Oracle replays components with a
+    recursive reachability CTE."""
+    from sifr_project_java_ontology_processing_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_verify,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    verified = jaccard_verify(
+        docs, minhash_lsh_pairs(docs, n=5, k=8, bands=4), n=5, threshold=0.2
+    )
+    return dedup_clusters(docs, verified)

@@ -85,21 +85,28 @@ def _render_html(title: str, paragraphs: list[str], host: str) -> str:
     ``title + "\\n" + "\\n".join(paragraphs)`` — extraction.py must invert
     this template for ANY input (it parses HTML; it does not know the
     template)."""
-    nav = "<nav><ul>" + "".join(
+    # void elements (<img>, <br>, <input>, <hr>, <meta>, <link>) are
+    # deliberately placed inside skipped containers AND content: real
+    # Common-Crawl nav/footers always contain them, and an extractor
+    # that counts them into its skip depth truncates everything after
+    # the first <nav><img> (round-2 ADVICE regression fixture).
+    nav = '<nav><img src="/logo.png" alt="logo"><ul>' + "".join(
         f'<li><a href="/{p}">{p.capitalize()}</a></li>' for p in ("home", "about", "contact")
-    ) + "</ul></nav>"
+    ) + '</ul><br><input type="search" placeholder="Search"></nav>'
     body_paras = "".join(f"<p>{p}</p>" for p in paragraphs)
     return (
         "<html><head>"
+        '<meta charset="utf-8"><link rel="stylesheet" href="/s.css">'
         f"<title>{title} | {host}</title>"
         "<style>body{font:12px serif}</style>"
         '<script type="text/javascript">var tracker="useless";track(1);</script>'
         "</head><body>"
         f"{nav}"
-        '<div class="ads">BUY NOW!!! Limited offer — click here</div>'
+        '<div class="ads"><img src="/banner.jpg">BUY NOW!!! Limited offer — click here</div>'
+        "<hr>"
         f'<main><article><h1>{title}</h1>{body_paras}</article></main>'
-        '<aside class="related"><a href="/x">Related junk</a></aside>'
-        f"<footer>&copy; 2026 {host} — all rights reserved</footer>"
+        '<aside class="related"><a href="/x">Related junk</a><img src="/thumb.png"></aside>'
+        f"<footer><img src=\"/badge.svg\"><br>&copy; 2026 {host} — all rights reserved</footer>"
         "</body></html>"
     )
 

@@ -68,7 +68,51 @@ def test_minhash_lsh_finds_dups(spark):
 
 
 def test_simhash_neardup(spark):
-    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_neardup_pairs(_docs_df(spark), max_hamming=20).collect()}
+    # pigeonhole needs bands >= hamming+1: 32 two-bit bands cover h<=20
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_neardup_pairs(_docs_df(spark), max_hamming=20, prefix_bands=32).collect()}
     assert pairs.get((0, 1)) == 0      # identical → hamming 0
     near = pairs.get((0, 2))
     assert near is not None and near <= 20
+
+
+def test_simhash_banding_rejects_lossy_params(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(_docs_df(spark), max_hamming=16, prefix_bands=4)
+
+
+def test_jaccard_verify_matches_selfjoin_on_candidates(spark):
+    from sifr_project_java_ontology_processing_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs_df(spark)
+    cands = minhash_lsh_pairs(docs)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_verify(docs, cands, threshold=0.01).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    # verify path == full-pairs jaccard restricted to the candidate set
+    assert got == {p: j for p, j in full.items() if p in cand_set}
+    assert got[(0, 1)] == 1.0
+
+
+def test_dedup_clusters_keeper(spark):
+    from sifr_project_java_ontology_processing_spark.operators.dedup import dedup_clusters
+
+    docs = _docs_df(spark)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: (r["keeper"], r["is_kept"]) for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {
+        0: (0, True), 1: (0, False), 2: (0, False),
+        3: (3, True), 4: (3, False), 5: (5, True),
+    }

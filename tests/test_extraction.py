@@ -20,6 +20,28 @@ def test_extract_text_pure_function():
     assert extract_text(html) == "Title\npara one\npara two"
 
 
+def test_void_elements_in_skipped_containers():
+    """Round-2 ADVICE regression: HTML5 void elements (<img>, <br>, …)
+    have no end tag; inside a skipped container they must not leave
+    _skip_depth stuck above 0 (which silently dropped all later text)."""
+    assert (
+        extract_text(b"<main><p>hello</p><nav><img></nav><p>world</p></main>")
+        == "hello\nworld"
+    )
+    # void element that is itself boilerplate: skip it alone
+    assert extract_text(b"<body><p>a</p><img class='ad'><p>b</p></body>") == "a\nb"
+    # self-closing void inside a skipped block must not decrement depth
+    assert extract_text(b"<body><nav><img/><span>junk</span></nav><p>x</p></body>") == "x"
+    # <br>/<hr>/<input> piles in nav+footer, content untouched
+    assert (
+        extract_text(
+            b"<body><nav><br><input><hr></nav><article><p>keep me</p></article>"
+            b"<footer><img><br>foot</footer></body>"
+        )
+        == "keep me"
+    )
+
+
 def test_extract_text_edge_cases():
     assert extract_text(None) == ""
     assert extract_text(b"") == ""

@@ -53,12 +53,21 @@ def test_sparql_xml_to_triples(spark, tmp_path):
 
 
 def test_umls_lang_codes(spark):
-    df = spark.createDataFrame([("ENG",), ("FRE",), ("XXX",)], "lat string")
+    # bug-compat with UMLSLanguageCode.java:6-26: CZE->cz, JPN->jp,
+    # SWE->sw, KOR->kr; CHI/TUR absent from the enum -> null
+    df = spark.createDataFrame(
+        [("ENG",), ("FRE",), ("CZE",), ("JPN",), ("SWE",), ("KOR",), ("CHI",), ("XXX",)],
+        "lat string",
+    )
     got = [r["iso"] for r in df.select(umls_to_iso2(F.col("lat")).alias("iso")).collect()]
-    assert got == ["en", "fr", None]
-    df2 = spark.createDataFrame([("en",), ("fr",)], "lang string")
+    assert got == ["en", "fr", "cz", "jp", "sw", "kr", None, None]
+    # reverse accepts both legacy shortCodes and ISO-correct aliases
+    df2 = spark.createDataFrame(
+        [("en",), ("fr",), ("cz",), ("cs",), ("jp",), ("ja",), ("sv",), ("ko",)],
+        "lang string",
+    )
     got2 = [r["u"] for r in df2.select(iso2_to_umls(F.col("lang")).alias("u")).collect()]
-    assert got2 == ["ENG", "FRE"]
+    assert got2 == ["ENG", "FRE", "CZE", "CZE", "JPN", "JPN", "SWE", "KOR"]
 
 
 def test_code_finder_chain_priority(spark):
