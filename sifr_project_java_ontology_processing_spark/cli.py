@@ -44,6 +44,7 @@ def cmd_enrich(args: argparse.Namespace) -> int:
     from sifr_project_java_ontology_processing_spark.operators.scoring import (
         concept_descriptions,
         disambiguate,
+        match_fallback,
     )
     from sifr_project_java_ontology_processing_spark.sources.rdf_sink import (
         write_reject_file,
@@ -58,7 +59,15 @@ def cmd_enrich(args: argparse.Namespace) -> int:
 
     out = cui_cascade(classes, labels, mappings, umls_concepts, lat=args.lat)
     out = tui_cascade(out, mappings, umls_semtypes)
-    if args.disambiguate or args.match:
+    # -mc and -dc are DISTINCT reference behaviors
+    # (OntologyCUIProcessor.java:149-156): -mc rescues classes with ZERO
+    # cascade CUIs via the full-UMLS matcher; -dc re-scores classes with
+    # >1 candidates down to one.
+    if args.match:
+        out = match_fallback(
+            out, concept_descriptions(labels), umls_concepts, lat=args.lat
+        ).drop("matched")
+    if args.disambiguate:
         out = disambiguate(out, concept_descriptions(labels), umls_concepts, lat=args.lat)
     out.write.mode("overwrite").parquet(f"{args.out}/cascade")
     stage_counters(out).write.mode("overwrite").parquet(f"{args.out}/counters")

@@ -47,6 +47,7 @@ SKOS_PREF_LABEL = expand("skos:prefLabel")
 SKOS_ALT_LABEL = expand("skos:altLabel")
 SKOS_HIDDEN_LABEL = expand("skos:hiddenLabel")
 SKOS_NOTATION = expand("skos:notation")
+SKOS_CHANGE_NOTE = expand("skos:changeNote")
 SKOS_BROADER = expand("skos:broader")
 SKOS_IN_SCHEME = expand("skos:inScheme")
 SKOS_HAS_TOP_CONCEPT = expand("skos:hasTopConcept")

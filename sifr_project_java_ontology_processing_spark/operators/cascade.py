@@ -49,6 +49,9 @@ STAGE_ALT = "cui_in_alt_label"
 STAGE_MAPPING = "cui_in_mappings"
 STAGE_CODE = "cui_through_code"
 STAGE_NONE = "remaining_without_cui"
+# -mc full-UMLS fallback match (scoring.match_fallback,
+# OntologyCUIProcessor.java:149-152)
+STAGE_MATCH = "matched_umls_fallback"
 
 TUI_STAGE_OWN = "own_tui"
 TUI_STAGE_UMLS = "tui_from_umls_by_cui"
@@ -320,6 +323,127 @@ def stage_counters(cascade_out: DataFrame, stage_col: str = "cui_stage") -> Data
         .agg(F.count(F.lit(1)).alias("value"))
         .orderBy("counter")
     )
+
+
+def umls_comparison_counters(
+    cascade_out: DataFrame,
+    umls_concepts: DataFrame,
+    lat: str | None = None,
+) -> DataFrame:
+    """A9 parity tail (round-1 VERDICT gap): the reference's
+    ``compareCUIsToUMLS`` counters (OntologyCUIProcessor.java:235-246,
+    invoked at :175-177 for every class left with >1 CUI) plus the
+    ambiguous-CUI counter itself (:174
+    ``CLASSES_WITH_AMBIGUOUS_CUI_STATISTIC``).
+
+    For each ambiguous class: umls_n = |distinct CUIs UMLS maps its code
+    to (lat-filtered, getUMLSCUIs :166-191)|; umls_n > |cuis| → LESS,
+    umls_n < |cuis| → MORE (classes without a code are skipped by the
+    null guard :236, i.e. counted ambiguous only).
+
+    → (counter, value) rows, all three counters always present (0 when
+    no class qualifies) so the stats CSV row shape is stable.
+    """
+    spark = cascade_out.sparkSession
+    umls = umls_concepts
+    if lat is not None:
+        umls = umls.where(F.col("lat") == lat)
+    umls_counts = umls.groupBy("code").agg(
+        F.count_distinct(F.col("cui")).alias("umls_n")
+    )
+    ambiguous = cascade_out.where(F.size("cuis") > 1)
+    compared = ambiguous.join(F.broadcast(umls_counts), "code", "left").withColumn(
+        # non-null code unknown to UMLS ⇒ getUMLSCUIs returns the empty
+        # set (size 0), which counts toward MORE; null code skips (:236)
+        "umls_n",
+        F.when(F.col("code").isNotNull(), F.coalesce("umls_n", F.lit(0))),
+    )
+    counts = compared.agg(
+        F.count(F.lit(1)).alias("classes_with_ambiguous_cui"),
+        F.sum(
+            F.when(F.col("umls_n") > F.size("cuis"), 1).otherwise(0)
+        ).alias("classes_with_less_cuis_than_umls"),
+        F.sum(
+            F.when(F.col("umls_n") < F.size("cuis"), 1).otherwise(0)
+        ).alias("classes_with_more_cuis_than_umls"),
+    )
+    names = spark.createDataFrame(
+        [
+            ("classes_with_ambiguous_cui",),
+            ("classes_with_less_cuis_than_umls",),
+            ("classes_with_more_cuis_than_umls",),
+        ],
+        "counter string",
+    )
+    melted = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("counter"), F.coalesce(F.col(c), F.lit(0)).cast("long").alias("value"))
+                    for c in (
+                        "classes_with_ambiguous_cui",
+                        "classes_with_less_cuis_than_umls",
+                        "classes_with_more_cuis_than_umls",
+                    )
+                ]
+            )
+        ).alias("kv")
+    ).select(F.col("kv.counter").alias("counter"), F.col("kv.value").alias("value"))
+    # left join against the fixed name list: all three rows even if the
+    # agg produced an empty frame upstream (it can't — agg always yields
+    # one row — but the join keeps the contract explicit)
+    return names.join(melted, "counter", "left").select(
+        "counter", F.coalesce("value", F.lit(0)).alias("value")
+    )
+
+
+def named_classes(triples: DataFrame) -> DataFrame:
+    """S2 — class scan with the reference's fallback
+    (BaseOntologyDelegate.java:173-190 ``getClasses``): subjects typed
+    ``owl:Class``; when the ontology declares none (pure SKOS
+    vocabularies), fall back to subjects typed ``skos:Concept``.
+    Blank-node subjects are excluded (listNamedClasses = named only).
+
+    → (concept_iri). The emptiness probe is one cheap limit(1) action
+    on a filtered dimension scan, not a full count."""
+    from sifr_project_java_ontology_processing_spark.functions.uris import (
+        OWL_CLASS,
+        RDF_TYPE,
+        SKOS_CONCEPT,
+    )
+
+    def _subjects_of(type_obj: str) -> DataFrame:
+        return (
+            triples.where(
+                (F.col("pred") == RDF_TYPE)
+                & (F.col("obj") == type_obj)
+                & ~F.col("subj").startswith("_:")
+            )
+            .select(F.col("subj").alias("concept_iri"))
+            .distinct()
+        )
+
+    owl = _subjects_of(OWL_CLASS)
+    if owl.limit(1).isEmpty():
+        return _subjects_of(SKOS_CONCEPT)
+    return owl
+
+
+def ontology_name_from_path(path: str) -> str:
+    """F8 — ontology name from a model URL/path
+    (BaseOntologyDelegate.java:74-107): URL → file part, else the
+    filename; then everything before the first dot (the reference also
+    strips a trailing .bz2 from the extension for format sniffing —
+    irrelevant to the name)."""
+    import re
+
+    if re.match(r"^[^:]{2,6}:.*$", path):  # URL_PATTERN :36
+        name = path.split("://", 1)[-1]
+        name = "/" + name.split("/", 1)[1] if "/" in name else name
+        name = name.rsplit("/", 1)[-1]
+    else:
+        name = path.replace("\\", "/").rstrip("/").rsplit("/", 1)[-1]
+    return name.split(".", 1)[0] if "." in name else name
 
 
 def reject_sink(cascade_out: DataFrame) -> DataFrame:

@@ -148,6 +148,118 @@ def disambiguate(
     return rest.unionByName(disamb)
 
 
+def match_fallback(
+    cascade_out: DataFrame,
+    concept_descriptions: DataFrame,
+    umls_concepts: DataFrame,
+    lat: str | None = None,
+    max_candidates: int = 50,
+    max_token_df: int | None = 10_000,
+) -> DataFrame:
+    """-mc semantics (OntologyCUIProcessor.java:149-152 → disambiguate
+    :250-263 with EMPTY cuis): for concepts where the whole cascade
+    found NOTHING (cui_stage == remaining_without_cui), score the
+    concept description against the ENTIRE (lat-filtered) UMLS
+    concept-name map and adopt the top-1 CUI. Distinct from -dc, which
+    re-scores concepts that already have >1 candidates — round 1 wired
+    both flags to disambiguate(), making -mc a silent no-op for exactly
+    the concepts it exists to rescue.
+
+    Scale: the reference linearly scans the whole UMLS term map per
+    concept (getCUIConceptNameMap). A rejects × UMLS cross join is the
+    one thing this engine must never emit, so candidates come from a
+    TOKEN INVERTED INDEX: explode description tokens, equi-join the
+    term-token index, count overlap per (concept, cui), keep the top
+    ``max_candidates`` by overlap, THEN run the full scorer on that
+    bounded set. ``max_token_df`` drops stop-tokens ('de', 'syndrome')
+    whose posting lists would dominate the join.
+
+    Divergence, stated: a concept whose description shares no token
+    with any UMLS term gets NO match here (stays remaining_without_cui);
+    the reference would 'rank' all-zero scores and adopt whatever
+    sorted first — an arbitrary CUI. We keep the reject explicit.
+
+    → cascade_out with matched rows' ``cuis`` = [winner],
+      ``cui_stage`` = 'matched_umls_fallback', plus ``matched`` boolean.
+    """
+    from sifr_project_java_ontology_processing_spark.operators.cascade import (
+        STAGE_MATCH,
+        STAGE_NONE,
+    )
+
+    rejects = cascade_out.where(F.col("cui_stage") == STAGE_NONE)
+    rest = cascade_out.where(F.col("cui_stage") != STAGE_NONE).withColumn(
+        "matched", F.lit(False)
+    )
+
+    umls = umls_concepts
+    if lat is not None:
+        umls = umls.where(F.col("lat") == lat)
+    # A8 signature merge, as in disambiguate()
+    terms = umls.groupBy("cui").agg(
+        F.concat_ws(" ", F.sort_array(F.collect_list("str"))).alias("term")
+    )
+    term_tokens = terms.select(
+        "cui", F.explode(F.array_distinct(F.split(F.lower("term"), r"\s+"))).alias("tok")
+    ).where(F.col("tok") != "")
+    if max_token_df is not None:
+        hot = term_tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") > max_token_df
+        )
+        term_tokens = term_tokens.join(
+            F.broadcast(hot.select("tok")), "tok", "left_anti"
+        )
+
+    desc = rejects.select("concept_iri").join(
+        concept_descriptions, "concept_iri", "left"
+    )
+    desc_tokens = desc.select(
+        "concept_iri",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.coalesce("description", F.lit(""))), r"\s+"))
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+
+    overlap = (
+        desc_tokens.join(term_tokens, "tok")
+        .groupBy("concept_iri", "cui")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    shortlist = (
+        rank_candidates(overlap, "concept_iri", "overlap", tiebreak="cui")
+        .where(F.col("rank") <= max_candidates)
+        .drop("rank")
+    )
+    scored = (
+        shortlist.join(F.broadcast(terms), "cui")
+        .join(concept_descriptions, "concept_iri", "left")
+        .withColumn("score", link_score("description", "term"))
+    )
+    winners = (
+        rank_candidates(scored, "concept_iri", "score", tiebreak="cui")
+        .where((F.col("rank") == 1) & (F.col("score") > 0))
+        .select("concept_iri", F.col("cui").alias("_match_cui"))
+    )
+    matched = (
+        rejects.join(winners, "concept_iri", "left")
+        .withColumn(
+            "cuis",
+            F.when(F.col("_match_cui").isNotNull(), F.array("_match_cui")).otherwise(
+                F.col("cuis")
+            ),
+        )
+        .withColumn(
+            "cui_stage",
+            F.when(F.col("_match_cui").isNotNull(), STAGE_MATCH).otherwise(
+                F.col("cui_stage")
+            ),
+        )
+        .withColumn("matched", F.col("_match_cui").isNotNull())
+        .drop("_match_cui")
+    )
+    return rest.unionByName(matched)
+
+
 def concept_descriptions(ontology_labels: DataFrame) -> DataFrame:
     """P3/A7 — concatenated prefLabel description per concept
     (BaseOntologyDelegate.java:148-170): all prefLabels joined in sorted

@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 from sifr_project_java_ontology_processing_spark.functions.uris import (
     RDF_TYPE,
     SIFR_MENTION,
+    SKOS_CHANGE_NOTE,
     SKOS_CONCEPT,
+    SKOS_NOTATION,
     UMLS_CUI,
     UMLS_HAS_STY,
     UMLS_TUI,
@@ -41,8 +43,10 @@ from sifr_project_java_ontology_processing_spark.functions.uris import (
 )
 from sifr_project_java_ontology_processing_spark.operators import metrics as M
 from sifr_project_java_ontology_processing_spark.operators.cascade import (
+    STAGE_OWN,
     cui_cascade,
     tui_cascade,
+    umls_comparison_counters,
 )
 from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
     canonical_mapping,
@@ -59,6 +63,12 @@ EQUIVALENCE_PROPERTIES = [
     expand("skos:exactMatch"),
     expand("owl:sameAs"),
 ]
+
+# E5 tail — the reference's provenance note added next to auto-added
+# CUIs/TUIs (OntologyCUIProcessor.java:45, updateCUIs :311-314).
+CUI_ADDED_NOTE = (
+    "Le LIRMM a enrichi ce concept en CUI et TUI par un processus automatique"
+)
 
 
 @dataclass
@@ -97,6 +107,17 @@ def run_kg_pipeline(
             resumed.append(name)
         return store.materialize(name, thunk, partition_by)
 
+    def dim_stage(name: str, thunk) -> DataFrame:
+        """Dimension-sized stage: with a store it materializes like any
+        stage; without one it is CACHED — triple assembly references the
+        cascade 3× and the canonical dictionary 4×, and re-running the
+        whole dim DAG (a dozen broadcast builds + the CC fixpoint) per
+        branch is pure fixed cost that caps N→4N scaling efficiency
+        (BENCH/BASELINE.md: ~9.6 s constant regardless of core count)."""
+        if store is not None:
+            return stage(name, thunk)
+        return thunk().persist()
+
     # -- stage 1: extraction (map-only) ------------------------------------
     extracted = stage("extracted", lambda: extract_pages(pages))
 
@@ -118,12 +139,14 @@ def run_kg_pipeline(
         )
         c = tui_cascade(c, mappings, umls_semtypes, own_tuis=own_tuis)
         if disambiguate_cuis:
+            # keep the `disambiguated` flag: triple assembly uses it for
+            # the changeNote provenance triples (cuiAddedNotesToAdd)
             c = disambiguate(
                 c, concept_descriptions(ontology_labels), umls_concepts
-            ).drop("disambiguated")
+            )
         return c
 
-    cascade_df = stage("cascade", _cascade)
+    cascade_df = dim_stage("cascade", _cascade)
 
     # -- stage 4: canonical IRI dictionary (CC over equivalence edges) ------
     def _canonical() -> DataFrame:
@@ -132,7 +155,7 @@ def run_kg_pipeline(
         ).distinct()
         return canonical_mapping(mappings, EQUIVALENCE_PROPERTIES, all_iris)
 
-    canonical = stage("canonical", _canonical)
+    canonical = dim_stage("canonical", _canonical)
 
     # -- stage 5: triple assembly -------------------------------------------
     def _triples() -> DataFrame:
@@ -195,8 +218,55 @@ def run_kg_pipeline(
                 F.lit(None).cast("string").alias("src_url"),
             )
         )
-        return mention_triples.unionByName(type_triples).unionByName(
-            literal_triples
+
+        # E5 tail (updateCodeNotes, OntologyCUIProcessor.java:326-340):
+        # persist the found code as skos:notation — but only for classes
+        # that don't already assert one (the SKOSNotationCodeFinder null
+        # check :333-335).
+        has_notation = (
+            ontology_labels.where(F.col("label_kind") == "notation")
+            .select("concept_iri")
+            .distinct()
+        )
+        notation_triples = (
+            enriched.where(F.col("code").isNotNull())
+            .join(F.broadcast(has_notation), "concept_iri", "left_anti")
+            .select(
+                F.col("canon").alias("subj"),
+                F.lit(SKOS_NOTATION).alias("pred"),
+                F.col("code").alias("obj"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit(True).alias("obj_is_literal"),
+                F.lit(None).cast("string").alias("src_url"),
+            )
+            .distinct()
+        )
+
+        # cuiAddedNotesToAdd (:150-156 + updateCUIs :311-314): a French
+        # skos:changeNote on every class whose CUIs were ADDED by the
+        # run — any non-own stage that produced CUIs, plus own-stage
+        # classes the disambiguator rewrote (when -dc ran).
+        added = (F.col("cui_stage") != STAGE_OWN) & (F.size("cuis") > 0)
+        if "disambiguated" in enriched.columns:
+            added = added | ((F.col("cui_stage") == STAGE_OWN) & F.col("disambiguated"))
+        note_triples = (
+            enriched.where(added)
+            .select(
+                F.col("canon").alias("subj"),
+                F.lit(SKOS_CHANGE_NOTE).alias("pred"),
+                F.lit(CUI_ADDED_NOTE).alias("obj"),
+                F.lit("fr").alias("obj_lang"),
+                F.lit(True).alias("obj_is_literal"),
+                F.lit(None).cast("string").alias("src_url"),
+            )
+            .distinct()
+        )
+
+        return (
+            mention_triples.unionByName(type_triples)
+            .unionByName(literal_triples)
+            .unionByName(notation_triples)
+            .unionByName(note_triples)
         )
 
     triples = stage("triples", _triples)
@@ -222,11 +292,21 @@ def run_kg_pipeline(
 
     # -- metrics / lineage -----------------------------------------------------
     def _metrics() -> DataFrame:
+        # A9 parity: ambiguous / less-than-UMLS / more-than-UMLS counters
+        # (compareCUIsToUMLS, OntologyCUIProcessor.java:235-246)
+        compare = umls_comparison_counters(cascade_df, umls_concepts).select(
+            F.lit(run_id).alias("run_id"),
+            F.lit("cascade").alias("stage"),
+            F.lit(-1).alias("part_id"),
+            "counter",
+            "value",
+        )
         return (
             M.partition_counts(extracted, run_id, "extracted")
             .unionByName(M.partition_counts(mentions, run_id, "mentions"))
             .unionByName(M.counter_metrics(cascade_df, run_id, "cascade", "cui_stage"))
             .unionByName(M.counter_metrics(cascade_df, run_id, "cascade", "tui_stage"))
+            .unionByName(compare)
             .unionByName(M.partition_counts(triples, run_id, "triples", part_col="__none__"))
         )
 

@@ -700,6 +700,68 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
 
 
+@register(
+    "rdf_roundtrip",
+    """
+    SELECT 'http://ex/n/' || n_name AS subj, p.pred AS pred,
+           CASE p.pred
+             WHEN 'http://ex/p/in_region' THEN 'http://ex/r/' || CAST(n_regionkey AS VARCHAR)
+             WHEN 'http://ex/p/label' THEN n_name
+             ELSE n_name || ' has "quotes" and \\ and ' || chr(9) || chr(10) || 'end'
+           END AS obj,
+           CASE p.pred WHEN 'http://ex/p/label' THEN 'en' END AS obj_lang,
+           p.pred <> 'http://ex/p/in_region' AS obj_is_literal
+    FROM nation
+    CROSS JOIN (VALUES ('http://ex/p/in_region'), ('http://ex/p/label'),
+                       ('http://ex/p/note')) AS p(pred)
+    """,
+)
+def q_rdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S8 round-trip: triples built from nation → N-Triples line
+    serialization (rdf_sink) → parsed back (rdf_io), including the
+    escaping gauntlet (quotes, backslash, tab, newline). The oracle is
+    the ORIGINAL triple set — a hash match proves format∘parse is the
+    identity."""
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        parse_ntriples_lines,
+    )
+    from sifr_project_java_ontology_processing_spark.sources.rdf_sink import (
+        to_ntriples_lines,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    subj = F.concat(F.lit("http://ex/n/"), F.col("n_name"))
+    iri_t = n.select(
+        subj.alias("subj"),
+        F.lit("http://ex/p/in_region").alias("pred"),
+        F.concat(F.lit("http://ex/r/"), F.col("n_regionkey").cast("string")).alias("obj"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(False).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("src_url"),
+    )
+    lang_t = n.select(
+        subj.alias("subj"),
+        F.lit("http://ex/p/label").alias("pred"),
+        F.col("n_name").alias("obj"),
+        F.lit("en").alias("obj_lang"),
+        F.lit(True).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("src_url"),
+    )
+    gnarly = n.select(
+        subj.alias("subj"),
+        F.lit("http://ex/p/note").alias("pred"),
+        F.concat(F.col("n_name"), F.lit(' has "quotes" and \\ and \t\nend')).alias("obj"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(True).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("src_url"),
+    )
+    triples = iri_t.unionByName(lang_t).unionByName(gnarly)
+    lines = to_ntriples_lines(triples)
+    return parse_ntriples_lines(lines, "line").select(
+        "subj", "pred", "obj", "obj_lang", "obj_is_literal"
+    )
+
+
 def _lsh_planes_values(dim: int, n_planes: int) -> str:
     """Inline the deterministic md5-derived hyperplanes as DuckDB list
     literals so the oracle replays the exact bucket assignment (the

@@ -156,9 +156,12 @@ def make_fixture(
         # high-uppercase label (W2 heuristic fodder)
         if i % 6 == 3:
             fx.ontology_labels.append((iri, word.upper() + " SYNDROME", "hidden", "en"))
-        # notation code
+        # notation code — every 8th concept omits the skos:notation label
+        # so its code only exists via the URI-fragment finder (F5) and the
+        # pipeline must ADD the notation triple (updateCodeNotes :333-335)
         fx.concept_codes[iri] = code
-        fx.ontology_labels.append((iri, code, "notation", ""))
+        if i % 8 != 5:
+            fx.ontology_labels.append((iri, code, "notation", ""))
         # directly asserted CUIs for a third of concepts (cascade stage 1)
         if i % 3 == 0:
             fx.concept_cuis[iri] = [f"C{2000000 + i:07d}"]

@@ -88,3 +88,77 @@ def test_cascade_joins_are_broadcast(spark, kg_fixture, kg_tables):
     df = _cascade_df(spark, kg_fixture, kg_tables)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_named_classes_owl_else_skos_fallback(spark):
+    """S2 (BaseOntologyDelegate.java:173-190): named owl:Class subjects;
+    fall back to skos:Concept subjects when the ontology declares none."""
+    from sifr_project_java_ontology_processing_spark.operators.cascade import named_classes
+
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    OWL_CLASS = "http://www.w3.org/2002/07/owl#Class"
+    SKOS_CONCEPT = "http://www.w3.org/2004/02/skos/core#Concept"
+    owl_triples = spark.createDataFrame(
+        [
+            ("http://x/A", RDF_TYPE, OWL_CLASS),
+            ("_:anon1", RDF_TYPE, OWL_CLASS),          # blank node excluded
+            ("http://x/K", RDF_TYPE, SKOS_CONCEPT),    # ignored: owl wins
+            ("http://x/A", "http://p/q", "v"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    assert {r["concept_iri"] for r in named_classes(owl_triples).collect()} == {"http://x/A"}
+    skos_only = spark.createDataFrame(
+        [
+            ("http://x/K1", RDF_TYPE, SKOS_CONCEPT),
+            ("http://x/K2", RDF_TYPE, SKOS_CONCEPT),
+        ],
+        "subj string, pred string, obj string",
+    )
+    assert {r["concept_iri"] for r in named_classes(skos_only).collect()} == {
+        "http://x/K1", "http://x/K2",
+    }
+
+
+def test_ontology_name_from_path():
+    """F8 (BaseOntologyDelegate.java:74-107)."""
+    from sifr_project_java_ontology_processing_spark.operators.cascade import (
+        ontology_name_from_path,
+    )
+
+    assert ontology_name_from_path("/data/onto/MSHFRE.ttl") == "MSHFRE"
+    assert ontology_name_from_path("MDRFRE.owl.bz2") == "MDRFRE"
+    assert ontology_name_from_path("http://host/onto/CIM-10.xrdf") == "CIM-10"
+    assert ontology_name_from_path("/data/plainname") == "plainname"
+
+
+def test_umls_comparison_counters(spark):
+    """A9 tail (compareCUIsToUMLS :235-246): ambiguous count + less/more
+    vs the UMLS code→CUI map; unknown non-null code counts as 0 (MORE)."""
+    from sifr_project_java_ontology_processing_spark.operators.cascade import (
+        umls_comparison_counters,
+    )
+
+    cascade_out = spark.createDataFrame(
+        [
+            ("c:less", "X1", ["C1", "C2"], "own_cui"),        # umls has 3
+            ("c:more", "X2", ["C1", "C2", "C3"], "own_cui"),  # umls has 1
+            ("c:eq", "X3", ["C1", "C2"], "own_cui"),          # umls has 2
+            ("c:unknown", "X9", ["C1", "C2"], "own_cui"),     # code not in umls -> 0 -> more
+            ("c:nocode", None, ["C1", "C2"], "own_cui"),      # skipped by null guard
+            ("c:single", "X1", ["C1"], "own_cui"),            # not ambiguous
+        ],
+        "concept_iri string, code string, cuis array<string>, cui_stage string",
+    )
+    umls = spark.createDataFrame(
+        [("X1", f"C{i}", "ENG", "s") for i in range(3)]
+        + [("X2", "C0", "ENG", "s")]
+        + [("X3", "C0", "ENG", "s"), ("X3", "C1", "ENG", "s")],
+        "code string, cui string, lat string, str string",
+    )
+    got = {r["counter"]: r["value"] for r in umls_comparison_counters(cascade_out, umls).collect()}
+    assert got == {
+        "classes_with_ambiguous_cui": 5,
+        "classes_with_less_cuis_than_umls": 1,
+        "classes_with_more_cuis_than_umls": 2,
+    }

@@ -9,13 +9,16 @@ import pytest
 from sifr_project_java_ontology_processing_spark.functions.uris import (
     RDF_TYPE,
     SIFR_MENTION,
+    SKOS_CHANGE_NOTE,
     SKOS_CONCEPT,
+    SKOS_NOTATION,
     UMLS_CUI,
     UMLS_HAS_STY,
     UMLS_TUI,
     STY_BASE,
 )
 from sifr_project_java_ontology_processing_spark.plans.kg_pipeline import (
+    CUI_ADDED_NOTE,
     EQUIVALENCE_PROPERTIES,
     run_kg_pipeline,
 )
@@ -59,12 +62,21 @@ def golden_triples(fx) -> set[tuple[str, str, str]]:
     for url, _ts, _html, text, _lang in fx.pages:
         for _i, concept, _ln in mentions_oracle(text, fx.ontology_labels):
             triples.add((url, SIFR_MENTION, canon(concept)))
+    has_notation = {
+        c for (c, _l, k, _g) in fx.ontology_labels if k == "notation"
+    }
     for c, (code, cuis, stage, tuis, tstage) in cascade_oracle(fx).items():
         for cui in cuis:
             triples.add((canon(c), UMLS_CUI, cui))
         for tui in tuis:
             triples.add((canon(c), UMLS_TUI, tui))
             triples.add((canon(c), UMLS_HAS_STY, f"{STY_BASE}{tui}/"))
+        # updateCodeNotes: add skos:notation only where absent
+        if code is not None and c not in has_notation:
+            triples.add((canon(c), SKOS_NOTATION, code))
+        # cuiAddedNotesToAdd: changeNote wherever CUIs were ADDED
+        if cuis and stage != "own_cui":
+            triples.add((canon(c), SKOS_CHANGE_NOTE, CUI_ADDED_NOTE))
     return triples
 
 
@@ -124,6 +136,30 @@ def test_pipeline_metrics_lineage(spark, kg_fixture, kg_tables):
     # per-partition lineage present (multiple part_ids for extracted)
     parts = {r["part_id"] for r in rows if r["stage"] == "extracted"}
     assert len(parts) >= 1 and all(p >= 0 for p in parts)
+    # A9 parity counters (compareCUIsToUMLS :235-246) vs the oracle
+    got = {
+        r["counter"]: r["value"]
+        for r in rows
+        if r["counter"].startswith("classes_with_")
+    }
+    oracle = cascade_oracle(kg_fixture)
+    ambiguous = {c: v for c, v in oracle.items() if len(v[1]) > 1}
+    umls_by_code = {}
+    for code, cui, _lat, _s in kg_fixture.umls_concepts:
+        umls_by_code.setdefault(code, set()).add(cui)
+    want_less = sum(
+        1 for c, (code, cuis, *_rest) in ambiguous.items()
+        if code is not None and len(umls_by_code.get(code, ())) > len(cuis)
+    )
+    want_more = sum(
+        1 for c, (code, cuis, *_rest) in ambiguous.items()
+        if code is not None and len(umls_by_code.get(code, ())) < len(cuis)
+    )
+    assert got == {
+        "classes_with_ambiguous_cui": len(ambiguous),
+        "classes_with_less_cuis_than_umls": want_less,
+        "classes_with_more_cuis_than_umls": want_more,
+    }, got
 
 
 def test_pipeline_resume_identical(spark, kg_fixture, kg_tables, tmp_path):

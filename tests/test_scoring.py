@@ -78,6 +78,50 @@ def test_disambiguate_top1_replaces_set(spark):
     assert got["c:noterm"] == (["C0000007", "C0000008"], False)
 
 
+def test_match_fallback_rescues_zero_cui_concepts(spark):
+    """-mc path (OntologyCUIProcessor.java:149-152): concepts the whole
+    cascade failed get matched against the FULL UMLS term map; concepts
+    that already have CUIs are untouched (that's -dc's job)."""
+    from sifr_project_java_ontology_processing_spark.operators.scoring import (
+        match_fallback,
+    )
+
+    cascade_out = spark.createDataFrame(
+        [
+            ("c:empty", "X1", [], "remaining_without_cui"),
+            ("c:hopeless", "X2", [], "remaining_without_cui"),
+            ("c:has", "X3", ["C0000001", "C0000002"], "own_cui"),
+        ],
+        "concept_iri string, code string, cuis array<string>, cui_stage string",
+    )
+    descriptions = spark.createDataFrame(
+        [
+            ("c:empty", "chronic aorta disease"),
+            ("c:hopeless", "zzz qqq www"),  # shares no token with any term
+            ("c:has", "whatever"),
+        ],
+        "concept_iri string, description string",
+    )
+    umls = spark.createDataFrame(
+        [
+            ("Y1", "C0000101", "ENG", "aorta disease"),
+            ("Y2", "C0000102", "ENG", "chronic nothing"),
+            ("Y3", "C0000103", "ENG", "unrelated term"),
+        ],
+        "code string, cui string, lat string, str string",
+    )
+    got = {
+        r["concept_iri"]: (list(r["cuis"]), r["cui_stage"], r["matched"])
+        for r in match_fallback(cascade_out, descriptions, umls).collect()
+    }
+    # best overlap+score: 'aorta disease' (2 shared tokens)
+    assert got["c:empty"] == (["C0000101"], "matched_umls_fallback", True)
+    # no token overlap anywhere → stays an explicit reject
+    assert got["c:hopeless"] == ([], "remaining_without_cui", False)
+    # multi-CUI concept untouched by -mc
+    assert got["c:has"] == (["C0000001", "C0000002"], "own_cui", False)
+
+
 def test_concept_descriptions_sorted_concat(spark, kg_tables):
     df = concept_descriptions(kg_tables["ontology_labels"])
     row = df.where(F.col("concept_iri").endswith("#A000")).collect()[0]
