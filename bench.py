@@ -30,10 +30,12 @@ HEADLINE = [
     "fallback_cascade",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_lsh_verified",   # round 2: the canonical LSH→verify scale path
     "ann_cosine_topk",
     "embedding_neardup",
     "cc_components",
     "events_hourly",
+    "tfidf_link_score",     # round 2: north_star TF-IDF context scorer
 ]
 
 

@@ -148,26 +148,6 @@ def jaccard_verify(
     )
 
 
-def minhash_sig_expr(text_col, n: int = 5, k: int = 8) -> Column:
-    """Per-row MinHash signature expression: sig[i] =
-    min(md5(i || '|' || shingle)) over the doc's distinct shingles.
-    Null when the doc has no shingles.
-
-    md5-lexicographic-min is a valid uniform MinHash family and is
-    byte-reproducible in any engine (the DuckDB oracle replays it).
-    Pure array expressions — the signature never shuffles."""
-    sh = shingle_array(text_col, n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda s: F.array_min(
-            F.transform(
-                sh,
-                lambda g: F.md5(F.concat(s.cast("string"), F.lit("|"), g)),
-            )
-        ),
-    )
-
-
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -175,14 +155,34 @@ def minhash_signatures(
     n: int = 5,
     k: int = 8,
 ) -> DataFrame:
-    """→ (id, sig array<string>[k]) for docs with ≥1 shingle. Map-only:
-    one output row per doc, zero shuffle (the old explode-shingles →
-    double-groupBy formulation shuffled k rows per doc plus one row per
-    (doc, shingle))."""
-    sh = shingle_array(F.col(text_col), n)
-    return (
-        docs.where(F.size(sh) > 0)
-        .select(F.col(id_col), minhash_sig_expr(F.col(text_col), n, k).alias("sig"))
+    """→ (id, sig array<string>[k]) for docs with ≥1 shingle, where
+    sig[i] = min(md5(i || '|' || shingle)) over the doc's distinct
+    shingles. md5-lexicographic-min is a valid uniform MinHash family
+    and byte-reproducible in any engine (the DuckDB oracle replays it).
+
+    Shape (third iteration, measured): one explode to (doc, shingle),
+    the k seeded hashes as k SCALAR md5 COLUMNS (whole-stage codegen,
+    no lambdas), then ONE hash aggregate of k min()s. Catalyst's
+    partial aggregation combines map-side, so the only shuffle carries
+    ~one k-wide row per doc per map partition.
+      * round-1 shape (explode shingles × k seeds → two groupBys)
+        shuffled k rows per (doc, shingle);
+      * a per-row higher-order fold (zero shuffle) is interpreted, not
+        codegen'd — measured ~1.5× slower than this at sf0.1, and
+        CPU beats a combined shuffle at every scale."""
+    sh = doc_shingles(docs, id_col, text_col, n)
+    hashed = sh.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle"))).alias(f"_h{s}")
+            for s in range(k)
+        ],
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{s}").alias(f"_m{s}") for s in range(k)]
+    )
+    return mins.select(
+        id_col, F.array(*[F.col(f"_m{s}") for s in range(k)]).alias("sig")
     )
 
 
@@ -285,20 +285,24 @@ def _simhash_expr(hxs: Column, bits: int) -> Column:
             val = F.when(b == 63, F.lit(-9223372036854775808)).otherwise(val)
         return val
 
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("bigint"),
-        lambda acc, b: acc
-        + F.when(
-            F.aggregate(
-                hxs,
-                F.lit(0),
-                lambda v, hx: v + F.when(_hex_bit(hx, b) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            _bit_value(b),
-        ).otherwise(F.lit(0).cast("bigint")),
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    # ONE fold over the token-hash array carrying a bits-wide vote
+    # accumulator: hxs is the aggregate's argument (evaluated once per
+    # row); the inverted form (fold over bits, inner aggregate over
+    # hxs) re-hashes every token once PER BIT — no CSE inside lambdas.
+    votes = F.aggregate(
+        hxs,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, hx: F.zip_with(
+            acc, idx, lambda a, b: a + F.when(_hex_bit(hx, b) == 1, 1).otherwise(-1)
+        ),
     )
+    bit_values = F.zip_with(
+        votes,
+        idx,
+        lambda v, b: F.when(v > 0, _bit_value(b)).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bit_values, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
 def simhash64(

@@ -1,0 +1,179 @@
+"""Entity-link scoring: TF-IDF context vectors (north_star: "candidate
+entity-link scoring via TF-IDF context vectors plus label-edit-distance
+features" — operators/scoring.link_score supplies the edit-distance
+half; this module supplies the context-vector half).
+
+No reference analog (the reference scores ontology labels against
+ontology terms, never against page context); this is the north_star's
+own stage. Design is pure Catalyst — explode/groupBy/join, no UDF:
+
+    1. corpus DF statistics: one pass over (doc, token) pairs →
+       per-token document frequency → idf = ln((N+1)/(df+1)) + 1
+       (smoothed, strictly positive).
+    2. document context vectors: tf(token, doc) × idf, L2-normalized.
+    3. candidate descriptions get the same vectorization (broadcast —
+       the concept dimension is ontology-sized).
+    4. score(doc, concept) = cosine = Σ_shared w_doc·w_desc — computed
+       as an equi-join on token + groupBy (doc, concept): shuffle keyed
+       on token then on the pair, never a doc × concept product.
+
+Scale: the token join's fan-out is bounded by stop-token removal
+(``max_token_df``), the same guardrail as scoring.match_fallback and
+dedup's stop-shingle cap. IDF weighting makes hot tokens nearly
+worthless anyway — dropping them changes scores by ε while removing the
+quadratic blowup; the cap is honest about that trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token, tf) — lowercased whitespace tokens with counts."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def idf_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """(token, idf): smoothed inverse document frequency over the
+    corpus, idf = ln((N+1)/(df+1)) + 1. ``max_token_df`` drops
+    stop-tokens entirely (df above cap) — the scale guardrail."""
+    n_docs = docs.count()
+    df_counts = (
+        _doc_tokens(docs, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    if max_token_df is not None:
+        df_counts = df_counts.where(F.col("df") <= max_token_df)
+    return df_counts.select(
+        "token",
+        (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+    )
+
+
+def tfidf_vectors(
+    df: DataFrame,
+    idf: DataFrame,
+    id_col: str,
+    text_col: str,
+    broadcast_idf: bool = False,
+) -> DataFrame:
+    """(id, token, w): L2-normalized tf·idf weights. Tokens absent from
+    the idf table (stop-dropped or unseen) vanish — exactly the ε the
+    cap trades away."""
+    idf_side = F.broadcast(idf) if broadcast_idf else idf
+    weighted = (
+        _doc_tokens(df, id_col, text_col)
+        .join(idf_side, "token")
+        .select(F.col(id_col), "token", (F.col("tf") * F.col("idf")).alias("w_raw"))
+    )
+    norms = weighted.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("norm")
+    )
+    return weighted.join(norms, id_col).select(
+        F.col(id_col), "token", (F.col("w_raw") / F.col("norm")).alias("w")
+    )
+
+
+def tfidf_link_scores(
+    docs: DataFrame,
+    candidates: DataFrame,
+    descriptions: DataFrame,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    concept_id: str = "concept_iri",
+    desc_col: str = "description",
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Cosine(TF-IDF(document context), TF-IDF(concept description))
+    for each candidate (doc, concept) pair.
+
+    candidates:   (doc_id, concept_iri) — e.g. distinct mention pairs
+    descriptions: (concept_iri, description)
+    → (doc_id, concept_iri, tfidf_cosine) rounded(6); pairs with zero
+      token overlap score 0.0 (kept — a candidate with no contextual
+      support is a signal, not a missing row).
+
+    Plan shape: both vectorizations share ONE corpus idf table; the
+    score join is token-keyed (doc side) × broadcast (description side
+    is ontology-dimension), then one groupBy on the candidate pair. No
+    doc × concept product anywhere."""
+    idf = idf_table(docs, doc_id, text_col, max_token_df=max_token_df)
+    doc_vecs = tfidf_vectors(docs, idf, doc_id, text_col)
+    desc_vecs = tfidf_vectors(descriptions, idf, concept_id, desc_col, broadcast_idf=False)
+
+    pair_overlap = (
+        doc_vecs.join(
+            F.broadcast(desc_vecs.withColumnRenamed("w", "w_desc")), "token"
+        )
+        .select(doc_id, concept_id, (F.col("w") * F.col("w_desc")).alias("contrib"))
+        .groupBy(doc_id, concept_id)
+        .agg(F.sum("contrib").alias("cos"))
+    )
+    return (
+        candidates.join(pair_overlap, [doc_id, concept_id], "left")
+        .select(
+            doc_id,
+            concept_id,
+            F.round(F.coalesce("cos", F.lit(0.0)), 6).alias("tfidf_cosine"),
+        )
+    )
+
+
+def score_mentions(
+    extracted: DataFrame,
+    mentions: DataFrame,
+    descriptions: DataFrame,
+    max_token_df: int | None = 10_000,
+) -> DataFrame:
+    """north_star link scorer over detected mentions: TF-IDF context
+    cosine (page text vs concept description) blended with a
+    label-edit-distance surface feature. Opt-in pipeline stage
+    (kg_pipeline score_links=True).
+
+    extracted:    (url, extracted_text, …) — stage-1 output
+    mentions:     MENTIONS schema (url, surface, concept_iri, …)
+    descriptions: (concept_iri, description)
+    → (url, concept_iri, surface, tfidf_cosine, surface_sim, link_score)
+      one row per distinct (url, concept, surface)."""
+    cands = mentions.select("url", "concept_iri", "surface").distinct()
+    ctx = tfidf_link_scores(
+        extracted.select("url", "extracted_text"),
+        cands.select("url", "concept_iri").distinct(),
+        descriptions,
+        doc_id="url",
+        text_col="extracted_text",
+        max_token_df=max_token_df,
+    )
+    scored = (
+        cands.join(ctx, ["url", "concept_iri"])
+        .join(F.broadcast(descriptions), "concept_iri", "left")
+    )
+    lev = F.levenshtein(F.lower("surface"), F.lower(F.coalesce("description", F.lit(""))))
+    maxlen = F.greatest(F.length("surface"), F.length(F.coalesce("description", F.lit(""))), F.lit(1))
+    surface_sim = F.round(1.0 - lev / maxlen, 6)
+    return scored.select(
+        "url",
+        "concept_iri",
+        "surface",
+        "tfidf_cosine",
+        surface_sim.alias("surface_sim"),
+        F.round(0.7 * F.col("tfidf_cosine") + 0.3 * (1.0 - lev / maxlen), 6).alias(
+            "link_score"
+        ),
+    )

@@ -80,6 +80,8 @@ class PipelineResult:
     edges: DataFrame
     metrics: DataFrame
     stages_resumed: list[str] = field(default_factory=list)
+    # opt-in (score_links=True): per-(url, concept, surface) link scores
+    scored_mentions: DataFrame | None = None
 
 
 def run_kg_pipeline(
@@ -95,6 +97,7 @@ def run_kg_pipeline(
     store: StageStore | None = None,
     run_id: str = "run0",
     disambiguate_cuis: bool = True,
+    score_links: bool = False,
 ) -> PipelineResult:
     """Compose the full pipeline. With a ``store``, each stage snapshot
     commits under ``root/run_id/<stage>`` and re-runs resume."""
@@ -109,14 +112,20 @@ def run_kg_pipeline(
 
     def dim_stage(name: str, thunk) -> DataFrame:
         """Dimension-sized stage: with a store it materializes like any
-        stage; without one it is CACHED — triple assembly references the
-        cascade 3× and the canonical dictionary 4×, and re-running the
-        whole dim DAG (a dozen broadcast builds + the CC fixpoint) per
-        branch is pure fixed cost that caps N→4N scaling efficiency
-        (BENCH/BASELINE.md: ~9.6 s constant regardless of core count)."""
+        stage; without one it is cached EAGERLY (localCheckpoint) —
+        triple assembly references the cascade 3× and the canonical
+        dictionary 4×, and re-running the whole dim DAG (a dozen
+        broadcast builds + the CC fixpoint) per branch is pure fixed
+        cost that caps N→4N scaling efficiency (BENCH/BASELINE.md:
+        ~9.6 s constant regardless of core count). A lazy persist is
+        not enough: the union's branches run concurrently inside one
+        job and each computes the unpopulated cache. localCheckpoint
+        also CUTS THE LINEAGE, so the triple job's plan contains the
+        tiny materialized table instead of the dim DAG replicated per
+        branch."""
         if store is not None:
             return stage(name, thunk)
-        return thunk().persist()
+        return thunk().localCheckpoint(eager=True)
 
     # -- stage 1: extraction (map-only) ------------------------------------
     extracted = stage("extracted", lambda: extract_pages(pages))
@@ -312,6 +321,21 @@ def run_kg_pipeline(
 
     metrics_df = stage("metrics", _metrics)
 
+    # -- optional: north_star link scorer (TF-IDF context + edit distance)
+    scored = None
+    if score_links:
+        from sifr_project_java_ontology_processing_spark.operators.linkscore import (
+            score_mentions,
+        )
+        from sifr_project_java_ontology_processing_spark.operators.scoring import (
+            concept_descriptions as _descs,
+        )
+
+        scored = stage(
+            "scored_mentions",
+            lambda: score_mentions(extracted, mentions, _descs(ontology_labels)),
+        )
+
     return PipelineResult(
         extracted=extracted,
         mentions=mentions,
@@ -320,4 +344,5 @@ def run_kg_pipeline(
         edges=edges,
         metrics=metrics_df,
         stages_resumed=resumed,
+        scored_mentions=scored,
     )

