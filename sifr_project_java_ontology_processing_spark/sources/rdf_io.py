@@ -21,9 +21,14 @@ Format coverage, stated honestly:
     machine-generated dictionaries; full Turtle needs a real parser
     (Jena-equivalent), which the reference gets from Jena, not from
     its own code.
-  * RDF/XML: not line-splittable — out of scope for the distributed
-    text path (use the SPARQL-XML converter's mapInPandas SAX pattern,
-    sources/sparql_xml.py, per ontology file if ever needed).
+  * RDF/XML (the reference's DEFAULT format): not line-splittable, so
+    it parallelizes ACROSS FILES instead — ``binaryFile`` source → one
+    streaming SAX parse per file inside ``mapInPandas`` (the same
+    pattern as sources/sparql_xml.py). Subset: rdf:Description and
+    typed node elements, rdf:about/ID/nodeID, nested node elements,
+    rdf:resource, property attributes, xml:lang (inherited),
+    rdf:datatype (stripped, P5 semantics). rdf:parseType raises —
+    honestly unsupported rather than silently wrong.
 
 ``strict=True`` (default) raises if any non-comment line fails to
 parse — silent row loss is how ingestion bugs hide.
@@ -182,15 +187,156 @@ def read_turtle_lines(spark: SparkSession, path: str, strict: bool = True) -> Da
     return parsed.where(F.col("subj").isNotNull()).drop("_raw")
 
 
+# --------------------------------------------------------------------------
+# RDF/XML (the reference's default input format)
+# --------------------------------------------------------------------------
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+
+
+def _parse_rdfxml_bytes(data: bytes, src: str | None) -> list[tuple]:
+    """One streaming SAX pass over an RDF/XML document → TRIPLES rows.
+    Pure function (testable without Spark); runs on executors inside
+    read_rdfxml's mapInPandas."""
+    import xml.sax
+
+    triples: list[tuple] = []
+
+    class Handler(xml.sax.ContentHandler):
+        def __init__(self) -> None:
+            super().__init__()
+            # frames: ["node", subj, lang] | ["prop", pred, lang, obj_iri, text_parts]
+            self.stack: list[list] = []
+            self.blank_n = 0
+
+        def _lang(self, attrs) -> str | None:
+            lang = attrs.get((_XML_NS, "lang"))
+            if lang is not None:
+                return lang
+            for frame in reversed(self.stack):
+                if frame[2] is not None:
+                    return frame[2]
+            return None
+
+        def _new_blank(self) -> str:
+            self.blank_n += 1
+            return f"_:b{self.blank_n}"
+
+        def startElementNS(self, name, qname, attrs) -> None:
+            uri, local = name
+            full = (uri or "") + local
+            if full == f"{_RDF_NS}RDF":
+                return
+            lang = self._lang(attrs)
+            expecting_node = not self.stack or self.stack[-1][0] == "prop"
+            if expecting_node:
+                about = attrs.get((_RDF_NS, "about"))
+                rid = attrs.get((_RDF_NS, "ID"))
+                node_id = attrs.get((_RDF_NS, "nodeID"))
+                if about is not None:
+                    subj = about
+                elif rid is not None:
+                    subj = f"#{rid}"
+                elif node_id is not None:
+                    subj = f"_:{node_id}"
+                else:
+                    subj = self._new_blank()
+                if full != f"{_RDF_NS}Description":
+                    triples.append((subj, f"{_RDF_NS}type", full, None, False, src))
+                # property attributes → literal triples
+                for (auri, alocal), val in attrs.items():
+                    if auri in (None, "", _RDF_NS, _XML_NS):
+                        continue
+                    triples.append((subj, auri + alocal, val, lang, True, src))
+                # this node is the object of the enclosing property
+                if self.stack and self.stack[-1][0] == "prop":
+                    self.stack[-1][3] = subj
+                self.stack.append(["node", subj, lang])
+            else:
+                if attrs.get((_RDF_NS, "parseType")) is not None:
+                    raise NotImplementedError(
+                        "rdf:parseType is outside this reader's RDF/XML subset"
+                    )
+                res = attrs.get((_RDF_NS, "resource"))
+                node_id = attrs.get((_RDF_NS, "nodeID"))
+                obj_iri = res if res is not None else (f"_:{node_id}" if node_id else None)
+                self.stack.append(["prop", full, lang, obj_iri, []])
+
+        def characters(self, content: str) -> None:
+            if self.stack and self.stack[-1][0] == "prop":
+                self.stack[-1][4].append(content)
+
+        def endElementNS(self, name, qname) -> None:
+            uri, local = name
+            if (uri or "") + local == f"{_RDF_NS}RDF":
+                return
+            frame = self.stack.pop()
+            if frame[0] != "prop":
+                return
+            _tag, pred, lang, obj_iri, parts = frame
+            subj = self.stack[-1][1]
+            if obj_iri is not None:
+                triples.append((subj, pred, obj_iri, None, False, src))
+            else:
+                text = "".join(parts).strip()
+                triples.append((subj, pred, text, lang, True, src))
+
+    parser = xml.sax.make_parser()
+    parser.setFeature(xml.sax.handler.feature_namespaces, True)
+    parser.setContentHandler(Handler())
+    import io
+
+    parser.parse(io.BytesIO(data))
+    return triples
+
+
+def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
+    """RDF/XML file(s) → TRIPLES DataFrame. Parallel ACROSS files
+    (binaryFile source, one SAX stream per file on the executor);
+    .gz/.bz2 decompressed in the parser task. This is the format
+    OntologyLoader.java:62-66 defaults to; subset limits in the module
+    docstring."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import bz2 as _bz2
+        import gzip as _gzip
+
+        cols = ["subj", "pred", "obj", "obj_lang", "obj_is_literal", "src_url"]
+        for pdf in it:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if p.endswith(".gz"):
+                    data = _gzip.decompress(data)
+                elif p.endswith(".bz2"):
+                    data = _bz2.decompress(data)
+                rows = _parse_rdfxml_bytes(data, p)
+                yield pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean, src_url string"
+    )
+    return files.mapInPandas(_parse, schema=schema)
+
+
 def load_model(spark: SparkSession, path: str) -> DataFrame:
     """Format dispatch mirroring OntologyLoader.loadModel:41-71 —
-    ``.ttl`` (incl. .ttl.gz/.bz2) → Turtle, everything else N-Triples
-    (the reference defaults to RDF/XML there; this engine's native
-    serialization is N-Triples, see module docstring)."""
+    ``.ttl`` → Turtle, ``.nt`` → N-Triples, XML-flavored extensions
+    (.owl/.xml/.xrdf/.rdf — the reference's RDF/XML default) →
+    read_rdfxml; anything else N-Triples (this engine's native
+    serialization). Compression suffixes are transparent."""
     base = path
     for ext in (".gz", ".bz2"):
         if base.endswith(ext):
             base = base[: -len(ext)]
     if base.endswith(".ttl"):
         return read_turtle_lines(spark, path)
+    if base.endswith((".owl", ".xml", ".xrdf", ".rdf")):
+        return read_rdfxml(spark, path)
     return read_ntriples(spark, path)

@@ -105,6 +105,72 @@ def test_turtle_subset(spark, tmp_path):
     }
 
 
+RDFXML = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:skos="http://www.w3.org/2004/02/skos/core#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#">
+  <owl:Class rdf:about="http://e/C1">
+    <skos:prefLabel xml:lang="fr">angine</skos:prefLabel>
+    <skos:notation>J02.9</skos:notation>
+    <skos:broader rdf:resource="http://e/C0"/>
+    <skos:related>
+      <owl:Class rdf:about="http://e/C2">
+        <skos:prefLabel xml:lang="en">nested concept</skos:prefLabel>
+      </owl:Class>
+    </skos:related>
+  </owl:Class>
+  <rdf:Description rdf:about="http://e/C0" skos:altLabel="attr label"/>
+</rdf:RDF>
+"""
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+SKOS = "http://www.w3.org/2004/02/skos/core#"
+OWL_CLASS = "http://www.w3.org/2002/07/owl#Class"
+
+
+def test_rdfxml_reader_subset(spark, tmp_path):
+    """S12: typed nodes, nested node elements, rdf:resource, xml:lang,
+    property attributes — the RDF/XML surface the reference's SKOS
+    ontologies actually use."""
+    import gzip
+
+    p = tmp_path / "onto.owl.gz"
+    p.write_bytes(gzip.compress(RDFXML.encode()))
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import read_rdfxml
+
+    rows = read_rdfxml(spark, str(p)).collect()
+    got = {(r["subj"], r["pred"], r["obj"], r["obj_lang"], r["obj_is_literal"]) for r in rows}
+    assert got == {
+        ("http://e/C1", RDF_TYPE, OWL_CLASS, None, False),
+        ("http://e/C1", f"{SKOS}prefLabel", "angine", "fr", True),
+        ("http://e/C1", f"{SKOS}notation", "J02.9", None, True),
+        ("http://e/C1", f"{SKOS}broader", "http://e/C0", None, False),
+        ("http://e/C1", f"{SKOS}related", "http://e/C2", None, False),
+        ("http://e/C2", RDF_TYPE, OWL_CLASS, None, False),
+        ("http://e/C2", f"{SKOS}prefLabel", "nested concept", "en", True),
+        ("http://e/C0", f"{SKOS}altLabel", "attr label", None, True),
+    }
+    # every row carries file lineage
+    assert all(r["src_url"].endswith("onto.owl.gz") for r in rows)
+
+
+def test_rdfxml_parsetype_is_honest(spark):
+    import pytest as _pytest
+
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        _parse_rdfxml_bytes,
+    )
+
+    doc = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:x="http://x/"><rdf:Description rdf:about="http://e/A">'
+        '<x:p rdf:parseType="Resource"><x:q>v</x:q></x:p>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    with _pytest.raises(NotImplementedError, match="parseType"):
+        _parse_rdfxml_bytes(doc.encode(), None)
+
+
 def test_load_model_dispatch_and_cascade_integration(spark, tmp_path):
     """A .ttl ontology loads into a triples frame that feeds the S2
     class scan (cascade input path) — OntologyLoader.java:41-71 parity."""
