@@ -102,6 +102,52 @@ def cmd_skosgen(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_clean(args: argparse.Namespace) -> int:
+    """S13 — directory batch driver (OWLOntologyCleaner.java:45-63):
+    for each ontology file in --in-dir, load → clean labels → write a
+    cleaned model named after the ontology (F8). The per-file loop is
+    driver-side (the reference's listFiles()); each file's processing
+    is a distributed plan."""
+    import glob
+    import os
+
+    from sifr_project_java_ontology_processing_spark.operators.cascade import (
+        ontology_name_from_path,
+    )
+    from sifr_project_java_ontology_processing_spark.operators.cleaner import (
+        drop_alt_equal_pref,
+        keep_target_language,
+        synthesize_pref_labels,
+    )
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        labels_from_triples,
+        labels_to_triples,
+        load_model,
+    )
+    from sifr_project_java_ontology_processing_spark.sources.rdf_sink import (
+        write_ntriples,
+    )
+
+    spark = _spark("sifr-clean")
+    exts = (".nt", ".ttl", ".owl", ".xml", ".xrdf", ".rdf", ".gz", ".bz2")
+    files = sorted(
+        f for f in glob.glob(os.path.join(args.in_dir, "*"))
+        if f.endswith(exts) and os.path.isfile(f)
+    )
+    if not files:
+        print(f"no ontology files in {args.in_dir}")
+        return 1
+    for f in files:
+        name = ontology_name_from_path(f)
+        labels = labels_from_triples(load_model(spark, f))
+        labels = keep_target_language(labels, target_lang=args.lang)
+        labels = synthesize_pref_labels(labels, lang=args.lang)
+        labels = drop_alt_equal_pref(labels)
+        write_ntriples(labels_to_triples(labels), f"{args.out}/{name}")
+        print(f"{name}: DONE")  # reference :59 log line
+    return 0
+
+
 def cmd_kg(args: argparse.Namespace) -> int:
     from sifr_project_java_ontology_processing_spark.plans.kg_pipeline import (
         run_kg_pipeline,
@@ -165,6 +211,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("-l", "--lang", default="fr")
     s.add_argument("--single-file", action="store_true")
     s.set_defaults(fn=cmd_skosgen)
+
+    c = sub.add_parser("clean", help="batch ontology-label cleaner over a directory")
+    c.add_argument("--in-dir", dest="in_dir", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("-l", "--lang", default="fr")
+    c.set_defaults(fn=cmd_clean)
 
     k = sub.add_parser("kg", help="full KG-construction pipeline")
     k.add_argument("--pages", required=True)

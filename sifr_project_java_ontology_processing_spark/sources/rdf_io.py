@@ -325,6 +325,61 @@ def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(_parse, schema=schema)
 
 
+def labels_from_triples(triples: DataFrame) -> DataFrame:
+    """TRIPLES → ONTOLOGY_LABELS bridge: SKOS label assertions become
+    (concept_iri, label, label_kind, lang) rows — the dimension shape
+    every cleaner/cascade operator consumes. Untagged literals get
+    lang '' (the reference's keep-always convention)."""
+    from sifr_project_java_ontology_processing_spark.functions.uris import (
+        SKOS_ALT_LABEL,
+        SKOS_HIDDEN_LABEL,
+        SKOS_NOTATION,
+        SKOS_PREF_LABEL,
+    )
+
+    kind = (
+        F.when(F.col("pred") == SKOS_PREF_LABEL, "pref")
+        .when(F.col("pred") == SKOS_ALT_LABEL, "alt")
+        .when(F.col("pred") == SKOS_HIDDEN_LABEL, "hidden")
+        .when(F.col("pred") == SKOS_NOTATION, "notation")
+    )
+    return (
+        triples.where(F.col("obj_is_literal") & kind.isNotNull())
+        .select(
+            F.col("subj").alias("concept_iri"),
+            F.col("obj").alias("label"),
+            kind.alias("label_kind"),
+            F.coalesce("obj_lang", F.lit("")).alias("lang"),
+        )
+    )
+
+
+def labels_to_triples(labels: DataFrame) -> DataFrame:
+    """ONTOLOGY_LABELS → TRIPLES (inverse bridge, for writing cleaned
+    label sets back out through the RDF sink)."""
+    from sifr_project_java_ontology_processing_spark.functions.uris import (
+        SKOS_ALT_LABEL,
+        SKOS_HIDDEN_LABEL,
+        SKOS_NOTATION,
+        SKOS_PREF_LABEL,
+    )
+
+    pred = (
+        F.when(F.col("label_kind") == "pref", SKOS_PREF_LABEL)
+        .when(F.col("label_kind") == "alt", SKOS_ALT_LABEL)
+        .when(F.col("label_kind") == "hidden", SKOS_HIDDEN_LABEL)
+        .otherwise(SKOS_NOTATION)
+    )
+    return labels.select(
+        F.col("concept_iri").alias("subj"),
+        pred.alias("pred"),
+        F.col("label").alias("obj"),
+        F.when(F.col("lang") != "", F.col("lang")).alias("obj_lang"),
+        F.lit(True).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("src_url"),
+    )
+
+
 def load_model(spark: SparkSession, path: str) -> DataFrame:
     """Format dispatch mirroring OntologyLoader.loadModel:41-71 —
     ``.ttl`` → Turtle, ``.nt`` → N-Triples, XML-flavored extensions

@@ -171,6 +171,38 @@ def test_rdfxml_parsetype_is_honest(spark):
         _parse_rdfxml_bytes(doc.encode(), None)
 
 
+def test_batch_clean_directory_driver(spark, tmp_path):
+    """S13 (OWLOntologyCleaner.java:45-63): per-file loop over a
+    directory; each ontology cleaned and written under its F8 name."""
+    from sifr_project_java_ontology_processing_spark.cli import main
+
+    ind = tmp_path / "ontos"
+    ind.mkdir()
+    (ind / "ONTOA.ttl").write_text(
+        "@prefix skos: <http://www.w3.org/2004/02/skos/core#> .\n"
+        "@prefix ex: <http://a/> .\n"
+        'ex:C1 skos:prefLabel "maladie"@fr .\n'
+        'ex:C1 skos:prefLabel "disease"@en .\n'      # dropped: fr present
+        'ex:C1 skos:altLabel " MALADIE "@fr .\n'     # dropped: ==pref mod case/trim
+        'ex:C2 skos:hiddenLabel "acuteDisease"@fr .\n'  # synthesized pref
+    )
+    (ind / "ONTOB.nt").write_text(
+        '<http://b/K> <http://www.w3.org/2004/02/skos/core#prefLabel> "kappa"@fr .\n'
+    )
+    out = tmp_path / "cleaned"
+    assert main(["clean", "--in-dir", str(ind), "--out", str(out), "-l", "fr"]) == 0
+    import pyspark.sql.functions as F
+
+    a = spark.read.text(str(out / "ONTOA")).collect()
+    lines = {r["value"] for r in a}
+    assert '<http://a/C1> <http://www.w3.org/2004/02/skos/core#prefLabel> "maladie"@fr .' in lines
+    assert not any('"disease"@en' in l for l in lines)     # W3 drop
+    assert not any("MALADIE" in l for l in lines)          # E3 drop
+    assert any("acute disease" in l and "prefLabel" in l for l in lines)  # F2+synth
+    b = spark.read.text(str(out / "ONTOB")).collect()
+    assert len(b) == 1 and "kappa" in b[0]["value"]
+
+
 def test_load_model_dispatch_and_cascade_integration(spark, tmp_path):
     """A .ttl ontology loads into a triples frame that feeds the S2
     class scan (cascade input path) — OntologyLoader.java:41-71 parity."""
