@@ -228,6 +228,41 @@ def run_kg_pipeline(
             )
         )
 
+        # north_star triple kinds: subClassOf edges from hierarchical
+        # mappings (skos:broader/broadMatch → rdfs:subClassOf), both
+        # endpoints canonicalized; self-loops created by canonical
+        # merging are dropped.
+        from sifr_project_java_ontology_processing_spark.functions.uris import (
+            RDFS_SUBCLASSOF,
+            expand as _expand,
+        )
+
+        hier = mappings.where(
+            F.col("property").isin(_expand("skos:broadMatch"), _expand("skos:broader"))
+        )
+        canon_src = F.broadcast(
+            canonical.select(F.col("iri").alias("source_iri"),
+                             F.col("canonical_iri").alias("_cs"))
+        )
+        canon_tgt = F.broadcast(
+            canonical.select(F.col("iri").alias("target_iri"),
+                             F.col("canonical_iri").alias("_ct"))
+        )
+        subclass_triples = (
+            hier.join(canon_src, "source_iri", "left")
+            .join(canon_tgt, "target_iri", "left")
+            .select(
+                F.coalesce("_cs", "source_iri").alias("subj"),
+                F.lit(RDFS_SUBCLASSOF).alias("pred"),
+                F.coalesce("_ct", "target_iri").alias("obj"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit(False).alias("obj_is_literal"),
+                F.lit(None).cast("string").alias("src_url"),
+            )
+            .where(F.col("subj") != F.col("obj"))
+            .distinct()
+        )
+
         # E5 tail (updateCodeNotes, OntologyCUIProcessor.java:326-340):
         # persist the found code as skos:notation — but only for classes
         # that don't already assert one (the SKOSNotationCodeFinder null
@@ -273,6 +308,7 @@ def run_kg_pipeline(
 
         return (
             mention_triples.unionByName(type_triples)
+            .unionByName(subclass_triples)
             .unionByName(literal_triples)
             .unionByName(notation_triples)
             .unionByName(note_triples)

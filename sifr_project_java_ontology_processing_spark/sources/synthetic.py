@@ -193,6 +193,11 @@ def make_fixture(
             c = concept_iris[(i + 4) % len(concept_iris)]
             fx.mappings.append((iri, props[1], b))
             fx.mappings.append((b, props[1], c))
+        if i % 9 == 2:  # hierarchy edge → rdfs:subClassOf in the KG
+            parent = concept_iris[(i + 3) % len(concept_iris)]
+            fx.mappings.append(
+                (iri, "http://www.w3.org/2004/02/skos/core#broader", parent)
+            )
     fx.target_cuis = tgt_cuis  # type: ignore[attr-defined]
 
     # ---- UMLS dims: codes with 0 / 1 / >1 CUIs ------------------------------

@@ -8,6 +8,7 @@ import pytest
 
 from sifr_project_java_ontology_processing_spark.functions.uris import (
     RDF_TYPE,
+    RDFS_SUBCLASSOF,
     SIFR_MENTION,
     SKOS_CHANGE_NOTE,
     SKOS_CONCEPT,
@@ -16,6 +17,7 @@ from sifr_project_java_ontology_processing_spark.functions.uris import (
     UMLS_HAS_STY,
     UMLS_TUI,
     STY_BASE,
+    expand,
 )
 from sifr_project_java_ontology_processing_spark.plans.kg_pipeline import (
     CUI_ADDED_NOTE,
@@ -62,6 +64,11 @@ def golden_triples(fx) -> set[tuple[str, str, str]]:
     for url, _ts, _html, text, _lang in fx.pages:
         for _i, concept, _ln in mentions_oracle(text, fx.ontology_labels):
             triples.add((url, SIFR_MENTION, canon(concept)))
+    # hierarchical mappings → canonicalized rdfs:subClassOf (north_star)
+    hier_props = {expand("skos:broadMatch"), expand("skos:broader")}
+    for s, p, t in fx.mappings:
+        if p in hier_props and canon(s) != canon(t):
+            triples.add((canon(s), RDFS_SUBCLASSOF, canon(t)))
     has_notation = {
         c for (c, _l, k, _g) in fx.ontology_labels if k == "notation"
     }
