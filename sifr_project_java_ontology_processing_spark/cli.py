@@ -137,8 +137,15 @@ def cmd_clean(args: argparse.Namespace) -> int:
     if not files:
         print(f"no ontology files in {args.in_dir}")
         return 1
-    for f in files:
-        name = ontology_name_from_path(f)
+    names = [ontology_name_from_path(f) for f in files]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        # two stems mapping to one output would silently overwrite
+        raise ValueError(
+            f"ontology name collision(s) in {args.in_dir}: {sorted(dupes)} — "
+            "rename inputs or split directories"
+        )
+    for f, name in zip(files, names):
         labels = labels_from_triples(load_model(spark, f))
         labels = keep_target_language(labels, target_lang=args.lang)
         labels = synthesize_pref_labels(labels, lang=args.lang)

@@ -89,14 +89,19 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_shingle_df: int | None = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over pairs sharing ≥1 shingle.
+    """n-gram Jaccard over pairs sharing ≥1 (kept) shingle.
 
     → (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded(6).
     ``max_shingle_df`` drops stop-shingles (doc frequency > cap) before
     the self-join — the knob that keeps the join subquadratic; it
     DEFAULTS to 1000 because one boilerplate shingle shared by 1M docs
-    is 10¹² join rows. For corpora where even capped self-join is too
-    hot, use ``jaccard_verify(docs, minhash_lsh_pairs(docs))`` instead.
+    is 10¹² join rows. The cap is SEMANTIC, not just physical: dropped
+    shingles leave both the intersection and the n_sh denominators, so
+    capped Jaccard is Jaccard over the capped shingle universe (the
+    registry oracle applies the same cap). Pass ``max_shingle_df=None``
+    for the textbook exact definition. For corpora where even the
+    capped self-join is too hot, use
+    ``jaccard_verify(docs, minhash_lsh_pairs(docs))`` instead.
     """
     sh = _jaccard_filtered_shingles(docs, id_col, text_col, n, max_shingle_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))

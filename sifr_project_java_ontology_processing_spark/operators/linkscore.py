@@ -114,7 +114,13 @@ def tfidf_link_scores(
     is ontology-dimension), then one groupBy on the candidate pair. No
     doc × concept product anywhere."""
     idf = idf_table(docs, doc_id, text_col, max_token_df=max_token_df)
-    doc_vecs = tfidf_vectors(docs, idf, doc_id, text_col)
+    # semi-join to candidate docs BEFORE vectorizing: the token join's
+    # fan-out must be bounded by |candidate docs|, not |corpus| —
+    # scoring docs nobody asked about is pure wasted shuffle
+    cand_docs = candidates.select(doc_id).distinct()
+    doc_vecs = tfidf_vectors(
+        docs.join(cand_docs, doc_id, "left_semi"), idf, doc_id, text_col
+    )
     desc_vecs = tfidf_vectors(descriptions, idf, concept_id, desc_col, broadcast_idf=False)
 
     pair_overlap = (
@@ -139,6 +145,7 @@ def score_mentions(
     extracted: DataFrame,
     mentions: DataFrame,
     descriptions: DataFrame,
+    labels: DataFrame | None = None,
     max_token_df: int | None = 10_000,
 ) -> DataFrame:
     """north_star link scorer over detected mentions: TF-IDF context
@@ -149,6 +156,12 @@ def score_mentions(
     extracted:    (url, extracted_text, …) — stage-1 output
     mentions:     MENTIONS schema (url, surface, concept_iri, …)
     descriptions: (concept_iri, description)
+    labels:       optional (concept_iri, label, …) — when given,
+                  surface_sim is the BEST edit-similarity over the
+                  concept's individual labels (an exact label match
+                  scores 1.0). Without it, the surface is compared to
+                  the concatenated description, which punishes
+                  multi-label concepts (round-2 review finding).
     → (url, concept_iri, surface, tfidf_cosine, surface_sim, link_score)
       one row per distinct (url, concept, surface)."""
     cands = mentions.select("url", "concept_iri", "surface").distinct()
@@ -160,20 +173,37 @@ def score_mentions(
         text_col="extracted_text",
         max_token_df=max_token_df,
     )
-    scored = (
-        cands.join(ctx, ["url", "concept_iri"])
-        .join(F.broadcast(descriptions), "concept_iri", "left")
-    )
-    lev = F.levenshtein(F.lower("surface"), F.lower(F.coalesce("description", F.lit(""))))
-    maxlen = F.greatest(F.length("surface"), F.length(F.coalesce("description", F.lit(""))), F.lit(1))
-    surface_sim = F.round(1.0 - lev / maxlen, 6)
+
+    def _lev_sim(a, b) -> F.Column:
+        lev = F.levenshtein(F.lower(a), F.lower(b))
+        maxlen = F.greatest(F.length(a), F.length(b), F.lit(1))
+        return 1.0 - lev / maxlen
+
+    if labels is not None:
+        lab = labels.select("concept_iri", "label").distinct()
+        best = (
+            cands.join(F.broadcast(lab), "concept_iri")
+            .select(
+                "url", "concept_iri", "surface",
+                _lev_sim(F.col("surface"), F.col("label")).alias("_sim"),
+            )
+            .groupBy("url", "concept_iri", "surface")
+            .agg(F.max("_sim").alias("_surface_sim"))
+        )
+        scored = cands.join(best, ["url", "concept_iri", "surface"], "left").join(
+            ctx, ["url", "concept_iri"]
+        )
+        surface_sim = F.coalesce("_surface_sim", F.lit(0.0))
+    else:
+        scored = cands.join(ctx, ["url", "concept_iri"]).join(
+            F.broadcast(descriptions), "concept_iri", "left"
+        )
+        surface_sim = _lev_sim(F.col("surface"), F.coalesce("description", F.lit("")))
     return scored.select(
         "url",
         "concept_iri",
         "surface",
         "tfidf_cosine",
-        surface_sim.alias("surface_sim"),
-        F.round(0.7 * F.col("tfidf_cosine") + 0.3 * (1.0 - lev / maxlen), 6).alias(
-            "link_score"
-        ),
+        F.round(surface_sim, 6).alias("surface_sim"),
+        F.round(0.7 * F.col("tfidf_cosine") + 0.3 * surface_sim, 6).alias("link_score"),
     )

@@ -72,12 +72,16 @@ def brute_force_topk(
 
     Hybrid: broadcast-GEMM under ``driver_threshold`` corpus rows;
     sharded cogroup-GEMM above it (no driver materialization — round-1
-    collected unconditionally, which dies past driver memory)."""
-    n = corpus.count()
-    if n <= driver_threshold and num_shards is None:
-        return _broadcast_topk(corpus, queries, k, id_col, vec_col, query_id_col)
-
-    shards = num_shards or max(2, math.ceil(n / driver_threshold))
+    collected unconditionally, which dies past driver memory). An
+    explicit ``num_shards`` pins the distributed path and skips the
+    sizing count() entirely."""
+    if num_shards is None:
+        n = corpus.count()
+        if n <= driver_threshold:
+            return _broadcast_topk(corpus, queries, k, id_col, vec_col, query_id_col)
+        shards = max(2, math.ceil(n / driver_threshold))
+    else:
+        shards = num_shards
     c = corpus.select(
         F.pmod(F.hash(F.col(id_col)), F.lit(shards)).alias("shard"),
         F.col(id_col).alias("_cid"),
@@ -295,12 +299,14 @@ def neardup_pairs(
     Hybrid: broadcast blocked-GEMM under ``driver_threshold`` rows;
     above it, a block-nested-loop with one cogrouped GEMM task per
     unordered block pair — B× replication, B(B+1)/2 tasks, no driver
-    materialization."""
-    n = corpus.count()
-    if n <= driver_threshold and num_blocks is None:
-        return _broadcast_neardup(corpus, threshold, id_col, vec_col)
-
-    blocks = num_blocks or max(2, math.ceil(n / driver_threshold))
+    materialization. Explicit ``num_blocks`` skips the sizing count()."""
+    if num_blocks is None:
+        n = corpus.count()
+        if n <= driver_threshold:
+            return _broadcast_neardup(corpus, threshold, id_col, vec_col)
+        blocks = max(2, math.ceil(n / driver_threshold))
+    else:
+        blocks = num_blocks
     rep = corpus.select(
         F.pmod(F.hash(F.col(id_col)), F.lit(blocks)).alias("_b"),
         F.col(id_col).alias("_vid"),

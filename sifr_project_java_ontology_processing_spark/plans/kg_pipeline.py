@@ -369,7 +369,9 @@ def run_kg_pipeline(
 
         scored = stage(
             "scored_mentions",
-            lambda: score_mentions(extracted, mentions, _descs(ontology_labels)),
+            lambda: score_mentions(
+                extracted, mentions, _descs(ontology_labels), labels=ontology_labels
+            ),
         )
 
     return PipelineResult(

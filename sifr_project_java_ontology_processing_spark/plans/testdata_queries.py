@@ -575,9 +575,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLE_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
+    shc AS (SELECT doc_id, shingle FROM sh
+            WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              FROM shc a JOIN shc b ON a.shingle = b.shingle
               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            round(i / CAST(sa.n_sh + sb.n_sh - i AS DOUBLE), 6) AS jaccard
@@ -588,11 +591,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped Jaccard with the SAME stop-shingle cap (df > 1000) on
+    both sides — the oracle diverging from the operator's default at
+    scale was a round-2 review finding; now the cap is part of the
+    spec, not a silent Spark-side approximation."""
     from sifr_project_java_ontology_processing_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, max_shingle_df=1000
+    )
 
 
 @register(

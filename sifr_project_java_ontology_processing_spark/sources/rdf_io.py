@@ -44,19 +44,45 @@ _NT_LINE_RX = r"^[ \t]*(<[^>]*>|_:[^ \t]+)[ \t]+<([^>]*)>[ \t]+(.*?)[ \t]*\.[ \t
 # literal object: "..." with escaped chars, then optional @lang / ^^<dt>
 _NT_LIT_RX = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^<[^>]*>)?$'
 
-_SENTINEL = "\x00"  # never present in N-Triples (control chars are escaped)
+import re as _re
+
+_NT_ESC_RX = _re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)")
+_NT_ESC_MAP = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+               '"': '"', "'": "'", "\\": "\\"}
+
+
+def _decode_nt_string(s: str) -> str:
+    """Full N-Triples string unescape, single pass: the five char
+    escapes PLUS \\uXXXX / \\UXXXXXXXX numeric escapes — Jena (the
+    reference's serializer) ASCII-escapes every non-ASCII char, so a
+    regex chain that skips \\u silently corrupts accented labels."""
+    def sub(m) -> str:
+        g = m.group(1)
+        if g[0] in "uU" and len(g) > 1:
+            return chr(int(g[1:], 16))
+        return _NT_ESC_MAP.get(g, "\\" + g)
+
+    return _NT_ESC_RX.sub(sub, s)
+
+
+_unescape_udf = None
 
 
 def _unescape_literal(col: Column) -> Column:
-    """Inverse of rdf_sink._escape_literal: restore \\\\, \\", \\n, \\r,
-    \\t. A sentinel keeps ``\\\\n`` (backslash + n) distinct from ``\\n``
-    (newline)."""
-    out = F.regexp_replace(col, r"\\\\", _SENTINEL)
-    out = F.regexp_replace(out, r'\\"', '"')
-    out = F.regexp_replace(out, r"\\n", "\n")
-    out = F.regexp_replace(out, r"\\r", "\r")
-    out = F.regexp_replace(out, r"\\t", "\t")
-    return F.regexp_replace(out, _SENTINEL, r"\\")
+    """Inverse of rdf_sink._escape_literal incl. numeric escapes —
+    an Arrow-batched pandas UDF (a single-pass decoder has no faithful
+    regexp_replace chain: \\uXXXX → chr needs real code). RDF files are
+    ontology-dimension inputs, so the Python batch cost is a dim-load
+    cost, never the fact path."""
+    global _unescape_udf
+    if _unescape_udf is None:
+        from pyspark.sql.functions import pandas_udf
+
+        def _batch(s):  # pd.Series -> pd.Series (scalar pandas UDF)
+            return s.map(lambda v: _decode_nt_string(v) if v is not None else None)
+
+        _unescape_udf = pandas_udf(_batch, "string")
+    return _unescape_udf(col)
 
 
 def _strip_angle(col: Column) -> Column:
@@ -76,11 +102,14 @@ def parse_ntriples_lines(lines: DataFrame, line_col: str = "value") -> DataFrame
     pred = F.regexp_extract(line, _NT_LINE_RX, 2)
     obj_raw = F.regexp_extract(line, _NT_LINE_RX, 3)
     is_lit = obj_raw.startswith('"')
+    # a quoted object that fails the literal grammar is a parse error,
+    # not an empty literal — mark subj null so strict mode catches it
+    bad = (subj_raw == "") | (is_lit & ~obj_raw.rlike(_NT_LIT_RX))
     lit_body = F.regexp_extract(obj_raw, _NT_LIT_RX, 1)
     lit_lang = F.regexp_extract(obj_raw, _NT_LIT_RX, 2)
     parsed = content.select(
-        F.when(subj_raw == "", None).otherwise(_strip_angle(subj_raw)).alias("subj"),
-        F.when(subj_raw == "", None).otherwise(pred).alias("pred"),
+        F.when(bad, None).otherwise(_strip_angle(subj_raw)).alias("subj"),
+        F.when(bad, None).otherwise(pred).alias("pred"),
         F.when(is_lit, _unescape_literal(lit_body))
         .otherwise(_strip_angle(obj_raw))
         .alias("obj"),
@@ -161,17 +190,23 @@ def read_turtle_lines(spark: SparkSession, path: str, strict: bool = True) -> Da
     subj_t = F.regexp_extract(line, _TTL_LINE_RX, 1)
     pred_t = F.regexp_extract(line, _TTL_LINE_RX, 2)
     obj_raw = F.regexp_extract(line, _TTL_LINE_RX, 3)
-    is_lit = obj_raw.startswith('"')
+    is_str_lit = obj_raw.startswith('"')
+    # Turtle's shorthand literals: numbers and booleans are literals,
+    # not IRIs — round-2 review caught them falling through as fake IRIs
+    is_shorthand_lit = obj_raw.rlike(r"^[+-]?(\d|\.\d)") | obj_raw.isin("true", "false")
+    is_lit = is_str_lit | is_shorthand_lit
+    bad = (subj_t == "") | (is_str_lit & ~obj_raw.rlike(_NT_LIT_RX))
     lit_body = F.regexp_extract(obj_raw, _NT_LIT_RX, 1)
     lit_lang = F.regexp_extract(obj_raw, _NT_LIT_RX, 2)
     parsed = content.select(
-        F.when(subj_t == "", None).otherwise(_expand_term(subj_t, prefixes)).alias("subj"),
-        F.when(subj_t == "", None).otherwise(_expand_term(pred_t, prefixes)).alias("pred"),
-        F.when(is_lit, _unescape_literal(lit_body))
+        F.when(bad, None).otherwise(_expand_term(subj_t, prefixes)).alias("subj"),
+        F.when(bad, None).otherwise(_expand_term(pred_t, prefixes)).alias("pred"),
+        F.when(is_str_lit, _unescape_literal(lit_body))
+        .when(is_shorthand_lit, obj_raw)
         .when(obj_raw.rlike(r"^<|^_:|^[A-Za-z][\w-]*:[\w.-]+$|^a$"), _expand_term(obj_raw, prefixes))
         .otherwise(obj_raw)
         .alias("obj"),
-        F.when(is_lit & (lit_lang != ""), lit_lang).alias("obj_lang"),
+        F.when(is_str_lit & (lit_lang != ""), lit_lang).alias("obj_lang"),
         is_lit.alias("obj_is_literal"),
         F.lit(None).cast("string").alias("src_url"),
         line.alias("_raw"),
@@ -203,6 +238,13 @@ def _parse_rdfxml_bytes(data: bytes, src: str | None) -> list[tuple]:
 
     triples: list[tuple] = []
 
+    # blank nodes, rdf:nodeID and rdf:ID are DOCUMENT-scoped: without a
+    # per-file scope, multi-file loads would merge unrelated anonymous
+    # nodes from different ontologies (round-2 review finding)
+    import hashlib
+
+    scope = hashlib.md5(src.encode()).hexdigest()[:8] if src else ""
+
     class Handler(xml.sax.ContentHandler):
         def __init__(self) -> None:
             super().__init__()
@@ -221,7 +263,7 @@ def _parse_rdfxml_bytes(data: bytes, src: str | None) -> list[tuple]:
 
         def _new_blank(self) -> str:
             self.blank_n += 1
-            return f"_:b{self.blank_n}"
+            return f"_:{scope}b{self.blank_n}"
 
         def startElementNS(self, name, qname, attrs) -> None:
             uri, local = name
@@ -237,9 +279,10 @@ def _parse_rdfxml_bytes(data: bytes, src: str | None) -> list[tuple]:
                 if about is not None:
                     subj = about
                 elif rid is not None:
-                    subj = f"#{rid}"
+                    # rdf:ID resolves against the document URI
+                    subj = f"{src}#{rid}" if src else f"#{rid}"
                 elif node_id is not None:
-                    subj = f"_:{node_id}"
+                    subj = f"_:{scope}{node_id}"
                 else:
                     subj = self._new_blank()
                 if full != f"{_RDF_NS}Description":
@@ -260,7 +303,9 @@ def _parse_rdfxml_bytes(data: bytes, src: str | None) -> list[tuple]:
                     )
                 res = attrs.get((_RDF_NS, "resource"))
                 node_id = attrs.get((_RDF_NS, "nodeID"))
-                obj_iri = res if res is not None else (f"_:{node_id}" if node_id else None)
+                obj_iri = res if res is not None else (
+                    f"_:{scope}{node_id}" if node_id else None
+                )
                 self.stack.append(["prop", full, lang, obj_iri, []])
 
         def characters(self, content: str) -> None:

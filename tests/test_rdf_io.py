@@ -80,6 +80,69 @@ def test_ntriples_strict_raises_on_garbage(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["obj"] == "ok"
 
 
+def test_ntriples_unicode_escapes(spark, tmp_path):
+    """Jena ASCII-escapes non-ASCII chars as \\uXXXX — they must decode
+    (round-2 review finding: silent label corruption otherwise)."""
+    p = tmp_path / "u.nt"
+    p.write_text(
+        '<http://x/A> <http://p/l> "proc\\u00E9dure"@fr .\n'
+        '<http://x/A> <http://p/m> "astral \\U0001F600 char" .\n'
+        '<http://x/A> <http://p/n> "literal backslash-u: \\\\u0041" .\n'
+    )
+    got = {r["obj"] for r in read_ntriples(spark, str(p)).collect()}
+    assert got == {"procédure", "astral 😀 char", "literal backslash-u: \\u0041"}
+
+
+def test_ntriples_strict_catches_bad_literal(spark, tmp_path):
+    """A quoted object failing the literal grammar is a parse error,
+    not an empty literal (round-2 review finding)."""
+    p = tmp_path / "badlit.nt"
+    p.write_text('<http://x/A> <http://p/q> "unterminated .\n')
+    with pytest.raises(ValueError, match="unparseable"):
+        read_ntriples(spark, str(p))
+
+
+def test_rdfxml_blank_nodes_scoped_per_file(spark, tmp_path):
+    """Anonymous nodes from different files must not merge
+    (round-2 review finding)."""
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import read_rdfxml
+
+    doc = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:x="http://x/"><rdf:Description rdf:about="http://e/%s">'
+        "<x:p><rdf:Description><x:q>v%s</x:q></rdf:Description></x:p>"
+        "</rdf:Description></rdf:RDF>"
+    )
+    (tmp_path / "f1.rdf").write_text(doc % ("A", "1"))
+    (tmp_path / "f2.rdf").write_text(doc % ("B", "2"))
+    rows = read_rdfxml(spark, str(tmp_path) + "/*.rdf").collect()
+    blank_subjects = {r["subj"] for r in rows if r["subj"].startswith("_:")}
+    assert len(blank_subjects) == 2, blank_subjects  # one blank PER FILE
+
+
+def test_turtle_shorthand_literals(spark, tmp_path):
+    p = tmp_path / "num.ttl"
+    p.write_text(
+        "@prefix ex: <http://e/> .\n"
+        "ex:s ex:count 42 .\n"
+        "ex:s ex:ratio -3.14 .\n"
+        "ex:s ex:flag true .\n"
+    )
+    rows = {(r["obj"], r["obj_is_literal"]) for r in read_turtle_lines(spark, str(p)).collect()}
+    assert rows == {("42", True), ("-3.14", True), ("true", True)}
+
+
+def test_batch_clean_name_collision_raises(spark, tmp_path):
+    from sifr_project_java_ontology_processing_spark.cli import main
+
+    ind = tmp_path / "coll"
+    ind.mkdir()
+    (ind / "MDR.ttl").write_text("@prefix ex: <http://e/> .\n")
+    (ind / "MDR.nt").write_text("")
+    with pytest.raises(ValueError, match="collision"):
+        main(["clean", "--in-dir", str(ind), "--out", str(tmp_path / "o")])
+
+
 def test_turtle_subset(spark, tmp_path):
     p = tmp_path / "dict.ttl"
     p.write_text(
