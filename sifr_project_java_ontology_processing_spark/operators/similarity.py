@@ -285,6 +285,86 @@ def lsh_topk(
     return _topk_merge(scored, query_id_col, k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k (the mandate's "IVF or LSH" scale
+    path — both now exist): corpus vectors are assigned to the nearest
+    of ``m`` centroids; each query probes its ``nprobe`` nearest cells
+    and ranks exactly within the candidates.
+
+    Centroids are the ``m`` corpus vectors with the smallest
+    md5(vec_id) — a deterministic, engine-replayable pick (the DuckDB
+    oracle recomputes the identical index), standing in for a k-means
+    codebook: the cell/probe/rank machinery is identical, only the
+    codebook quality differs. Assignment and probing are map-side
+    expressions over broadcast centroid literals; the only shuffle is
+    the cell equi-join — same scale shape as ``lsh_topk``. Recall rises
+    with nprobe (nprobe=m is exact minus ties).
+    """
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(m)
+        .collect()
+    )
+    cents = [list(r[1]) for r in cent_rows]
+
+    def _sims(vec) -> F.Column:
+        # rounded(9) so the oracle's ordering ties out cross-engine
+        return F.array(
+            *[
+                F.round(cosine(vec, F.array([F.lit(float(x)) for x in c])), 9)
+                for c in cents
+            ]
+        )
+
+    def _cell(vec) -> F.Column:
+        sims = _sims(vec)
+        return F.array_position(sims, F.array_max(sims)).cast("int")
+
+    def _probes(vec) -> F.Column:
+        sims = _sims(vec)
+        ranked = F.array_sort(
+            F.zip_with(
+                sims,
+                F.sequence(F.lit(1), F.lit(m)),
+                lambda s, i: F.struct((-s).alias("n"), i.alias("i")),
+            )
+        )
+        return F.transform(F.slice(ranked, 1, nprobe), lambda st: st["i"])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _cell(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qv"),
+        F.explode(_probes(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        q.join(c, "cell")
+        .where(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    return _topk_merge(scored, query_id_col, k)
+
+
 def neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.3,

@@ -890,6 +890,56 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    """
+    WITH cents AS (
+      SELECT embedding AS cvec,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cidx
+      FROM embeddings
+      QUALIFY cidx <= 16
+    ),
+    allsims AS (
+      SELECT e.vec_id, e.embedding, c.cidx,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(c.cvec AS DOUBLE[])), 9) DESC,
+                        c.cidx ASC) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, embedding, cidx FROM allsims WHERE rn = 1),
+    probes AS (SELECT vec_id, embedding, cidx FROM allsims WHERE vec_id < 8 AND rn <= 4)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                                     CAST(a.embedding AS DOUBLE[])), 6) DESC,
+                        a.vec_id ASC) AS rank
+      FROM (SELECT DISTINCT vec_id, embedding, cidx FROM probes) p
+      JOIN assign a ON a.cidx = p.cidx AND a.vec_id <> p.vec_id
+    ) t WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k: md5-deterministic centroid pick,
+    nearest-cell assignment, nprobe=4 probing, exact rank within
+    candidates — the oracle recomputes the identical index in SQL."""
+    from sifr_project_java_ontology_processing_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries_df, dim=64, k=5, m=16, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+@register(
     "embedding_neardup",
     """
     SELECT vec_a, vec_b, cos_sim FROM (

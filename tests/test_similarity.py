@@ -90,6 +90,30 @@ def test_distributed_neardup_equals_broadcast(spark):
     assert dist == small and small, "block-pair path diverged (or empty)"
 
 
+def test_ivf_recall_rises_with_nprobe(spark):
+    """IVF top-k: probing more cells must raise recall vs exact ground
+    truth; probing ALL cells is exact."""
+    from sifr_project_java_ontology_processing_spark.operators.similarity import ivf_topk
+
+    df, vecs = _emb_df(spark)
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {}
+    for r in brute_force_topk(df, queries, k=3).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(nprobe):
+        approx = {}
+        for r in ivf_topk(df, queries, dim=16, k=3, m=8, nprobe=nprobe).collect():
+            approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 <= r8 + 1e-9, (r1, r4, r8)
+    assert r8 == 1.0, r8  # all cells probed == exact
+    assert r4 >= 0.5, r4
+
+
 def test_lsh_recall_floor_vs_exact(spark):
     """Recall harness (round-1 VERDICT item 1a): LSH top-k candidates
     vs exact ground truth. With 3 planes on 40 docs the buckets are
