@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_lsh_verified",   # round 2: the canonical LSH→verify scale path
     "ann_cosine_topk",
+    "ann_ivf_topk",         # round 2: IVF scale path
     "embedding_neardup",
     "cc_components",
     "events_hourly",
