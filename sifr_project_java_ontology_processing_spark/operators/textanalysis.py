@@ -69,3 +69,35 @@ def doc_fingerprint(
         id_col,
         F.coalesce(mins, F.md5(F.col(text_col))).alias("fingerprint"),
     )
+
+
+def rolling_fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mod: int = 2_147_483_647,
+    mult: int = 31,
+) -> DataFrame:
+    """→ (id, rolling_hash): order-SENSITIVE polynomial rolling hash
+    (Karp–Rabin shape) over the token stream — h = Σ vᵢ·multⁿ⁻ⁱ mod M,
+    folded left as (h·mult + vᵢ) mod M with vᵢ = first 32 bits of
+    md5(tokenᵢ). Complements ``doc_fingerprint`` (order-insensitive
+    min-shingle): two docs with the same token multiset but different
+    order get different rolling hashes.
+
+    Map-only single fold per row, zero shuffle; md5-derived token
+    values keep it engine-replayable (DuckDB ``list_reduce`` oracle).
+    Bounds: acc < M = 2³¹-1, token value < 2³², so acc·31 + v < 2³⁶ —
+    no bigint overflow in any dialect. Empty docs hash to 0."""
+    from sifr_project_java_ontology_processing_spark.operators.dedup import tokens
+
+    vals = F.transform(
+        tokens(F.col(text_col)),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+    )
+    h = F.aggregate(
+        vals,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: (acc * mult + v) % mod,
+    )
+    return docs.select(id_col, h.alias("rolling_hash"))

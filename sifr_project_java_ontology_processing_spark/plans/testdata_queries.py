@@ -976,6 +976,29 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_rolling_hash",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(str_split(text, ' '), x -> x <> ''),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
+    FROM documents
+    """,
+)
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Karp–Rabin-style rolling fingerprint (the task
+    mandate's 'document fingerprinting (rolling hash)' — the
+    min-shingle doc_fingerprint is its order-insensitive sibling)."""
+    from sifr_project_java_ontology_processing_spark.operators.textanalysis import (
+        rolling_fingerprint,
+    )
+
+    return rolling_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "lang_id",
     """
     WITH c AS (

@@ -116,3 +116,25 @@ def test_dedup_clusters_keeper(spark):
         0: (0, True), 1: (0, False), 2: (0, False),
         3: (3, True), 4: (3, False), 5: (5, True),
     }
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from sifr_project_java_ontology_processing_spark.operators.textanalysis import (
+        rolling_fingerprint,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "c b a"), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["rolling_hash"] for r in rolling_fingerprint(docs).collect()}
+    assert got[0] == got[2]          # same order -> same hash
+    assert got[0] != got[1]          # same tokens, different order -> different
+    assert got[3] == 0               # empty doc
+    # python oracle for doc 0
+    import hashlib
+    h = 0
+    for t in ["a", "b", "c"]:
+        v = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        h = (h * 31 + v) % 2147483647
+    assert got[0] == h
