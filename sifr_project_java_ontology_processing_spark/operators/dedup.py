@@ -105,8 +105,13 @@ def ngram_jaccard_pairs(
     """
     sh = _jaccard_filtered_shingles(docs, id_col, text_col, n, max_shingle_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    # pre-shuffle ONCE on the join key: both self-join sides then read
+    # the same exchange (ReusedExchange) instead of each re-exploding
+    # the whole shingle stream — renaming after the repartition keeps
+    # the exchange subtrees canonical-identical
+    shp = sh.repartition("shingle")
+    a = shp.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shp.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -139,7 +144,14 @@ def jaccard_verify(
 
     → (doc_a, doc_b, jaccard) for candidate pairs with jaccard ≥
     threshold."""
-    sh = docs.select(
+    # only docs that appear in a candidate pair need their shingle
+    # arrays built — at scale candidates are sparse vs the corpus
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = docs.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), shingle_array(F.col(text_col), n).alias("sh_set")
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("sh_a"))
