@@ -71,3 +71,24 @@ def run_events_stream_demo(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for a training-data ingest: keep the first
+    arrival of each distinct content hash within the watermark horizon.
+    ``dropDuplicatesWithinWatermark`` keeps state BOUNDED — each hash is
+    held only until the watermark passes its first-seen event time, so
+    state is O(arrival rate × horizon), not O(stream history). The
+    batch twin is operators/dedup.exact_dedup (keeper = first seen
+    instead of min id — streams have no global min)."""
+    return (
+        docs_stream.withColumn("text_hash", F.md5(F.col(text_col)))
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )

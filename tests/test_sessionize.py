@@ -71,3 +71,39 @@ def test_stream_sessions_match_batch(spark, tmp_path):
     # sessions still open at end-of-stream are withheld by the watermark
     assert got <= want, got - want
     assert len(got) >= 0.5 * len(want), (len(got), len(want))
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Stream twin of exact_dedup: duplicates within the watermark
+    horizon collapse to the first arrival; state is watermark-bounded."""
+    import datetime as dt
+
+    from sifr_project_java_ontology_processing_spark.streaming.jobs import (
+        streaming_exact_dedup,
+    )
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (0, base, "alpha beta"),
+        (1, base + dt.timedelta(minutes=1), "alpha beta"),   # dup of 0
+        (2, base + dt.timedelta(minutes=2), "gamma delta"),
+        (3, base + dt.timedelta(minutes=3), "alpha beta"),   # dup of 0
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, ts timestamp, text string").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    out = str(tmp_path / "out")
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).select("text").collect()
+    texts = sorted(r["text"] for r in got)
+    assert texts == ["alpha beta", "gamma delta"], texts
