@@ -709,6 +709,108 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
 
 
+# Inline UMLS-term dim for the -mc match-fallback gate: each CUI's term
+# shares tokens with some documents (LABELS words appear in doc text).
+_MF_TERMS = [
+    (f"X{i}", f"C{7000000 + i:07d}", "ENG",
+     f"{label} {LABELS[(i + 2) % len(LABELS)]} data processing")
+    for i, label in enumerate(LABELS)
+]
+_MF_VALUES = ", ".join(f"('{cui}', '{s}')" for (_c, cui, _l, s) in _MF_TERMS)
+
+
+@register(
+    "umls_match_fallback",
+    f"""
+    WITH terms(cui, term) AS (VALUES {_MF_VALUES}),
+    d AS (SELECT CAST(doc_id AS VARCHAR) AS concept_iri, text AS description
+          FROM documents),
+    dt AS (SELECT concept_iri,
+                  unnest(list_distinct(list_filter(str_split(lower(description), ' '),
+                                                   x -> x <> ''))) AS tok
+           FROM d),
+    tt AS (SELECT cui,
+                  unnest(list_distinct(list_filter(str_split(lower(term), ' '),
+                                                   x -> x <> ''))) AS tok
+           FROM terms),
+    ov AS (SELECT dt.concept_iri, tt.cui, count(*) AS overlap
+           FROM dt JOIN tt USING (tok) GROUP BY 1, 2),
+    short AS (SELECT concept_iri, cui,
+                     row_number() OVER (PARTITION BY concept_iri
+                                        ORDER BY overlap DESC, cui ASC) AS rn
+              FROM ov),
+    scored AS (
+      SELECT s.concept_iri, s.cui,
+        0.7 * (CAST(len(list_intersect(
+                 list_distinct(list_filter(str_split(lower(d.description), ' '), x -> x <> '')),
+                 list_distinct(list_filter(str_split(lower(t.term), ' '), x -> x <> ''))))
+               AS DOUBLE)
+          / (len(list_intersect(
+                 list_distinct(list_filter(str_split(lower(d.description), ' '), x -> x <> '')),
+                 list_distinct(list_filter(str_split(lower(t.term), ' '), x -> x <> ''))))
+             + 1.0 * len(list_filter(
+                 list_distinct(list_filter(str_split(lower(d.description), ' '), x -> x <> '')),
+                 x -> NOT list_contains(
+                   list_distinct(list_filter(str_split(lower(t.term), ' '), x -> x <> '')), x)))
+             + 0.5 * len(list_filter(
+                 list_distinct(list_filter(str_split(lower(t.term), ' '), x -> x <> '')),
+                 x -> NOT list_contains(
+                   list_distinct(list_filter(str_split(lower(d.description), ' '), x -> x <> '')), x)))))
+        + 0.3 * (1.0 - levenshtein(lower(d.description), lower(t.term))
+                 / CAST(greatest(len(d.description), len(t.term), 1) AS DOUBLE)) AS score
+      FROM short s
+      JOIN d ON d.concept_iri = s.concept_iri
+      JOIN terms t ON t.cui = s.cui
+      WHERE s.rn <= 50
+    ),
+    winners AS (
+      SELECT concept_iri, cui FROM (
+        SELECT concept_iri, cui, score,
+               row_number() OVER (PARTITION BY concept_iri
+                                  ORDER BY score DESC, cui ASC) AS wrn
+        FROM scored) t WHERE wrn = 1 AND score > 0
+    )
+    SELECT d.concept_iri,
+           coalesce(w.cui, '') AS cuis,
+           CASE WHEN w.cui IS NOT NULL THEN 'matched_umls_fallback'
+                ELSE 'remaining_without_cui' END AS cui_stage,
+           w.cui IS NOT NULL AS matched
+    FROM d LEFT JOIN winners w ON d.concept_iri = w.concept_iri
+    """,
+)
+def q_umls_match_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-mc gate (OntologyCUIProcessor.java:149-152 semantics): every
+    document plays a cascade-rejected concept; its text is the concept
+    description scored against the full inline UMLS term dim via the
+    token inverted index + Tversky/levenshtein blend. The oracle
+    replicates the whole path in SQL (DuckDB levenshtein + list ops)."""
+    from sifr_project_java_ontology_processing_spark.operators.scoring import (
+        match_fallback,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cascade_out = docs.select(
+        F.col("doc_id").cast("string").alias("concept_iri"),
+        F.lit(None).cast("string").alias("code"),
+        F.array().cast("array<string>").alias("cuis"),
+        F.lit("remaining_without_cui").alias("cui_stage"),
+    )
+    descriptions = docs.select(
+        F.col("doc_id").cast("string").alias("concept_iri"),
+        F.col("text").alias("description"),
+    )
+    umls = spark.createDataFrame(
+        _MF_TERMS, "code string, cui string, lat string, str string"
+    )
+    out = match_fallback(cascade_out, descriptions, umls)
+    return out.select(
+        "concept_iri",
+        F.concat_ws("|", "cuis").alias("cuis"),
+        "cui_stage",
+        "matched",
+    )
+
+
 # Candidate concept descriptions for TF-IDF link scoring: each label's
 # description overlaps its own name, the next label, and shared filler.
 _DESC_ROWS = [
