@@ -542,6 +542,126 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sessionize_gap",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - lag(epoch(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                  THEN 1 ELSE 0 END AS gap_flag
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization, batch twin of the applyInPandasWithState
+    streaming operator (streaming/sessionize.py) — the previously
+    SQL-ungated stateful op now has a DuckDB oracle for its batch
+    semantics (lag + cumulative session ids)."""
+    from sifr_project_java_ontology_processing_spark.streaming.sessionize import (
+        sessionize_batch,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = sessionize_batch(e, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "xsd_lang_literals",
+    """
+    SELECT lit,
+           str_split(lit, '^^')[1] AS stripped,
+           CASE WHEN regexp_matches(lit, '^"[^"]*"@[a-z][a-z]$')
+                THEN regexp_extract(lit, '^"([^"]*)"@', 1) ELSE lit END AS value,
+           CASE WHEN regexp_matches(lit, '^"[^"]*"@[a-z][a-z]$')
+                THEN regexp_extract(lit, '@([a-z][a-z])$', 1) ELSE 'en' END AS lang
+    FROM (
+      SELECT CASE n_nationkey % 3
+               WHEN 0 THEN n_name || '^^xsd:string'
+               WHEN 1 THEN '"' || n_name || '"@fr'
+               ELSE n_name END AS lit
+      FROM nation
+    ) t
+    """,
+)
+def q_xsd_lang_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (XSD-type strip) + P6 (lang-literal parse, default 'en') over
+    synthesized reference-style literal strings — previously unit-only."""
+    from sifr_project_java_ontology_processing_spark.functions.text import (
+        parse_lang_literal,
+        strip_xsd_type,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    lits = n.select(
+        F.when(F.col("n_nationkey") % 3 == 0, F.concat("n_name", F.lit("^^xsd:string")))
+        .when(F.col("n_nationkey") % 3 == 1, F.concat(F.lit('"'), "n_name", F.lit('"@fr')))
+        .otherwise(F.col("n_name"))
+        .alias("lit")
+    )
+    value, lang = parse_lang_literal(F.col("lit"))
+    return lits.select(
+        "lit",
+        strip_xsd_type(F.col("lit")).alias("stripped"),
+        value.alias("value"),
+        lang.alias("lang"),
+    )
+
+
+@register(
+    "cc_components_distributed",
+    """
+    WITH RECURSIVE
+    edges AS (SELECT 'n:' || n_nationkey AS src, 'r:' || n_regionkey AS dst FROM nation),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(node, r) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, re.r FROM reach re JOIN sym s ON s.src = re.node
+    )
+    SELECT node AS iri, min(r) AS canonical_iri
+    FROM reach GROUP BY node HAVING node <> min(r)
+    """,
+)
+def q_cc_components_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED large-star/small-star CC path (driver_threshold=0
+    forces it past the union-find shortcut) against the same
+    recursive-CTE oracle as cc_components — the scale route is now
+    oracle-gated, not just unit-tested."""
+    from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    edges = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return connected_components(edges, driver_threshold=0)
+
+
 # ===========================================================================
 # Training-data ops: dedup / similarity / fingerprints (operators/dedup.py,
 # operators/similarity.py, operators/textanalysis.py)
