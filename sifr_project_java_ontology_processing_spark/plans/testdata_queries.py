@@ -662,6 +662,89 @@ def q_cc_components_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, driver_threshold=0)
 
 
+# Shared CTE: documents wrapped as a MEDIA-shaped table with the
+# deterministic fake decode (sha256-derived pseudo-metadata) replayed
+# in SQL — gates the multimodal mapInPandas plumbing end-to-end.
+_MEDIA_DECODE_CTE = """
+    m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             sha256(text) AS h,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    decoded AS (
+      SELECT media_id, media_type,
+             CASE WHEN media_type IN ('image', 'video')
+                  THEN CAST(16 + CAST(('0x' || substr(h, 1, 4)) AS INT) % 4080 AS INT) END AS width,
+             CASE WHEN media_type IN ('image', 'video')
+                  THEN CAST(16 + CAST(('0x' || substr(h, 5, 4)) AS INT) % 2160 AS INT) END AS height,
+             CASE WHEN media_type IN ('audio', 'video')
+                  THEN CAST(CAST(('0x' || substr(h, 9, 6)) AS BIGINT) % 600000 AS INT) END AS duration_ms,
+             h AS digest, n_bytes
+      FROM m
+    )
+"""
+
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+
+
+@register(
+    "multimodal_decode",
+    f"""
+    WITH {_MEDIA_DECODE_CTE}
+    SELECT media_id, media_type, width, height, duration_ms, digest, n_bytes
+    FROM decoded
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing (operators/multimodal.py): binary
+    blobs → typed metadata via Arrow-batched mapInPandas with the
+    deterministic fake decoder; the oracle replays the sha256-derived
+    pseudo-decode in SQL, so schema/batching/threading are all gated."""
+    from sifr_project_java_ontology_processing_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    dec = decode_media(_media_from_documents(spark, sf_dir))
+    return dec.select(
+        "media_id", "media_type", "width", "height", "duration_ms", "digest", "n_bytes"
+    )
+
+
+@register(
+    "multimodal_frame_plan",
+    f"""
+    WITH {_MEDIA_DECODE_CTE}
+    SELECT media_id, CAST(i * 1000 AS BIGINT) AS frame_ts_ms
+    FROM decoded, UNNEST(range(0, least(duration_ms // 1000 + 1, 16))) AS t(i)
+    WHERE media_type = 'video' AND duration_ms IS NOT NULL
+    """,
+)
+def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (pure Catalyst sequence+explode): one
+    row per frame timestamp to decode downstream."""
+    from sifr_project_java_ontology_processing_spark.operators.multimodal import (
+        decode_media,
+        frame_sample_plan,
+    )
+
+    dec = decode_media(_media_from_documents(spark, sf_dir))
+    out = frame_sample_plan(dec, every_ms=1000, max_frames=16)
+    return out.select("media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
+
+
 # ===========================================================================
 # Training-data ops: dedup / similarity / fingerprints (operators/dedup.py,
 # operators/similarity.py, operators/textanalysis.py)
