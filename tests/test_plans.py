@@ -101,6 +101,37 @@ def test_signature_shuffle_shapes(spark):
     assert "partial_min" in mh_plan, mh_plan
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing co-locates join keys at WRITE time: joining two
+    same-bucketed tables must not shuffle either side (the brief's
+    'bucketing for co-located joins')."""
+    from sifr_project_java_ontology_processing_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}/bktdb'")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "bktdb.orders_b", "o_orderkey", buckets=8)
+    write_bucketed(lineitem, "bktdb.lineitem_b", "o_orderkey", buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "bktdb.orders_b", "bktdb.lineitem_b", "o_orderkey")
+        joined.collect()
+        plan = _plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    # sanity: result matches the unbucketed join
+    n_plain = orders.join(lineitem, "o_orderkey").count()
+    assert joined.count() == n_plain
+
+
 def test_distributed_similarity_no_driver_collect(spark):
     """Above-threshold exact similarity paths are cogrouped GEMM —
     FlatMapCoGroupsInPandas / FlatMapGroupsInPandas in the plan, no
