@@ -193,6 +193,33 @@ def salted_count(
     return partial.groupBy(*keys).agg(F.sum("_partial").alias(count_col))
 
 
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe fact⋈dim equi-join without broadcast: facts get a
+    per-row salt, the dim side is replicated ×``salt_buckets``, and the
+    join runs on (key, salt) — a hot key's rows spread over
+    ``salt_buckets`` reducers instead of one. Result is row-identical
+    to ``facts.join(dim, key, how)``.
+
+    Use when the dim is too big to broadcast AND a head key dominates
+    (the fixture's hot-host URLs); otherwise prefer broadcast or plain
+    join + AQE skew-split (spark.sql.adaptive.skewJoin, on by default
+    in session.py). Supported ``how``: inner / left."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    salted_facts = facts.withColumn("_salt", salt)
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_facts.join(replicated_dim, [key, "_salt"], how).drop("_salt")
+
+
 def salted_collect_set(
     df: DataFrame, keys: list[str], value: str, salt_buckets: int = 16, out: str = "values"
 ) -> DataFrame:

@@ -97,3 +97,32 @@ def test_salted_collect_set_matches_plain(spark):
         for r in df.groupBy("k").agg(F.collect_set("v").alias("s")).collect()
     }
     assert got == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Skew salting must be a pure physical rewrite: row-identical to
+    the plain join, hot key spread across (key, salt) reducers."""
+    from pyspark.sql import functions as F
+
+    from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
+        salted_join,
+    )
+
+    # heavily skewed facts: one hot key with 5000 rows, tail of 50
+    facts = spark.range(5000).select(F.lit("hot").alias("k"), F.col("id").alias("v")).unionByName(
+        spark.range(50).select(F.concat(F.lit("t"), F.col("id")).cast("string").alias("k"), F.col("id").alias("v"))
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"t{i}", f"D{i}") for i in range(0, 50, 2)],
+        "k string, attr string",
+    )
+    for how in ("inner", "left"):
+        got = salted_join(facts, dim, "k", salt_buckets=8, how=how)
+        want = facts.join(dim, "k", how)
+        assert got.count() == want.count(), how
+        g = {(r["k"], r["v"], r["attr"]) for r in got.collect()}
+        w = {(r["k"], r["v"], r["attr"]) for r in want.collect()}
+        assert g == w, how
+    # the join key includes the salt → the shuffle spreads the hot key
+    plan = salted_join(facts, dim, "k", salt_buckets=8)._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan
