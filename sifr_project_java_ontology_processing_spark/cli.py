@@ -172,6 +172,8 @@ def cmd_kg(args: argparse.Namespace) -> int:
         spark, pages, labels, mappings, umls_concepts, umls_semtypes,
         store=store, run_id=args.run_id,
         disambiguate_cuis=args.disambiguate,
+        match_cuis=args.match,
+        score_links=args.score_links,
     )
     from sifr_project_java_ontology_processing_spark.sources.graph_sink import (
         write_edges,
@@ -183,6 +185,10 @@ def cmd_kg(args: argparse.Namespace) -> int:
     write_nodes(result.nodes, f"{args.out}/nodes")
     write_edges(result.edges, f"{args.out}/edges")
     result.metrics.write.mode("overwrite").parquet(f"{args.out}/metrics")
+    if result.scored_mentions is not None:
+        result.scored_mentions.write.mode("overwrite").parquet(
+            f"{args.out}/scored_mentions"
+        )
     if store is not None and result.stages_resumed:
         print(f"resumed stages: {result.stages_resumed}")
     print(f"graph written to {args.out}")
@@ -235,6 +241,10 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--checkpoint-dir", default=None)
     k.add_argument("--run-id", default="run0")
     k.add_argument("-dc", "--disambiguate", action="store_true")
+    k.add_argument("-mc", "--match", action="store_true",
+                   help="full-UMLS fallback matching for cascade rejects")
+    k.add_argument("--score-links", action="store_true",
+                   help="emit TF-IDF + edit-distance link scores per mention")
     k.set_defaults(fn=cmd_kg)
     return p
 

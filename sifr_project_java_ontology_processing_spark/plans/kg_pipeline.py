@@ -97,6 +97,7 @@ def run_kg_pipeline(
     store: StageStore | None = None,
     run_id: str = "run0",
     disambiguate_cuis: bool = True,
+    match_cuis: bool = False,
     score_links: bool = False,
 ) -> PipelineResult:
     """Compose the full pipeline. With a ``store``, each stage snapshot
@@ -147,6 +148,15 @@ def run_kg_pipeline(
             target_cuis=target_cuis,
         )
         c = tui_cascade(c, mappings, umls_semtypes, own_tuis=own_tuis)
+        if match_cuis:
+            # -mc: rescue cascade rejects via the full-UMLS matcher
+            from sifr_project_java_ontology_processing_spark.operators.scoring import (
+                match_fallback,
+            )
+
+            c = match_fallback(
+                c, concept_descriptions(ontology_labels), umls_concepts
+            ).drop("matched")
         if disambiguate_cuis:
             # keep the `disambiguated` flag: triple assembly uses it for
             # the changeNote provenance triples (cuiAddedNotesToAdd)
