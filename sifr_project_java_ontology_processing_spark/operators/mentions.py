@@ -176,3 +176,214 @@ def detect_mentions(
             )
 
     return src.mapInPandas(_batches, schema=out_schema)
+
+
+def detect_mentions_joined(
+    spark: SparkSession,
+    extracted: DataFrame,
+    ontology_labels: DataFrame,
+    text_col: str = "extracted_text",
+) -> DataFrame:
+    """Shuffle-based twin of :func:`detect_mentions` for label dimensions
+    too large to broadcast (SURVEY.md J9, scale path).
+
+    ``detect_mentions`` holds the whole label surface on every executor
+    (the Spark analog of the reference's in-RAM OntModel,
+    utils/OntologyLoader.java:41-79) — right up to the point where a
+    10M+-label ontology no longer fits in executor memory. This variant
+    never collects or broadcasts the dimension:
+
+      1. pages are tokenized map-side into ``(url, idx, tok)`` rows;
+      2. the label dim is normalized into a phrase table keyed by its
+         FIRST token (an inverted index), deduped per normalized phrase
+         with the same first-wins rule as the trie leaf (pref < alt <
+         hidden, then min concept_iri);
+      3. an equi-join on ``tok == first_token`` yields candidate starts
+         (AQE skew-join splits hot first tokens);
+      4. a cogrouped ``applyInPandas`` per url verifies each candidate
+         phrase against the page's token stream and replays the trie's
+         greedy longest-match, non-overlapping scan.
+
+    Output schema and rows are IDENTICAL to ``detect_mentions`` (equality
+    is pytest-gated); only the physical plan differs: two equi-join
+    shuffles (token, url) instead of one broadcast. Both sides scale
+    linearly — candidates are O(occurrences of first tokens), never
+    |pages| × |labels|.
+    """
+    cui_rx = re.compile(r"^C[0-9]{7}$")
+
+    # --- phrase dim: normalize + dedup exactly like build_label_trie ----
+    lab_src = ontology_labels.select("concept_iri", "label", "label_kind")
+
+    def _phrases(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keys, firsts, ns, concepts, kinds = [], [], [], [], []
+            for concept, label, kind in zip(
+                pdf["concept_iri"], pdf["label"], pdf["label_kind"]
+            ):
+                if kind not in ("pref", "alt", "hidden"):
+                    continue
+                if label is None or cui_rx.fullmatch(label.strip()):
+                    continue
+                toks = [t for t in (_norm_token(w) for w in label.split()) if t]
+                if not toks:
+                    continue
+                keys.append(" ".join(toks))
+                firsts.append(toks[0])
+                ns.append(len(toks))
+                concepts.append(concept)
+                kinds.append(kind)
+            yield pd.DataFrame(
+                {
+                    "phrase_key": pd.Series(keys, dtype="object"),
+                    "first_token": pd.Series(firsts, dtype="object"),
+                    "n_tokens": pd.Series(ns, dtype="int32"),
+                    "concept_iri": pd.Series(concepts, dtype="object"),
+                    "label_kind": pd.Series(kinds, dtype="object"),
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    raw_phrases = lab_src.mapInPandas(
+        _phrases,
+        schema="phrase_key string, first_token string, n_tokens int, "
+        "concept_iri string, label_kind string",
+    )
+    # first-wins dedup per normalized phrase: trie setdefault keeps the
+    # row with min (kind priority, concept_iri)
+    prio = (
+        F.when(F.col("label_kind") == "pref", 0)
+        .when(F.col("label_kind") == "alt", 1)
+        .otherwise(2)
+    )
+    phrases = (
+        raw_phrases.groupBy("phrase_key", "first_token", "n_tokens")
+        .agg(
+            F.min(F.struct(prio.alias("prio"), "concept_iri", "label_kind")).alias(
+                "w"
+            )
+        )
+        .select(
+            "phrase_key",
+            "first_token",
+            "n_tokens",
+            F.col("w.concept_iri").alias("concept_iri"),
+            F.col("w.label_kind").alias("label_kind"),
+        )
+    )
+
+    # --- page tokens, exploded map-side --------------------------------
+    src = extracted.select("url", text_col, "lang")
+
+    def _tokens(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            urls, idxs, toks = [], [], []
+            for url, text in zip(pdf["url"], pdf[text_col]):
+                if not text:
+                    continue
+                i = 0
+                for m in _WORD_RX.finditer(text):
+                    t = _norm_token(m.group(0))
+                    if not t:
+                        continue
+                    urls.append(url)
+                    idxs.append(i)
+                    toks.append(t)
+                    i += 1
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "idx": pd.Series(idxs, dtype="int32"),
+                    "tok": pd.Series(toks, dtype="object"),
+                }
+            )
+
+    tokens = src.mapInPandas(_tokens, schema="url string, idx int, tok string")
+    candidates = tokens.join(
+        phrases.withColumnRenamed("first_token", "tok"), "tok"
+    ).select("url", "idx", "phrase_key", "n_tokens", "concept_iri", "label_kind")
+
+    # --- per-url verify + greedy longest-match resolve ------------------
+    out_schema = (
+        "url string, span_start int, span_end int, surface string, "
+        "concept_iri string, label_kind string, lang string, part_id int"
+    )
+
+    def _resolve(docs_pdf: pd.DataFrame, cands_pdf: pd.DataFrame) -> pd.DataFrame:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        cols = {
+            "url": [], "span_start": [], "span_end": [], "surface": [],
+            "concept_iri": [], "label_kind": [], "lang": [],
+        }
+        if docs_pdf.empty or cands_pdf.empty:
+            return pd.DataFrame(
+                {
+                    **{k: pd.Series(v, dtype="object") for k, v in cols.items()},
+                    "part_id": pd.Series([], dtype="int32"),
+                }
+            ).astype({"span_start": "int32", "span_end": "int32"})
+        # per start idx: [(n_tokens, phrase tokens, concept, kind)], longest
+        # first so the greedy scan can stop at the first verified hit
+        by_idx: dict[int, list] = {}
+        for idx, key, n, c, k in zip(
+            cands_pdf["idx"], cands_pdf["phrase_key"], cands_pdf["n_tokens"],
+            cands_pdf["concept_iri"], cands_pdf["label_kind"],
+        ):
+            by_idx.setdefault(int(idx), []).append((int(n), key.split(" "), c, k))
+        for lst in by_idx.values():
+            lst.sort(key=lambda t: -t[0])
+        for url, text, lang in zip(
+            docs_pdf["url"], docs_pdf[text_col], docs_pdf["lang"]
+        ):
+            if not text:
+                continue
+            words = [
+                (m.start(), m.end(), _norm_token(m.group(0)))
+                for m in _WORD_RX.finditer(text)
+            ]
+            words = [w for w in words if w[2]]
+            n_words = len(words)
+            i = 0
+            while i < n_words:
+                best = None
+                for n, ktoks, concept, kind in by_idx.get(i, ()):
+                    if i + n > n_words:
+                        continue
+                    if [w[2] for w in words[i : i + n]] == ktoks:
+                        best = (n, concept, kind)
+                        break  # sorted longest-first
+                if best is not None:
+                    best_n, concept, kind = best
+                    start, end = words[i][0], words[i + best_n - 1][1]
+                    cols["url"].append(url)
+                    cols["span_start"].append(start)
+                    cols["span_end"].append(end)
+                    cols["surface"].append(text[start:end])
+                    cols["concept_iri"].append(concept)
+                    cols["label_kind"].append(kind)
+                    cols["lang"].append(lang)
+                    i += best_n
+                else:
+                    i += 1
+        n_out = len(cols["url"])
+        return pd.DataFrame(
+            {
+                "url": pd.Series(cols["url"], dtype="object"),
+                "span_start": pd.Series(cols["span_start"], dtype="int32"),
+                "span_end": pd.Series(cols["span_end"], dtype="int32"),
+                "surface": pd.Series(cols["surface"], dtype="object"),
+                "concept_iri": pd.Series(cols["concept_iri"], dtype="object"),
+                "label_kind": pd.Series(cols["label_kind"], dtype="object"),
+                "lang": pd.Series(cols["lang"], dtype="object"),
+                "part_id": pd.Series([pid] * n_out, dtype="int32"),
+            }
+        )
+
+    return (
+        src.groupBy("url")
+        .cogroup(candidates.groupBy("url"))
+        .applyInPandas(_resolve, schema=out_schema)
+    )

@@ -89,6 +89,75 @@ def q_mention_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.where(F.col("n_mentions") > 0)
 
 
+# Joined-path mention dictionary. Single-token labels share no token with
+# the two-token phrases, and each phrase's two tokens are distinct — so the
+# operator's greedy non-overlapping longest-match scan emits EVERY naive
+# occurrence (no occurrence can start inside another match's span), making
+# the count exactly replayable in SQL.
+_JOINED_SINGLES = ["filter", "join", "window", "hash", "merge", "agg", "batch"]
+_JOINED_PHRASES = [("slow", "scan"), ("big", "vector"), ("fast", "table")]
+
+_JOINED_SINGLE_VALUES = ", ".join(f"('{w}')" for w in _JOINED_SINGLES)
+_JOINED_PHRASE_VALUES = ", ".join(
+    f"('{a} {b}', '{a}', '{b}')" for a, b in _JOINED_PHRASES
+)
+
+
+@register(
+    "mention_detect_joined",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    singles(label) AS (VALUES {_JOINED_SINGLE_VALUES}),
+    phrases(label, a, b) AS (VALUES {_JOINED_PHRASE_VALUES}),
+    s_hits AS (
+      SELECT doc_id, label,
+             len(list_filter(t, x -> x = label)) AS n
+      FROM toks CROSS JOIN singles
+    ),
+    p_hits AS (
+      SELECT doc_id, label,
+             len(list_filter(range(1, len(t)), i -> t[i] = a AND t[i+1] = b)) AS n
+      FROM toks CROSS JOIN phrases
+    ),
+    all_hits AS (SELECT * FROM s_hits UNION ALL SELECT * FROM p_hits)
+    SELECT doc_id, label, n AS n_mentions, n * length(label) AS span_chars
+    FROM all_hits WHERE n > 0
+    """,
+)
+def q_mention_detect_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 scale path: the REAL no-broadcast inverted-index mention
+    detector (``detect_mentions_joined`` — token equi-join + cogrouped
+    greedy resolve, label dim never collected/broadcast) run over the
+    documents corpus with a mixed single/two-token dictionary, then
+    aggregated per (doc, label). span_chars additionally pins the span
+    arithmetic (text is single-space separated, so each phrase span is
+    exactly ``len(label)`` chars)."""
+    from sifr_project_java_ontology_processing_spark.operators.mentions import (
+        detect_mentions_joined,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text", "lang"
+    )
+    dict_rows = [(f"c:{w}", w, "pref", "en") for w in _JOINED_SINGLES] + [
+        (f"c:{a} {b}", f"{a} {b}", "pref", "en") for a, b in _JOINED_PHRASES
+    ]
+    labels = spark.createDataFrame(
+        dict_rows, "concept_iri string, label string, label_kind string, lang string"
+    )
+    mentions = detect_mentions_joined(spark, docs, labels, text_col="text")
+    return mentions.groupBy(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("concept_iri").substr(F.lit(3), F.lit(1000)).alias("label"),
+    ).agg(
+        F.count("*").alias("n_mentions"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("span_chars"),
+    )
+
+
 @register(
     "regex_filter",
     """

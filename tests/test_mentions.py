@@ -11,6 +11,7 @@ from sifr_project_java_ontology_processing_spark.operators.mentions import (
     _scan_text,
     build_label_trie,
     detect_mentions,
+    detect_mentions_joined,
 )
 
 from .oracle import mention_triples_oracle, precision_recall
@@ -54,3 +55,54 @@ def test_mentions_map_only_plan(spark, kg_tables):
     mentions = detect_mentions(spark, extracted, kg_tables["ontology_labels"])
     plan = mentions._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def _rows(df):
+    return sorted(
+        (r["url"], r["span_start"], r["span_end"], r["surface"],
+         r["concept_iri"], r["label_kind"], r["lang"])
+        for r in df.drop("part_id").collect()
+    )
+
+
+def test_joined_path_equals_trie_path(spark, kg_tables):
+    """The no-broadcast inverted-index path must emit row-for-row the
+    same mentions (spans, surfaces, concepts, kinds) as the trie path."""
+    extracted = extract_pages(kg_tables["pages"])
+    trie = detect_mentions(spark, extracted, kg_tables["ontology_labels"])
+    joined = detect_mentions_joined(spark, extracted, kg_tables["ontology_labels"])
+    assert _rows(joined) == _rows(trie)
+
+
+def test_joined_path_tie_and_overlap_semantics(spark):
+    """Shared-first-token phrases of equal length, pref-beats-alt on an
+    identical normalized phrase, and greedy non-overlap — the cases where
+    a naive join would diverge from the trie."""
+    extracted = spark.createDataFrame(
+        [
+            ("u1", "acute aorta pain then Aorta, stop", "en"),
+            ("u2", "acute bronchus acute aorta acute", "en"),
+            ("u3", "", "en"),
+            ("u4", None, "en"),
+        ],
+        "url string, extracted_text string, lang string",
+    )
+    labels = spark.createDataFrame(
+        [
+            ("c:A", "aorta", "alt", "en"),
+            ("c:B", "AORTA", "pref", "en"),       # same phrase: pref wins
+            ("c:C", "acute aorta", "pref", "en"),  # longest-match beats 'aorta'
+            ("c:D", "acute bronchus", "pref", "en"),  # shares first token with c:C
+            ("c:E", "C1234567", "pref", "en"),     # CUI-shaped: excluded
+        ],
+        "concept_iri string, label string, label_kind string, lang string",
+    )
+    trie = detect_mentions(spark, extracted, labels)
+    joined = detect_mentions_joined(spark, extracted, labels)
+    got = _rows(joined)
+    assert got == _rows(trie)
+    concepts = [(u, c) for (u, _s, _e, _surf, c, _k, _l) in got]
+    assert ("u1", "c:C") in concepts          # 'acute aorta' as one span
+    assert ("u1", "c:B") in concepts          # standalone 'Aorta,' → pref concept
+    assert ("u2", "c:D") in concepts and ("u2", "c:C") in concepts
+    assert not any(u == "u3" or u == "u4" for u, _ in concepts)
