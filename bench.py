@@ -25,6 +25,7 @@ AMPLIFY = int(os.environ.get("SPARK_GRAFT_BENCH_AMPLIFY", "40"))
 
 HEADLINE = [
     "mention_detect",
+    "mention_detect_joined",  # round 2: no-broadcast J9 scale path
     "pricing_summary",
     "window_top1",
     "fallback_cascade",

@@ -174,6 +174,7 @@ def cmd_kg(args: argparse.Namespace) -> int:
         disambiguate_cuis=args.disambiguate,
         match_cuis=args.match,
         score_links=args.score_links,
+        broadcast_labels=not args.no_broadcast_labels,
     )
     from sifr_project_java_ontology_processing_spark.sources.graph_sink import (
         write_edges,
@@ -245,6 +246,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="full-UMLS fallback matching for cascade rejects")
     k.add_argument("--score-links", action="store_true",
                    help="emit TF-IDF + edit-distance link scores per mention")
+    k.add_argument("--no-broadcast-labels", action="store_true",
+                   help="inverted-index join mention detection (label dim "
+                        "too large to broadcast)")
     k.set_defaults(fn=cmd_kg)
     return p
 

@@ -52,7 +52,10 @@ from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
     canonical_mapping,
 )
 from sifr_project_java_ontology_processing_spark.operators.extraction import extract_pages
-from sifr_project_java_ontology_processing_spark.operators.mentions import detect_mentions
+from sifr_project_java_ontology_processing_spark.operators.mentions import (
+    detect_mentions,
+    detect_mentions_joined,
+)
 from sifr_project_java_ontology_processing_spark.operators.scoring import (
     concept_descriptions,
     disambiguate,
@@ -99,9 +102,15 @@ def run_kg_pipeline(
     disambiguate_cuis: bool = True,
     match_cuis: bool = False,
     score_links: bool = False,
+    broadcast_labels: bool = True,
 ) -> PipelineResult:
     """Compose the full pipeline. With a ``store``, each stage snapshot
-    commits under ``root/run_id/<stage>`` and re-runs resume."""
+    commits under ``root/run_id/<stage>`` and re-runs resume.
+
+    ``broadcast_labels=False`` switches mention detection to the
+    no-broadcast inverted-index join (``detect_mentions_joined``) for
+    label dimensions too large to hold on every executor; rows emitted
+    are identical, only the physical plan changes."""
     resumed: list[str] = []
 
     def stage(name: str, thunk, partition_by=None) -> DataFrame:
@@ -131,9 +140,11 @@ def run_kg_pipeline(
     # -- stage 1: extraction (map-only) ------------------------------------
     extracted = stage("extracted", lambda: extract_pages(pages))
 
-    # -- stage 2: mention detection (map-only, broadcast trie) --------------
+    # -- stage 2: mention detection (map-only broadcast trie, or the
+    # inverted-index join when the label dim outgrows broadcast) ------------
+    _detect = detect_mentions if broadcast_labels else detect_mentions_joined
     mentions = stage(
-        "mentions", lambda: detect_mentions(spark, extracted, ontology_labels)
+        "mentions", lambda: _detect(spark, extracted, ontology_labels)
     )
 
     # -- stage 3: enrichment cascade over the concept dimension -------------

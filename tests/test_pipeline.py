@@ -87,7 +87,7 @@ def golden_triples(fx) -> set[tuple[str, str, str]]:
     return triples
 
 
-def _run(spark, kg_fixture, kg_tables, store=None, run_id="r1"):
+def _run(spark, kg_fixture, kg_tables, store=None, run_id="r1", **kw):
     fx = kg_fixture
     own = spark.createDataFrame(
         [(c, cui) for c, cs in fx.concept_cuis.items() for cui in cs],
@@ -114,6 +114,7 @@ def _run(spark, kg_fixture, kg_tables, store=None, run_id="r1"):
         store=store,
         run_id=run_id,
         disambiguate_cuis=False,  # oracle models the no -dc path
+        **kw,
     )
 
 
@@ -195,3 +196,13 @@ def test_pipeline_deterministic_two_runs(spark, kg_fixture, kg_tables):
     a = _triple_set(_run(spark, kg_fixture, kg_tables).triples)
     b = _triple_set(_run(spark, kg_fixture, kg_tables).triples)
     assert a == b
+
+
+def test_pipeline_joined_mentions_identical_triples(spark, kg_fixture, kg_tables):
+    """broadcast_labels=False (inverted-index mention join) must change
+    only the physical plan, never the emitted triple set."""
+    base = _triple_set(_run(spark, kg_fixture, kg_tables).triples)
+    joined = _triple_set(
+        _run(spark, kg_fixture, kg_tables, broadcast_labels=False).triples
+    )
+    assert joined == base
