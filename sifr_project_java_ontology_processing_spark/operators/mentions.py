@@ -178,6 +178,96 @@ def detect_mentions(
     return src.mapInPandas(_batches, schema=out_schema)
 
 
+def extract_and_detect(
+    spark: SparkSession,
+    pages: DataFrame,
+    ontology_labels: DataFrame,
+) -> DataFrame:
+    """Fused extraction + trie mention detection in ONE ``mapInArrow``
+    pass over ``pages(url, html, lang)`` — same rows as
+    ``detect_mentions(spark, extract_pages(pages), labels)`` (pytest-
+    gated equality).
+
+    Why fuse: chained ``mapInPandas`` stages each cross the JVM↔Python
+    boundary with the full corpus (extracted text is Arrow-serialized
+    out of the extraction UDF and straight back into the mention UDF).
+    At 100 TB that is a second full-corpus serialization for no
+    computational gain. This operator decodes html → text → spans
+    inside one Python worker pass and builds the output as pyarrow
+    arrays directly (no intermediate pandas frame). Still map-only:
+    zero shuffle, label trie on the broadcast."""
+    import pyarrow as pa
+
+    label_rows = [
+        (r["concept_iri"], r["label"], r["label_kind"], r["lang"])
+        for r in ontology_labels.select(
+            "concept_iri", "label", "label_kind", "lang"
+        )
+        .orderBy("label_kind", "concept_iri")
+        .collect()
+    ]
+    label_rows.sort(key=lambda r: {"pref": 0, "alt": 1, "hidden": 2}.get(r[2], 3))
+    bc = spark.sparkContext.broadcast(label_rows)
+
+    from sifr_project_java_ontology_processing_spark.operators.extraction import (
+        extract_text,
+    )
+
+    src = pages.select("url", "html", "lang")
+    out_schema = (
+        "url string, span_start int, span_end int, surface string, "
+        "concept_iri string, label_kind string, lang string, part_id int"
+    )
+
+    def _batches(it):
+        from pyspark import TaskContext
+
+        trie = build_label_trie(bc.value)
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for rb in it:
+            urls = rb.column("url").to_pylist()
+            htmls = rb.column("html").to_pylist()
+            langs = rb.column("lang").to_pylist()
+            c_url: list = []
+            c_start: list = []
+            c_end: list = []
+            c_surface: list = []
+            c_concept: list = []
+            c_kind: list = []
+            c_lang: list = []
+            for url, html, lang in zip(urls, htmls, langs):
+                hits = _scan_text(extract_text(html), trie)
+                if not hits:
+                    continue
+                for start, end, surface, concept, kind in hits:
+                    c_start.append(start)
+                    c_end.append(end)
+                    c_surface.append(surface)
+                    c_concept.append(concept)
+                    c_kind.append(kind)
+                n = len(hits)
+                c_url.extend([url] * n)
+                c_lang.extend([lang] * n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(c_url, type=pa.string()),
+                    pa.array(c_start, type=pa.int32()),
+                    pa.array(c_end, type=pa.int32()),
+                    pa.array(c_surface, type=pa.string()),
+                    pa.array(c_concept, type=pa.string()),
+                    pa.array(c_kind, type=pa.string()),
+                    pa.array(c_lang, type=pa.string()),
+                    pa.array([pid] * len(c_start), type=pa.int32()),
+                ],
+                names=[
+                    "url", "span_start", "span_end", "surface",
+                    "concept_iri", "label_kind", "lang", "part_id",
+                ],
+            )
+
+    return src.mapInArrow(_batches, schema=out_schema)
+
+
 def detect_mentions_joined(
     spark: SparkSession,
     extracted: DataFrame,

@@ -55,6 +55,7 @@ from sifr_project_java_ontology_processing_spark.operators.extraction import ext
 from sifr_project_java_ontology_processing_spark.operators.mentions import (
     detect_mentions,
     detect_mentions_joined,
+    extract_and_detect,
 )
 from sifr_project_java_ontology_processing_spark.operators.scoring import (
     concept_descriptions,
@@ -142,10 +143,20 @@ def run_kg_pipeline(
 
     # -- stage 2: mention detection (map-only broadcast trie, or the
     # inverted-index join when the label dim outgrows broadcast) ------------
-    _detect = detect_mentions if broadcast_labels else detect_mentions_joined
-    mentions = stage(
-        "mentions", lambda: _detect(spark, extracted, ontology_labels)
-    )
+    # Without a store, extraction is not materialized anywhere, so the
+    # trie path fuses html→text→spans into ONE Python pass
+    # (extract_and_detect) instead of re-serializing the full corpus
+    # between two chained UDF stages; with a store, mentions must read
+    # the committed `extracted` snapshot for resume.
+    if broadcast_labels and store is None:
+        mentions = stage(
+            "mentions", lambda: extract_and_detect(spark, pages, ontology_labels)
+        )
+    else:
+        _detect = detect_mentions if broadcast_labels else detect_mentions_joined
+        mentions = stage(
+            "mentions", lambda: _detect(spark, extracted, ontology_labels)
+        )
 
     # -- stage 3: enrichment cascade over the concept dimension -------------
     def _cascade() -> DataFrame:

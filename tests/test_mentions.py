@@ -106,3 +106,20 @@ def test_joined_path_tie_and_overlap_semantics(spark):
     assert ("u1", "c:B") in concepts          # standalone 'Aorta,' → pref concept
     assert ("u2", "c:D") in concepts and ("u2", "c:C") in concepts
     assert not any(u == "u3" or u == "u4" for u, _ in concepts)
+
+
+def test_fused_extract_and_detect_equals_chained(spark, kg_tables):
+    """extract_and_detect (one mapInArrow pass) must emit row-for-row
+    the same mentions as detect_mentions over extract_pages, and stay
+    map-only (no shuffle exchange in the plan)."""
+    from sifr_project_java_ontology_processing_spark.operators.mentions import (
+        extract_and_detect,
+    )
+
+    chained = detect_mentions(
+        spark, extract_pages(kg_tables["pages"]), kg_tables["ontology_labels"]
+    )
+    fused = extract_and_detect(spark, kg_tables["pages"], kg_tables["ontology_labels"])
+    assert _rows(fused) == _rows(chained)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
