@@ -42,8 +42,7 @@ from sifr_project_java_ontology_processing_spark.session import get_spark
 from sifr_project_java_ontology_processing_spark.plans.flagship import (
     documents_as_pages, vocab_tables)
 from sifr_project_java_ontology_processing_spark.plans.kg_pipeline import run_kg_pipeline
-from sifr_project_java_ontology_processing_spark.operators.extraction import extract_pages
-from sifr_project_java_ontology_processing_spark.operators.mentions import detect_mentions
+from sifr_project_java_ontology_processing_spark.operators.mentions import extract_and_detect
 from sifr_project_java_ontology_processing_spark.functions.uris import SIFR_MENTION
 
 cpus = int(os.environ["SPARK_GRAFT_CPUS"])
@@ -63,12 +62,13 @@ dims = vocab_tables(spark)
 
 job = os.environ["SCALING_JOB"]
 # warm-up: JIT the JVM, spawn+reuse python workers, open parquet footers
-ext_warm = extract_pages(pages.limit(200))
-detect_mentions(spark, ext_warm, dims["ontology_labels"]).write.format("noop").mode("overwrite").save()
+extract_and_detect(spark, pages.limit(200), dims["ontology_labels"]).write.format(
+    "noop").mode("overwrite").save()
 t0 = time.perf_counter()
 if job == "map_path":
-    ext = extract_pages(pages)
-    m = detect_mentions(spark, ext, dims["ontology_labels"])
+    # the engine's production map path: fused html→text→spans, one
+    # Arrow crossing (same operator the pipeline uses without a store)
+    m = extract_and_detect(spark, pages, dims["ontology_labels"])
     mt = m.select(F.col("url").alias("subj"), F.lit(SIFR_MENTION).alias("pred"),
                   F.col("concept_iri").alias("obj")).distinct()
     mt.write.format("noop").mode("overwrite").save()

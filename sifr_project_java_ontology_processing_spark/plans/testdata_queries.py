@@ -89,6 +89,79 @@ def q_mention_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.where(F.col("n_mentions") > 0)
 
 
+@register(
+    "url_normalize",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 4 = 2
+           THEN 'HTTPS://Ex' || (doc_id % 7) || '.COM:443'
+           ELSE 'HTTP://WWW.Example' || (doc_id % 7) || '.COM:80' END)
+        || '/A/b/' || doc_id
+        || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 4 = 1 THEN '' ELSE
+             '?id=' || doc_id
+             || (CASE WHEN doc_id % 2 = 0
+                 THEN '&utm_source=feed&utm_medium=rss' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '&fbclid=AbC123' ELSE '' END)
+           END)
+        || '#frag' AS url
+      FROM documents
+    ),
+    n1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS s FROM u),
+    n2 AS (SELECT doc_id,
+             CASE WHEN regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) = ''
+                  THEN s
+                  ELSE lower(regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                       || regexp_replace(s, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
+             END AS s FROM n1),
+    n3 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+             '^(http://[^/:?#]*):80((/|\?).*)?$', '\1\2'),
+             '^(https://[^/:?#]*):443((/|\?).*)?$', '\1\2') AS s FROM n2),
+    n4 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+             '(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&]*&?', '', 'g'),
+             '[?&]$', '') AS s FROM n3),
+    n5 AS (SELECT doc_id, regexp_replace(s, '([^/])/$', '\1') AS s FROM n4)
+    SELECT doc_id, s AS url_norm,
+           lower(regexp_extract(s, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host
+    FROM n5
+    """,
+)
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (training-data-pipeline key hygiene):
+    deterministic messy URLs (case-variant hosts, default ports, utm/
+    fbclid params, fragments, trailing slashes) synthesized per doc,
+    canonicalized by ``functions.web.normalize_url`` — pure codegen
+    column expressions, each regex RE2-compatible so DuckDB replays the
+    exact rewrite chain."""
+    from sifr_project_java_ontology_processing_spark.functions.web import (
+        normalize_url,
+        url_host,
+    )
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 4 == 2, F.concat(F.lit("HTTPS://Ex"), (d % 7).cast("string"), F.lit(".COM:443")))
+        .otherwise(F.concat(F.lit("HTTP://WWW.Example"), (d % 7).cast("string"), F.lit(".COM:80"))),
+        F.lit("/A/b/"),
+        d.cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 1, F.lit("")).otherwise(
+            F.concat(
+                F.lit("?id="),
+                d.cast("string"),
+                F.when(d % 2 == 0, F.lit("&utm_source=feed&utm_medium=rss")).otherwise(F.lit("")),
+                F.when(d % 5 == 0, F.lit("&fbclid=AbC123")).otherwise(F.lit("")),
+            )
+        ),
+        F.lit("#frag"),
+    )
+    norm = normalize_url(url)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", norm.alias("url_norm"), url_host(norm).alias("host")
+    )
+
+
 # Joined-path mention dictionary. Single-token labels share no token with
 # the two-token phrases, and each phrase's two tokens are distinct — so the
 # operator's greedy non-overlapping longest-match scan emits EVERY naive

@@ -1,0 +1,40 @@
+"""URL canonicalization unit cases (functions/web.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sifr_project_java_ontology_processing_spark.functions.web import (
+    normalize_url,
+    url_host,
+)
+
+CASES = [
+    # (raw, canonical)
+    ("HTTP://WWW.Example.COM:80/A/b/1?id=1#frag", "http://www.example.com/A/b/1?id=1"),
+    ("HTTPS://Ex.COM:443/x/", "https://ex.com/x"),
+    ("https://ex.com:8443/x", "https://ex.com:8443/x"),  # non-default port kept
+    ("http://h/p?id=2&utm_source=feed&utm_medium=rss", "http://h/p?id=2"),
+    ("http://h/p?utm_source=feed", "http://h/p"),
+    ("http://h/p?utm_source=a&fbclid=B&id=3", "http://h/p?id=3"),
+    ("http://h/UPPER/Path", "http://h/UPPER/Path"),  # path case preserved
+    ("http://h/", "http://h"),
+    ("http://h", "http://h"),
+    ("no-scheme/path/#frag", "no-scheme/path"),  # relative: rules 1/4/5 only
+    ("", ""),
+]
+
+
+def test_normalize_url_cases(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], "url string")
+    got = [r["n"] for r in df.select(normalize_url(F.col("url")).alias("n")).collect()]
+    want = [c for _, c in CASES]
+    assert got == want, list(zip([r for r, _ in CASES], got, want))
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [("HTTP://WWW.Ex.COM:80/a",), ("relative/x",)], "url string"
+    )
+    got = [r["h"] for r in df.select(url_host(F.col("url")).alias("h")).collect()]
+    assert got == ["www.ex.com:80", ""]
