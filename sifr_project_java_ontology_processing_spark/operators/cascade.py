@@ -70,6 +70,44 @@ def _agg_set(df: DataFrame, key: str, value: str, out: str) -> DataFrame:
     )
 
 
+def _agg_sets_fused(
+    sources: list[tuple[DataFrame | None, str]],
+) -> DataFrame | None:
+    """Fused multi-source set aggregation: N candidate streams
+    ``(concept_iri, value)`` → ONE row per concept with one
+    sorted-distinct array per PRESENT source (absent sources get no
+    column — the caller backfills null arrays).
+
+    This replaces N separate groupBy+broadcast-join pairs with a single
+    tagged union → one hash aggregate → one join: the cascade's shuffle
+    count is constant in the number of stages, at any dimension size
+    (VERDICT round-1 perf note: "fuse cascade's _agg_set shuffles where
+    keys align"). Per-source sets come out of conditional collect_set
+    (nulls are skipped by aggregation semantics); a concept absent from
+    a source gets an EMPTY array where the unfused shape produced NULL —
+    both read as "stage empty" downstream (size() > 0), which the exact
+    cascade oracle tests pin."""
+    present = [(df, out) for df, out in sources if df is not None]
+    if not present:
+        return None
+    tagged = None
+    for i, (df, _out) in enumerate(present):
+        t = df.select(
+            F.col("concept_iri"),
+            F.col("value").alias("_v"),
+            F.lit(i).alias("_src"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return tagged.groupBy("concept_iri").agg(
+        *[
+            F.sort_array(
+                F.collect_set(F.when(F.col("_src") == i, F.col("_v")))
+            ).alias(out)
+            for i, (_df, out) in enumerate(present)
+        ]
+    )
+
+
 # Code-property priority chain (reference code/CompositeCodeFinder.java:24-40):
 # skos:notation → icd:cdCode → icpc2p:ICPCCODE, then URI-fragment fallback.
 CODE_PREDICATES = [
@@ -153,20 +191,15 @@ def cui_cascade(
 
     # J1 — own CUIs
     own = (
-        _agg_set(own_cuis, "concept_iri", "cui", "own_cuis")
+        own_cuis.select("concept_iri", F.col("cui").alias("value"))
         if own_cuis is not None
         else None
     )
 
     # P4 — CUI-shaped altLabels (cuis/CUIOntologyDelegateImpl.java:123-138)
-    alt = _agg_set(
-        ontology_labels.where(
-            (F.col("label_kind") == "alt") & F.trim(F.col("label")).rlike(CUI_PATTERN)
-        ).withColumn("label", F.trim(F.col("label"))),
-        "concept_iri",
-        "label",
-        "alt_cuis",
-    )
+    alt = ontology_labels.where(
+        (F.col("label_kind") == "alt") & F.trim(F.col("label")).rlike(CUI_PATTERN)
+    ).select("concept_iri", F.trim(F.col("label")).alias("value"))
 
     # J2+J3 — mapping targets' CUIs (6 mapping predicates,
     # DefaultOntologyMappingDelegate.java:81-86; targets per findCUIs :201)
@@ -182,8 +215,8 @@ def cui_cascade(
                 ),
                 "target_iri",
             )
+            .select("concept_iri", F.col("cui").alias("value"))
         )
-        mapped = _agg_set(mapped, "concept_iri", "cui", "mapping_cuis")
     else:
         mapped = None
 
@@ -191,20 +224,25 @@ def cui_cascade(
     umls = umls_concepts
     if lat is not None:
         umls = umls.where(F.col("lat") == lat)
-    code_cuis = _agg_set(
+    code_cuis = (
         spark_classes.where(F.col("code").isNotNull())
         .select("concept_iri", "code")
-        .join(F.broadcast(umls.select("code", "cui")), "code"),
-        "concept_iri",
-        "cui",
-        "code_cuis",
+        .join(F.broadcast(umls.select("code", "cui")), "code")
+        .select("concept_iri", F.col("cui").alias("value"))
     )
 
-    out = spark_classes
-    for dim, col in ((own, "own_cuis"), (alt, "alt_cuis"), (mapped, "mapping_cuis"), (code_cuis, "code_cuis")):
-        if dim is not None:
-            out = out.join(F.broadcast(dim), "concept_iri", "left")
-        else:
+    # all four stages share the concept_iri key: ONE tagged-union hash
+    # aggregate + ONE broadcast join instead of four of each
+    stage_sources = [
+        (own, "own_cuis"),
+        (alt, "alt_cuis"),
+        (mapped, "mapping_cuis"),
+        (code_cuis, "code_cuis"),
+    ]
+    fused = _agg_sets_fused(stage_sources)
+    out = spark_classes.join(F.broadcast(fused), "concept_iri", "left")
+    for dim, col in stage_sources:
+        if dim is None:
             out = out.withColumn(col, F.lit(None).cast("array<string>"))
 
     def nonempty(c: str):
@@ -249,25 +287,22 @@ def tui_cascade(
     → (concept_iri, cuis, cui_stage, tuis array<string>, tui_stage).
     """
     own = (
-        _agg_set(own_tuis, "concept_iri", "tui", "own_tuis")
+        own_tuis.select("concept_iri", F.col("tui").alias("value"))
         if own_tuis is not None
         else None
     )
 
     # MRSTY lookup for every found CUI (J5): explode bounded arrays,
     # broadcast-join the dim, re-aggregate.
-    by_cui = _agg_set(
-        cascade_out.select(
-            "concept_iri", F.explode("cuis").alias("cui")
-        ).join(F.broadcast(umls_semtypes), "cui"),
-        "concept_iri",
-        "tui",
-        "umls_tuis",
+    by_cui = (
+        cascade_out.select("concept_iri", F.explode("cuis").alias("cui"))
+        .join(F.broadcast(umls_semtypes), "cui")
+        .select("concept_iri", F.col("tui").alias("value"))
     )
 
     if target_tuis is not None:
         key = "source_iri" if reference_bug_compat else "target_iri"
-        mapped = _agg_set(
+        mapped = (
             mappings.where(F.col("property").isin(MAPPING_PREDICATES))
             .select(F.col(key).alias("lookup_iri"), F.col("source_iri"))
             .join(
@@ -278,19 +313,22 @@ def tui_cascade(
                 ),
                 "lookup_iri",
             )
-            .select(F.col("source_iri").alias("concept_iri"), "tui"),
-            "concept_iri",
-            "tui",
-            "mapping_tuis",
+            .select(F.col("source_iri").alias("concept_iri"), F.col("tui").alias("value"))
         )
     else:
         mapped = None
 
-    out = cascade_out
-    for dim, col in ((own, "own_tuis"), (by_cui, "umls_tuis"), (mapped, "mapping_tuis")):
-        if dim is not None:
-            out = out.join(F.broadcast(dim), "concept_iri", "left")
-        else:
+    # same fusion as cui_cascade: one hash aggregate + one broadcast
+    # join regardless of how many TUI stages are active
+    stage_sources = [
+        (own, "own_tuis"),
+        (by_cui, "umls_tuis"),
+        (mapped, "mapping_tuis"),
+    ]
+    fused = _agg_sets_fused(stage_sources)
+    out = cascade_out.join(F.broadcast(fused), "concept_iri", "left")
+    for dim, col in stage_sources:
+        if dim is None:
             out = out.withColumn(col, F.lit(None).cast("array<string>"))
 
     def nonempty(c: str):
