@@ -38,3 +38,15 @@ def test_url_host(spark):
     )
     got = [r["h"] for r in df.select(url_host(F.col("url")).alias("h")).collect()]
     assert got == ["www.ex.com:80", ""]
+
+
+def test_normalize_url_idempotent(spark):
+    """Canonicalization must be a fixpoint: normalize∘normalize ==
+    normalize (a second pass over already-canonical keys is a no-op)."""
+    df = spark.createDataFrame(
+        [(r,) for r, _ in CASES] + [("http://h/a//",), ("http://h/p?a=1&utm_x=2&b=3",)],
+        "url string",
+    )
+    once = df.select(normalize_url(F.col("url")).alias("n"))
+    twice = once.select(normalize_url(F.col("n")).alias("n"))
+    assert [r["n"] for r in once.collect()] == [r["n"] for r in twice.collect()]
