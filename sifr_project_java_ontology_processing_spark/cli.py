@@ -168,14 +168,31 @@ def cmd_kg(args: argparse.Namespace) -> int:
     umls_concepts = spark.read.parquet(args.umls_concepts)
     umls_semtypes = spark.read.parquet(args.umls_semtypes)
     store = StageStore(spark, args.checkpoint_dir, args.run_id) if args.checkpoint_dir else None
-    result = run_kg_pipeline(
-        spark, pages, labels, mappings, umls_concepts, umls_semtypes,
-        store=store, run_id=args.run_id,
-        disambiguate_cuis=args.disambiguate,
-        match_cuis=args.match,
-        score_links=args.score_links,
-        broadcast_labels=not args.no_broadcast_labels,
-    )
+    if args.prev_run_id:
+        if not args.checkpoint_dir:
+            raise SystemExit("--prev-run-id requires --checkpoint-dir")
+        from sifr_project_java_ontology_processing_spark.plans.kg_pipeline import (
+            run_kg_pipeline_incremental,
+        )
+
+        result = run_kg_pipeline_incremental(
+            spark, pages, labels, mappings, umls_concepts, umls_semtypes,
+            store_root=args.checkpoint_dir, run_id=args.run_id,
+            prev_run_id=args.prev_run_id,
+            disambiguate_cuis=args.disambiguate,
+            match_cuis=args.match,
+            score_links=args.score_links,
+            broadcast_labels=not args.no_broadcast_labels,
+        )
+    else:
+        result = run_kg_pipeline(
+            spark, pages, labels, mappings, umls_concepts, umls_semtypes,
+            store=store, run_id=args.run_id,
+            disambiguate_cuis=args.disambiguate,
+            match_cuis=args.match,
+            score_links=args.score_links,
+            broadcast_labels=not args.no_broadcast_labels,
+        )
     from sifr_project_java_ontology_processing_spark.sources.graph_sink import (
         write_edges,
         write_nodes,
@@ -241,6 +258,9 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--out", required=True)
     k.add_argument("--checkpoint-dir", default=None)
     k.add_argument("--run-id", default="run0")
+    k.add_argument("--prev-run-id", default=None,
+                   help="incremental: reuse this prior run's committed "
+                        "extraction/mentions, process only new pages")
     k.add_argument("-dc", "--disambiguate", action="store_true")
     k.add_argument("-mc", "--match", action="store_true",
                    help="full-UMLS fallback matching for cascade rejects")

@@ -5,7 +5,7 @@ expressions — vectorized JVM-side, zero Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sifr_project_java_ontology_processing_spark.operators.dedup import (
@@ -101,3 +101,64 @@ def rolling_fingerprint(
         lambda acc, v: (acc * mult + v) % mod,
     )
     return docs.select(id_col, h.alias("rolling_hash"))
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word-level n-grams of ``text`` (space-tokenized,
+    empties dropped) as an array of space-joined strings. Pure codegen
+    expressions — no UDF. Empty when the text has fewer than n tokens."""
+    toks = F.filter(F.split(F.lower(text), " "), lambda x: x != "")
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Training-data decontamination: flag corpus documents sharing any
+    word n-gram with a benchmark/test set (the standard n-gram-overlap
+    contamination check run before training on web text).
+
+    → (id, n_contaminated, is_contaminated) for EVERY corpus doc.
+    ``n_contaminated`` counts the doc's DISTINCT n-grams that appear
+    anywhere in the benchmark (multiplicity within a doc is ignored —
+    one leaked 8-gram repeated ten times is one leak).
+
+    Scale shape: the benchmark n-gram dictionary is test-set-sized →
+    broadcast; corpus n-grams are a map-side explode; the only shuffle
+    is the per-doc hit count (partial-aggregated). Never a corpus ×
+    benchmark product."""
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(bench_text), n)).alias("g"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_c"), F.lit(0)).alias("n_contaminated"),
+            (F.coalesce(F.col("_c"), F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )

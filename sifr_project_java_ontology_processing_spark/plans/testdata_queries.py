@@ -90,6 +90,46 @@ def q_mention_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 6),
+                                          i -> array_to_string(t[i:i+7], ' '))) AS gs
+      FROM toks
+    ),
+    doc_grams AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    bench AS (SELECT DISTINCT g FROM doc_grams WHERE doc_id % 17 = 0),
+    hits AS (
+      SELECT doc_id, count(*) AS c
+      FROM doc_grams JOIN bench USING (g)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.c, 0) AS n_contaminated,
+           coalesce(h.c, 0) > 0 AS is_contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination (word-8-gram overlap with a
+    benchmark set — here every 17th document): the real
+    ``ngram_decontaminate`` operator, broadcast benchmark dictionary,
+    map-side corpus explode, one partial-aggregated shuffle."""
+    from sifr_project_java_ontology_processing_spark.operators.textanalysis import (
+        ngram_decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 17 == 0)
+    return ngram_decontaminate(docs, benchmark, n=8)
+
+
+@register(
     "url_normalize",
     r"""
     WITH u AS (

@@ -50,3 +50,30 @@ def test_normalize_url_idempotent(spark):
     once = df.select(normalize_url(F.col("url")).alias("n"))
     twice = once.select(normalize_url(F.col("n")).alias("n"))
     assert [r["n"] for r in once.collect()] == [r["n"] for r in twice.collect()]
+
+
+def test_ngram_decontaminate_semantics(spark):
+    from sifr_project_java_ontology_processing_spark.operators.textanalysis import (
+        ngram_decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # contains the leaked 4-gram twice? no — once
+            (2, "x y z a b c d w q r"),  # one leaked 4-gram (a b c d)
+            (3, "a b c d a b c d"),      # leaked 4-gram repeated -> counts ONCE
+            (4, "clean text with nothing shared here"),
+            (5, "a b"),                  # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, "p q a b c d s t")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_contaminated"], r["is_contaminated"])
+        for r in ngram_decontaminate(docs, bench, n=4).collect()
+    }
+    assert got[1] == (1, True)       # "a b c d"
+    assert got[2] == (1, True)
+    assert got[3][0] == 1            # distinct grams, not occurrences
+    assert got[4] == (0, False)
+    assert got[5] == (0, False)
