@@ -130,6 +130,80 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curation",
+    """
+    WITH base AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS n_stop
+      FROM toks
+    ),
+    langc AS (
+      SELECT doc_id,
+        len(list_filter(t, x -> x IN ('the','and','of','to','a'))) AS c_en,
+        len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS c_fr,
+        len(list_filter(t, x -> x IN ('der','und','die','das','ein'))) AS c_de,
+        len(list_filter(t, x -> x IN ('el','los','las','una','y'))) AS c_es
+      FROM toks
+    ),
+    langp AS (
+      SELECT doc_id,
+        CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+             WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+             WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+             WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+             ELSE 'fr' END AS pred_lang
+      FROM langc
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 6),
+                    i -> array_to_string(t[i:i+7], ' ')))) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
+    cont AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g)),
+    decided AS (
+      SELECT b.doc_id, b.keeper,
+        CASE WHEN b.doc_id <> b.keeper THEN 'exact_dup'
+             WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+             WHEN q.n_tokens < 20
+                  OR (CASE WHEN q.n_tokens = 0 THEN 0.0
+                      ELSE q.n_stop / CAST(q.n_tokens AS DOUBLE) END) < 0.05
+               THEN 'quality'
+             WHEN l.pred_lang <> 'en' THEN 'lang'
+             ELSE '' END AS drop_reason
+      FROM base b
+      JOIN quality q USING (doc_id)
+      JOIN langp l USING (doc_id)
+      LEFT JOIN cont c USING (doc_id)
+    )
+    SELECT doc_id, keeper, drop_reason, drop_reason = '' AS is_kept
+    FROM decided
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation decision (exact-dup keeper >
+    decontamination > quality > language, one reason per doc) — the
+    real ``curation.curate_corpus`` operator with the same benchmark
+    rule as `decontaminate` (every 17th doc)."""
+    from sifr_project_java_ontology_processing_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 17 == 0)
+    return curate_corpus(docs, benchmark, n=8)
+
+
+@register(
     "url_normalize",
     r"""
     WITH u AS (

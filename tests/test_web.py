@@ -77,3 +77,35 @@ def test_ngram_decontaminate_semantics(spark):
     assert got[3][0] == 1            # distinct grams, not occurrences
     assert got[4] == (0, False)
     assert got[5] == (0, False)
+
+
+def test_curate_corpus_reason_priority(spark):
+    """Priority: exact_dup > contaminated > quality > lang; '' = kept."""
+    from sifr_project_java_ontology_processing_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    good = ("the cat and the dog of a to and the " * 4).strip()  # en, long, stopworded
+    # enough English stopwords to pass quality, French markers dominate
+    french = ("le la et les des " * 5).strip() + " the a of to and"
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, good),               # kept
+            (2, good),               # exact dup of 1 -> exact_dup (even though also en)
+            (3, good + " " + leak),  # shares the leaked 8-gram -> contaminated
+            (4, "short text"),       # quality (too few tokens)
+            (5, french),             # lang
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, leak + " iota kappa")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["drop_reason"], r["is_kept"], r["keeper"])
+        for r in curate_corpus(docs, bench, n=8).collect()
+    }
+    assert got[1] == ("", True, 1)
+    assert got[2] == ("exact_dup", False, 1)
+    assert got[3][0] == "contaminated"
+    assert got[4][0] == "quality"
+    assert got[5][0] == "lang"
