@@ -38,6 +38,7 @@ HEADLINE = [
     "cc_components",
     "events_hourly",
     "tfidf_link_score",     # round 2: north_star TF-IDF context scorer
+    "corpus_curation",      # round 2: composed curation decision
 ]
 
 
