@@ -167,7 +167,6 @@ def cmd_kg(args: argparse.Namespace) -> int:
     mappings = spark.read.parquet(args.mappings)
     umls_concepts = spark.read.parquet(args.umls_concepts)
     umls_semtypes = spark.read.parquet(args.umls_semtypes)
-    store = StageStore(spark, args.checkpoint_dir, args.run_id) if args.checkpoint_dir else None
     if args.prev_run_id:
         if not args.checkpoint_dir:
             raise SystemExit("--prev-run-id requires --checkpoint-dir")
@@ -185,6 +184,10 @@ def cmd_kg(args: argparse.Namespace) -> int:
             broadcast_labels=not args.no_broadcast_labels,
         )
     else:
+        store = (
+            StageStore(spark, args.checkpoint_dir, args.run_id)
+            if args.checkpoint_dir else None
+        )
         result = run_kg_pipeline(
             spark, pages, labels, mappings, umls_concepts, umls_semtypes,
             store=store, run_id=args.run_id,
@@ -207,7 +210,7 @@ def cmd_kg(args: argparse.Namespace) -> int:
         result.scored_mentions.write.mode("overwrite").parquet(
             f"{args.out}/scored_mentions"
         )
-    if store is not None and result.stages_resumed:
+    if result.stages_resumed:
         print(f"resumed stages: {result.stages_resumed}")
     print(f"graph written to {args.out}")
     return 0

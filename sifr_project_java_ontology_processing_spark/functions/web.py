@@ -15,11 +15,17 @@ oracle can replay it (`url_normalize` registry query).
 
 Rules, in order:
   1. drop the fragment (``#...``);
-  2. lowercase the scheme and authority (never the path/query);
+  2. lowercase the scheme and host[:port]; userinfo (``user:pw@``) is
+     case-SENSITIVE per RFC 3986 and is preserved;
   3. drop explicit default ports (``http://h:80``, ``https://h:443``);
-  4. drop tracking parameters (``utm_*``, ``gclid``, ``fbclid``) and
-     tidy the leftover ``?``/``&`` separators;
-  5. drop a single trailing slash after a non-empty path segment.
+  4. drop tracking parameters (``utm_*``, ``gclid``, ``fbclid``) —
+     whole-name matches only, anchored at a ``?``/``&`` separator, so
+     ``myfbclid=x`` or a path segment ``/fbclid=5/`` is never touched
+     (a literal ``&name=`` inside a PATH would still match; split-path
+     parsing is the heavier fix if such paths ever matter);
+  5. drop a single trailing slash after a non-empty path segment —
+     only when the URL has no query string (never mutates a query
+     value like ``?next=/home/``).
 Relative/garbage inputs (no ``scheme://authority`` prefix) pass through
 rules 1/4/5 only — never mangled by host lowering.
 """
@@ -29,26 +35,41 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_ABS_PREFIX = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
-TRACKING_PARAM_RX = r"(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&]*&?"
+_SCHEME = r"^([a-zA-Z][a-zA-Z0-9+.-]*://)"
+_ABS_PREFIX = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+# tracking params: name anchored at the separator, full name match
+_TRACK_NAMES = r"(utm_[a-zA-Z0-9_]+|gclid|fbclid)"
+TRACKING_MID_RX = rf"&{_TRACK_NAMES}=[^&]*"
+TRACKING_FIRST_RX = rf"\?{_TRACK_NAMES}=[^&]*&?"
 
 
 def normalize_url(url: Column) -> Column:
     """Canonical URL key; see module docstring for the rule list."""
     s = F.regexp_replace(url, r"#.*", "")
-    head = F.lower(F.regexp_extract(s, _ABS_PREFIX, 1))
+    # rule 2: lowercase scheme + host[:port], preserve userinfo case
+    scheme = F.regexp_extract(s, _SCHEME, 1)
+    userinfo = F.regexp_extract(s, rf"{_SCHEME[:-1]})([^/?#]*@)", 2)
+    hostport = F.regexp_extract(s, rf"{_SCHEME[:-1]})(?:[^/?#]*@)?([^/?#]*)", 2)
     tail = F.regexp_replace(s, _ABS_PREFIX, "")
-    s = F.when(head == "", s).otherwise(F.concat(head, tail))
+    s = F.when(scheme == "", s).otherwise(
+        F.concat(F.lower(scheme), userinfo, F.lower(hostport), tail)
+    )
     s = F.regexp_replace(s, r"^(http://[^/:?#]*):80((/|\?).*)?$", "$1$2")
     s = F.regexp_replace(s, r"^(https://[^/:?#]*):443((/|\?).*)?$", "$1$2")
-    s = F.regexp_replace(s, TRACKING_PARAM_RX, "")
-    s = F.regexp_replace(s, r"[?&]$", "")
-    s = F.regexp_replace(s, r"([^/])/$", "$1")
+    # rule 4: non-first params, then a first param (promoting the next
+    # separator), then a dangling '?'
+    s = F.regexp_replace(s, TRACKING_MID_RX, "")
+    s = F.regexp_replace(s, TRACKING_FIRST_RX, "?")
+    s = F.regexp_replace(s, r"[?]$", "")
+    # rule 5: whole string must be query-free ([^?]*) for the strip
+    s = F.regexp_replace(s, r"^([^?]*[^/?])/$", "$1")
     return s
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased authority (host[:port]) of an absolute URL, '' when
-    the input has no ``scheme://`` prefix. Companion key for per-host
-    aggregation (crawl politeness stats, host-level dedup)."""
-    return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    """Lowercased host[:port] of an absolute URL (userinfo excluded),
+    '' when the input has no ``scheme://`` prefix. Companion key for
+    per-host aggregation (crawl politeness stats, host-level dedup)."""
+    return F.lower(
+        F.regexp_extract(url, rf"{_SCHEME[:-1]})(?:[^/?#]*@)?([^/?#]*)", 2)
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sifr_project_java_ontology_processing_spark.operators.textanalysis import (
-    lang_id,
+    lang_pred_cols,
     ngram_decontaminate,
 )
 
@@ -46,34 +46,29 @@ def curate_corpus(
     group), 'contaminated' (shares a word n-gram with the benchmark),
     'quality' (too short or stopword-starved), 'lang' (predicted
     language not allowed)."""
-    w = Window.partitionBy(F.md5(F.col(text_col)))
-    base = docs.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.min(F.col(id_col)).over(w).alias("keeper"),
-    )
-
-    cont = ngram_decontaminate(docs, benchmark, id_col, text_col, n=n).select(
-        id_col, "is_contaminated"
-    )
-
+    # quality and language are pure row-wise expressions — computed
+    # inline on the SAME scan as the keeper window, never joined back
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
     n_tok = F.size(toks)
     stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
         F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n_tok.cast("double")
     )
     quality_fail = (n_tok < min_tokens) | (stop_ratio < min_stopword_ratio)
-    feats = docs.select(F.col(id_col), quality_fail.alias("_qfail"))
+    pred_lang, _hits = lang_pred_cols(F.col(text_col))
 
-    langs = lang_id(docs, id_col=id_col, text_col=text_col).select(
-        id_col, "pred_lang"
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col),
+        F.min(F.col(id_col)).over(w).alias("keeper"),
+        quality_fail.alias("_qfail"),
+        pred_lang.alias("pred_lang"),
     )
 
-    out = (
-        base.join(cont, id_col)
-        .join(feats, id_col)
-        .join(langs, id_col)
+    cont = ngram_decontaminate(docs, benchmark, id_col, text_col, n=n).select(
+        id_col, "is_contaminated"
     )
+
+    out = base.join(cont, id_col)
     reason = (
         F.when(F.col(id_col) != F.col("keeper"), "exact_dup")
         .when(F.col("is_contaminated"), "contaminated")

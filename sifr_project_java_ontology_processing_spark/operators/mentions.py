@@ -103,6 +103,24 @@ def _scan_text(text: str, trie: dict) -> list[tuple[int, int, str, str, str]]:
     return out
 
 
+def _broadcast_label_rows(spark: SparkSession, ontology_labels: DataFrame):
+    """Collect + order the label dim for trie building and broadcast it.
+    Deterministic order: kind priority (pref < alt < hidden) then
+    concept_iri, so the trie's first-wins leaf rule is stable — the
+    single definition shared by every broadcast-trie operator."""
+    label_rows = [
+        (r["concept_iri"], r["label"], r["label_kind"], r["lang"])
+        for r in ontology_labels.select(
+            "concept_iri", "label", "label_kind", "lang"
+        )
+        # pref first so trie leaf prefers pref over alt on identical phrases
+        .orderBy("label_kind", "concept_iri")
+        .collect()
+    ]
+    label_rows.sort(key=lambda r: {"pref": 0, "alt": 1, "hidden": 2}.get(r[2], 3))
+    return spark.sparkContext.broadcast(label_rows)
+
+
 def detect_mentions(
     spark: SparkSession,
     extracted: DataFrame,
@@ -116,17 +134,7 @@ def detect_mentions(
     broadcast via ``SparkContext.broadcast`` so every executor builds the
     trie exactly once per process.
     """
-    label_rows = [
-        (r["concept_iri"], r["label"], r["label_kind"], r["lang"])
-        for r in ontology_labels.select(
-            "concept_iri", "label", "label_kind", "lang"
-        )
-        # pref first so trie leaf prefers pref over alt on identical phrases
-        .orderBy("label_kind", "concept_iri")
-        .collect()
-    ]
-    label_rows.sort(key=lambda r: {"pref": 0, "alt": 1, "hidden": 2}.get(r[2], 3))
-    bc = spark.sparkContext.broadcast(label_rows)
+    bc = _broadcast_label_rows(spark, ontology_labels)
 
     src = extracted.select("url", text_col, "lang")
     out_schema = (
@@ -198,16 +206,7 @@ def extract_and_detect(
     zero shuffle, label trie on the broadcast."""
     import pyarrow as pa
 
-    label_rows = [
-        (r["concept_iri"], r["label"], r["label_kind"], r["lang"])
-        for r in ontology_labels.select(
-            "concept_iri", "label", "label_kind", "lang"
-        )
-        .orderBy("label_kind", "concept_iri")
-        .collect()
-    ]
-    label_rows.sort(key=lambda r: {"pref": 0, "alt": 1, "hidden": 2}.get(r[2], 3))
-    bc = spark.sparkContext.broadcast(label_rows)
+    bc = _broadcast_label_rows(spark, ontology_labels)
 
     from sifr_project_java_ontology_processing_spark.operators.extraction import (
         extract_text,

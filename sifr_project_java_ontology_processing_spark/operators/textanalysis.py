@@ -29,30 +29,30 @@ def _count_in(text_col, words: list[str]) -> F.Column:
     return F.size(F.filter(toks, lambda x: x.isin(*words)))
 
 
-def lang_id(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """→ (id, pred_lang, marker_hits): argmax of per-language marker
-    counts, ties → lexicographically-first language, zero hits → 'und'."""
-    scored = docs.select(
-        id_col,
-        *[
-            _count_in(F.col(text_col), ws).alias(f"_c_{lang}")
-            for lang, ws in sorted(LANG_MARKERS.items())
-        ],
-    )
+def lang_pred_cols(text: Column) -> tuple[Column, Column]:
+    """(pred_lang, marker_hits) as pure COLUMN expressions over a text
+    column — argmax of per-language marker counts, ties →
+    lexicographically-first language, zero hits → 'und'. Inline-able
+    into any select (no extra scan or join)."""
     langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"_c_{lang}") for lang in langs])
+    counts = {lang: _count_in(text, LANG_MARKERS[lang]) for lang in langs}
+    best = F.greatest(*[counts[lang] for lang in langs])
     pred = F.lit("und")
     # iterate reversed so earlier languages win ties (when-chain priority)
     for lang in reversed(langs):
-        pred = F.when(
-            (best > 0) & (F.col(f"_c_{lang}") == best), F.lit(lang)
-        ).otherwise(pred)
-    return scored.select(
-        id_col,
-        pred.alias("pred_lang"),
-        best.cast("bigint").alias("marker_hits"),
+        pred = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(
+            pred
+        )
+    return pred, best.cast("bigint")
+
+
+def lang_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (id, pred_lang, marker_hits); see :func:`lang_pred_cols`."""
+    pred, hits = lang_pred_cols(F.col(text_col))
+    return docs.select(
+        id_col, pred.alias("pred_lang"), hits.alias("marker_hits")
     )
 
 

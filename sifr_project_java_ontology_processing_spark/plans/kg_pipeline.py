@@ -75,6 +75,18 @@ CUI_ADDED_NOTE = (
 )
 
 
+def _labels_signature(ontology_labels: DataFrame) -> DataFrame:
+    """Order-independent distributed signature of the label dim: (sum
+    of per-row hashes folded to 32 bits — ANSI-safe up to 2^31 rows —
+    plus row count). No collect; dim-sized aggregation. Committed per
+    run so incremental runs can detect dimension drift."""
+    h32 = F.pmod(
+        F.xxhash64("concept_iri", "label", "label_kind", "lang"),
+        F.lit(2**32).cast("long"),
+    )
+    return ontology_labels.agg(F.sum(h32).alias("h"), F.count(F.lit(1)).alias("n"))
+
+
 @dataclass
 class PipelineResult:
     extracted: DataFrame
@@ -137,6 +149,12 @@ def run_kg_pipeline(
         if store is not None:
             return stage(name, thunk)
         return thunk().localCheckpoint(eager=True)
+
+    # label-dim signature: committed alongside the snapshots so a later
+    # incremental run can detect dimension drift (see
+    # run_kg_pipeline_incremental)
+    if store is not None:
+        stage("labels_sig", lambda: _labels_signature(ontology_labels))
 
     # -- stage 1: extraction (map-only) ------------------------------------
     extracted = stage("extracted", lambda: extract_pages(pages))
@@ -445,8 +463,15 @@ def run_kg_pipeline_incremental(
     parquet stand-in rewrites rows but preserves the semantics and the
     compute saving — extraction cost is O(|delta|), not O(|corpus|).
 
+    Reusing prev mentions is only sound if the label dimension is the
+    one prev ran with — a tiny order-independent signature of
+    ``ontology_labels`` is committed per run and compared; a drift
+    raises unless ``allow_label_drift=True`` (in which case old pages
+    keep their old-dim mentions, by explicit choice).
+
     Triple-set equality with a from-scratch run over the full corpus is
     pytest-gated (the output never depends on how the corpus grew)."""
+    allow_label_drift = pipeline_kwargs.pop("allow_label_drift", False)
     prev = StageStore(spark, store_root, prev_run_id)
     if not (prev.exists("extracted") and prev.exists("mentions")):
         raise ValueError(
@@ -454,20 +479,37 @@ def run_kg_pipeline_incremental(
             "snapshots — run the full pipeline first"
         )
     cur = StageStore(spark, store_root, run_id)
+
+    sig_now = cur.materialize(
+        "labels_sig", lambda: _labels_signature(ontology_labels)
+    )
+    if prev.exists("labels_sig"):
+        sig_prev = prev.materialize("labels_sig", None)
+        if sig_now.collect() != sig_prev.collect() and not allow_label_drift:
+            raise ValueError(
+                "ontology_labels differ from the previous run's dimension — "
+                "prev mentions would be stale; rerun full, or pass "
+                "allow_label_drift=True to accept mixed-dim mentions"
+            )
+
     prev_extracted = prev.materialize("extracted", None)
     prev_mentions = prev.materialize("mentions", None)
+    prev_urls = prev_extracted.select("url").distinct()
 
-    delta_pages = pages.join(
-        prev_extracted.select("url").distinct(), "url", "left_anti"
+    delta_pages = pages.join(prev_urls, "url", "left_anti")
+    extracted_full = cur.materialize(
+        "extracted", lambda: prev_extracted.unionByName(extract_pages(delta_pages))
     )
-    delta_extracted = extract_pages(delta_pages)
-    cur.materialize(
-        "extracted", lambda: prev_extracted.unionByName(delta_extracted)
+    # detect over the COMMITTED delta rows (re-running the extraction
+    # UDF for the mentions pass would double the dominant cost; the
+    # committed snapshot minus prev urls is a parquet scan)
+    delta_extracted = extracted_full.join(prev_urls, "url", "left_anti")
+    _detect = (
+        detect_mentions
+        if pipeline_kwargs.get("broadcast_labels", True)
+        else detect_mentions_joined
     )
-    # detect over the committed delta only (re-read through the new
-    # snapshot minus prev urls would re-scan; the delta plan is lazy and
-    # fuses extraction+detection into the same task set)
-    delta_mentions = detect_mentions(spark, delta_extracted, ontology_labels)
+    delta_mentions = _detect(spark, delta_extracted, ontology_labels)
     cur.materialize("mentions", lambda: prev_mentions.unionByName(delta_mentions))
 
     return run_kg_pipeline(

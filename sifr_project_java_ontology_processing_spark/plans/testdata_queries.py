@@ -224,20 +224,24 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS s FROM u),
     n2 AS (SELECT doc_id,
-             CASE WHEN regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) = ''
+             CASE WHEN regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*://)', 1) = ''
                   THEN s
-                  ELSE lower(regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                  ELSE lower(regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*://)', 1))
+                       || regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*://)([^/?#]*@)', 2)
+                       || lower(regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*://)(?:[^/?#]*@)?([^/?#]*)', 2))
                        || regexp_replace(s, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
              END AS s FROM n1),
     n3 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
              '^(http://[^/:?#]*):80((/|\?).*)?$', '\1\2'),
              '^(https://[^/:?#]*):443((/|\?).*)?$', '\1\2') AS s FROM n2),
-    n4 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
-             '(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&]*&?', '', 'g'),
-             '[?&]$', '') AS s FROM n3),
-    n5 AS (SELECT doc_id, regexp_replace(s, '([^/])/$', '\1') AS s FROM n4)
+    n4 AS (SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(s,
+               '&(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&]*', '', 'g'),
+               '\?(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&]*&?', '?'),
+               '[?]$', '') AS s FROM n3),
+    n5 AS (SELECT doc_id, regexp_replace(s, '^([^?]*[^/?])/$', '\1') AS s FROM n4)
     SELECT doc_id, s AS url_norm,
-           lower(regexp_extract(s, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host
+           lower(regexp_extract(s, '^([a-zA-Z][a-zA-Z0-9+.-]*://)(?:[^/?#]*@)?([^/?#]*)', 2)) AS host
     FROM n5
     """,
 )

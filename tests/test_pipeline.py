@@ -179,8 +179,8 @@ def test_pipeline_resume_identical(spark, kg_fixture, kg_tables, tmp_path):
     # full resume: every stage reloaded from snapshot
     second = _run(spark, kg_fixture, kg_tables, store=store, run_id="runA")
     assert set(second.stages_resumed) == {
-        "extracted", "mentions", "cascade", "canonical", "triples",
-        "nodes", "edges", "metrics",
+        "labels_sig", "extracted", "mentions", "cascade", "canonical",
+        "triples", "nodes", "edges", "metrics",
     }
     assert _triple_set(second.triples) == t1
 
@@ -188,7 +188,7 @@ def test_pipeline_resume_identical(spark, kg_fixture, kg_tables, tmp_path):
     for stage in ("cascade", "canonical", "triples", "nodes", "edges", "metrics"):
         store.invalidate(stage)
     third = _run(spark, kg_fixture, kg_tables, store=store, run_id="runA")
-    assert set(third.stages_resumed) == {"extracted", "mentions"}
+    assert set(third.stages_resumed) == {"labels_sig", "extracted", "mentions"}
     assert _triple_set(third.triples) == t1
 
 
@@ -267,3 +267,30 @@ def test_pipeline_incremental_equals_full(spark, kg_fixture, kg_tables, tmp_path
     }
     all_urls = {r["url"] for r in pages.select("url").collect()}
     assert inc_ext_urls == all_urls and prev_urls < all_urls
+
+
+def test_pipeline_incremental_label_drift_guard(spark, kg_fixture, kg_tables, tmp_path):
+    """Changing the label dim between runs must raise (prev mentions
+    would be stale) unless explicitly allowed."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sifr_project_java_ontology_processing_spark.plans.kg_pipeline import (
+        run_kg_pipeline_incremental,
+    )
+    from sifr_project_java_ontology_processing_spark.sources.stage_store import (
+        StageStore,
+    )
+
+    pages = kg_tables["pages"]
+    root = str(tmp_path / "stages")
+    _run(spark, kg_fixture, kg_tables, store=StageStore(spark, root, "rA"),
+         run_id="rA")
+    drifted = kg_tables["ontology_labels"].where(F.col("label_kind") != "hidden")
+    with pytest.raises(ValueError, match="differ from the previous run"):
+        run_kg_pipeline_incremental(
+            spark, pages, drifted, kg_tables["mappings"],
+            kg_tables["umls_concepts"], kg_tables["umls_semtypes"],
+            store_root=root, run_id="rB", prev_run_id="rA",
+            disambiguate_cuis=False,
+        )
