@@ -205,23 +205,11 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 5,
-    k: int = 8,
-    bands: int = 4,
-) -> DataFrame:
-    """LSH candidate pairs: same bucket in ≥1 band (band = r=k/bands
-    consecutive signature rows hashed together). → (doc_a, doc_b).
-
-    Scale shape: bucket ids are map-side expressions; the only shuffles
-    are the (band, bucket) equi-join and the final distinct — never an
-    all-pairs product."""
-    r = k // bands
-    sig = minhash_signatures(docs, id_col, text_col, n, k)
-    band_df = sig.select(
+def _banded_buckets(sig: DataFrame, id_col: str, bands: int, r: int) -> DataFrame:
+    """(id, sig array) → (id, band, bucket): each band's r consecutive
+    signature rows hashed into one bucket id — the LSH banding shared by
+    self-join dedup and cross-corpus decontamination. Map-side only."""
+    return sig.select(
         id_col,
         F.explode(
             F.transform(
@@ -239,6 +227,25 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: same bucket in ≥1 band (band = r=k/bands
+    consecutive signature rows hashed together). → (doc_a, doc_b).
+
+    Scale shape: bucket ids are map-side expressions; the only shuffles
+    are the (band, bucket) equi-join and the final distinct — never an
+    all-pairs product."""
+    r = k // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, k)
+    band_df = _banded_buckets(sig, id_col, bands, r)
     a = band_df.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b = band_df.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
@@ -406,3 +413,74 @@ def simhash_neardup_pairs(
     return pairs.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    n: int = 5,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate decontamination vs a benchmark/test set: corpus
+    docs whose shingle-Jaccard similarity to ANY benchmark doc reaches
+    ``threshold`` (the fuzzy complement of textanalysis.
+    ngram_decontaminate's exact n-gram check — catches lightly edited
+    test-set leaks exact overlap misses).
+
+    → (id, max_jaccard, is_fuzzy_contaminated) for EVERY corpus doc.
+
+    Scale shape: candidates come from a cross-corpus banded MinHash-LSH
+    bucket equi-join (corpus bands × benchmark bands on (band, bucket)),
+    never a corpus × benchmark product; verification is exact Jaccard
+    on candidate pairs only, bounded by |candidates|. Signatures are
+    md5-derived so the whole path replays in SQL (registry oracle)."""
+    bid = bench_id_col or id_col
+    btext = bench_text_col or text_col
+    r = k // bands
+
+    doc_bands = _banded_buckets(
+        minhash_signatures(docs, id_col, text_col, n, k), id_col, bands, r
+    )
+    bench_bands = _banded_buckets(
+        minhash_signatures(benchmark, bid, btext, n, k), bid, bands, r
+    ).withColumnRenamed(bid, "_bench_id")
+
+    cands = (
+        doc_bands.join(bench_bands, ["band", "bucket"])
+        .select(id_col, "_bench_id")
+        .distinct()
+    )
+
+    sh_docs = docs.select(
+        F.col(id_col), shingle_array(F.col(text_col), n).alias("_sh_d")
+    )
+    sh_bench = benchmark.select(
+        F.col(bid).alias("_bench_id"), shingle_array(F.col(btext), n).alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect("_sh_d", "_sh_b"))
+    union = F.size("_sh_d") + F.size("_sh_b") - inter
+    jac = inter / union.cast("double")
+    best = (
+        cands.join(sh_docs, id_col)
+        .join(sh_bench, "_bench_id")
+        .select(F.col(id_col), jac.alias("_jac"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("_jac"), 6).alias("max_jaccard"))
+    )
+    return (
+        docs.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("max_jaccard"), F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce(F.col("max_jaccard"), F.lit(0.0)) >= threshold).alias(
+                "is_fuzzy_contaminated"
+            ),
+        )
+    )

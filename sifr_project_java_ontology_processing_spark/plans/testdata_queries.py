@@ -1092,6 +1092,54 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), n=5, k=8, bands=4)
 
 
+@register(
+    "fuzzy_decontaminate",
+    f"""
+    WITH {_SHINGLE_CTE},
+    seeds AS (SELECT UNNEST(range(0, 8)) AS seed),
+    mh AS (SELECT doc_id, seed,
+                  min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+           FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(CAST(seed // 2 AS VARCHAR) || '|' ||
+                         string_agg(mh, '|' ORDER BY seed)) AS bucket
+              FROM mh GROUP BY doc_id, seed // 2),
+    cands AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket
+              WHERE b.doc_id % 17 = 0),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_id, c.bench_id, count(*) AS i
+              FROM cands c
+              JOIN sh d ON d.doc_id = c.doc_id
+              JOIN sh b ON b.doc_id = c.bench_id AND b.shingle = d.shingle
+              GROUP BY c.doc_id, c.bench_id),
+    jacs AS (SELECT i.doc_id,
+                    max(round(i.i / CAST(sd.n_sh + sb.n_sh - i.i AS DOUBLE), 6)) AS mj
+             FROM inter i
+             JOIN sizes sd ON sd.doc_id = i.doc_id
+             JOIN sizes sb ON sb.doc_id = i.bench_id
+             GROUP BY i.doc_id)
+    SELECT d.doc_id,
+           coalesce(j.mj, 0.0) AS max_jaccard,
+           coalesce(j.mj, 0.0) >= 0.5 AS is_fuzzy_contaminated
+    FROM documents d LEFT JOIN jacs j USING (doc_id)
+    """,
+)
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (near-duplicate) decontamination vs the same every-17th-doc
+    benchmark as `decontaminate`: cross-corpus banded MinHash-LSH
+    candidates → exact Jaccard verify → per-doc max. The md5-derived
+    signatures make the whole path SQL-replayable."""
+    from sifr_project_java_ontology_processing_spark.operators.dedup import (
+        fuzzy_decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 17 == 0)
+    return fuzzy_decontaminate(docs, benchmark, n=5, k=8, bands=4, threshold=0.5)
+
+
 # Shared DuckDB CTE computing the md5-derived 60-bit SimHash signature —
 # bit-for-bit the same as operators.dedup.simhash_md5.
 _SIMHASH_SIG_CTE = """

@@ -138,3 +138,32 @@ def test_rolling_fingerprint_order_sensitive(spark):
         v = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
         h = (h * 31 + v) % 2147483647
     assert got[0] == h
+
+
+def test_fuzzy_decontaminate_semantics(spark):
+    """A lightly edited copy of a benchmark doc is flagged (exact n-gram
+    overlap may still exist, but the point is high Jaccard); unrelated
+    docs are not; benchmark members flag themselves at 1.0."""
+    from sifr_project_java_ontology_processing_spark.operators.dedup import (
+        fuzzy_decontaminate,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+                 "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    edited = bench_text.replace("pi rho", "pie rho")  # light edit
+    docs = spark.createDataFrame(
+        [
+            (1, bench_text),   # identical to benchmark -> 1.0
+            (2, edited),       # near-dup -> high jaccard, flagged
+            (3, "totally different words that share nothing at all " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["max_jaccard"], r["is_fuzzy_contaminated"])
+        for r in fuzzy_decontaminate(docs, bench, threshold=0.5).collect()
+    }
+    assert got[1] == (1.0, True)
+    assert got[2][1] and 0.5 <= got[2][0] < 1.0
+    assert got[3] == (0.0, False)

@@ -288,3 +288,37 @@ def test_load_model_dispatch_and_cascade_integration(spark, tmp_path):
         .distinct()
     )
     assert {r["concept_iri"] for r in concepts.collect()} == {"http://e/K1", "http://e/K2"}
+
+
+def test_mappings_sink_roundtrip(spark, tmp_path):
+    """S9 — the mappings write sink (mapping/DefaultOntologyMappingDelegate
+    .java:135-142 writes `<src>_<tgt>_mappings.ttl`): MAPPINGS-shaped
+    rows serialized as resource-object N-Triples round-trip losslessly
+    through the same sink/reader pair as the model sink."""
+    from pyspark.sql import functions as F
+
+    from sifr_project_java_ontology_processing_spark.functions.uris import expand
+
+    mappings = spark.createDataFrame(
+        [
+            ("http://a/1", expand("skos:exactMatch"), "http://b/1"),
+            ("http://a/2", expand("skos:closeMatch"), "http://b/2"),
+            ("http://a/3", expand("skos:broadMatch"), "http://b/3"),
+        ],
+        "source_iri string, property string, target_iri string",
+    )
+    triples = mappings.select(
+        F.col("source_iri").alias("subj"),
+        F.col("property").alias("pred"),
+        F.col("target_iri").alias("obj"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    out = str(tmp_path / "mappings_nt")
+    write_ntriples(triples, out)
+    back = read_ntriples(spark, out).select(
+        F.col("subj").alias("source_iri"),
+        F.col("pred").alias("property"),
+        F.col("obj").alias("target_iri"),
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, mappings.collect()))
