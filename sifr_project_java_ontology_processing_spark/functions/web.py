@@ -73,3 +73,34 @@ def url_host(url: Column) -> Column:
     return F.lower(
         F.regexp_extract(url, rf"{_SCHEME[:-1]})(?:[^/?#]*@)?([^/?#]*)", 2)
     )
+
+
+# --- PII scrubbing (corpus hygiene before training) ---------------------
+# RE2-compatible (no \b, no lookaround) so the DuckDB oracle replays the
+# exact rewrites. Deliberate approximations are documented per pattern.
+PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# dotted quad; without \b this also matches inside longer dotted runs —
+# acceptable for redaction (over-redacts, never leaks)
+PII_IPV4_RX = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+# 9+ digit runs (phone-ish / account-ish); spaces/dashes not joined
+PII_LONGNUM_RX = r"[0-9]{9,}"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ipv4, n_longnums) found in ``text`` — counted BEFORE
+    redaction, pure codegen (regexp_count)."""
+    return (
+        F.regexp_count(text, F.lit(PII_EMAIL_RX)),
+        F.regexp_count(text, F.lit(PII_IPV4_RX)),
+        F.regexp_count(text, F.lit(PII_LONGNUM_RX)),
+    )
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails → ``<EMAIL>``, dotted quads → ``<IP>``, 9+-digit
+    runs → ``<NUM>`` (applied in that order: emails may contain digits
+    and dots, so they are replaced before the narrower patterns)."""
+    s = F.regexp_replace(text, PII_EMAIL_RX, "<EMAIL>")
+    s = F.regexp_replace(s, PII_IPV4_RX, "<IP>")
+    s = F.regexp_replace(s, PII_LONGNUM_RX, "<NUM>")
+    return s

@@ -162,3 +162,48 @@ def ngram_decontaminate(
             (F.coalesce(F.col("_c"), F.lit(0)) > 0).alias("is_contaminated"),
         )
     )
+
+
+def repetition_ratios(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, map-only pure
+    expressions: → (id, dup_bigram_frac, top_token_frac).
+
+      * ``dup_bigram_frac`` — fraction of token bigrams that are
+        repeats of an earlier bigram (1 − distinct/total); boilerplate
+        and looping generations score high.
+      * ``top_token_frac`` — share of the single most frequent token
+        (mode) in the token stream.
+
+    Both replay exactly in SQL (registry oracle). The per-row mode is
+    O(n·distinct) array work — bounded by document length, no shuffle."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bg = F.size(bg)
+    dup_frac = F.when(n_bg == 0, F.lit(0.0)).otherwise(
+        (n_bg - F.size(F.array_distinct(bg))) / n_bg.cast("double")
+    )
+    mode_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda x: x == d)),
+        )
+    )
+    top_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        mode_count / n.cast("double")
+    )
+    return docs.select(
+        id_col,
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        F.round(top_frac, 6).alias("top_token_frac"),
+    )

@@ -204,6 +204,91 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_scrub",
+    r"""
+    WITH withpii AS (
+      SELECT doc_id,
+        text || ' contact user' || doc_id || '@Example-Mail.org or admin'
+             || doc_id || '@ex.io ip 10.0.' || (doc_id % 256) || '.7 acct '
+             || (100000000 + doc_id * 7919) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ipv4,
+      len(regexp_extract_all(text, '[0-9]{9,}')) AS n_longnums,
+      md5(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+          '[0-9]{9,}', '<NUM>', 'g')) AS scrubbed_md5
+    FROM withpii
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (corpus hygiene): deterministic emails / dotted
+    quads / long account numbers appended per doc, counted then
+    scrubbed by ``functions.web.scrub_pii`` — every regex
+    RE2-compatible so the oracle replays the exact rewrites; the
+    scrubbed text is compared by md5."""
+    from sifr_project_java_ontology_processing_spark.functions.web import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    d = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"), F.lit("@Example-Mail.org or admin"),
+        d.cast("string"), F.lit("@ex.io ip 10.0."),
+        (d % 256).cast("string"), F.lit(".7 acct "),
+        (F.lit(100000000) + d * 7919).cast("string"),
+    )
+    n_em, n_ip, n_num = pii_counts(text)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_em.cast("bigint").alias("n_emails"),
+        n_ip.cast("bigint").alias("n_ipv4"),
+        n_num.cast("bigint").alias("n_longnums"),
+        F.md5(scrub_pii(text)).alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "repetition_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, t, len(t) AS n,
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             ELSE CAST([] AS VARCHAR[]) END AS bg
+      FROM toks
+    )
+    SELECT doc_id,
+      round(CASE WHEN len(bg) = 0 THEN 0.0
+            ELSE (len(bg) - len(list_distinct(bg))) / CAST(len(bg) AS DOUBLE)
+            END, 6) AS dup_bigram_frac,
+      round(CASE WHEN n = 0 THEN 0.0
+            ELSE list_max(list_transform(list_distinct(t),
+                          d -> len(list_filter(t, x -> x = d)))) / CAST(n AS DOUBLE)
+            END, 6) AS top_token_frac
+    FROM feats
+    """,
+)
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-bigram fraction,
+    mode-token share) — map-only pure expressions, SQL-replayed."""
+    from sifr_project_java_ontology_processing_spark.operators.textanalysis import (
+        repetition_ratios,
+    )
+
+    return repetition_ratios(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "url_normalize",
     r"""
     WITH u AS (

@@ -117,3 +117,46 @@ def test_curate_corpus_reason_priority(spark):
     assert got[3][0] == "contaminated"
     assert got[4][0] == "quality"
     assert got[5][0] == "lang"
+
+
+def test_scrub_pii_cases(spark):
+    from sifr_project_java_ontology_processing_spark.functions.web import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@ex-1.org, ip 192.168.0.1, acct 123456789, keep 12345678",)],
+        "text string",
+    )
+    n_em, n_ip, n_num = pii_counts(F.col("text"))
+    row = df.select(
+        scrub_pii(F.col("text")).alias("s"),
+        n_em.alias("e"), n_ip.alias("i"), n_num.alias("n"),
+    ).collect()[0]
+    assert row["s"] == "mail <EMAIL>, ip <IP>, acct <NUM>, keep 12345678"
+    assert (row["e"], row["i"], row["n"]) == (1, 1, 1)
+
+
+def test_repetition_ratios_cases(spark):
+    from sifr_project_java_ontology_processing_spark.operators.textanalysis import (
+        repetition_ratios,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "w x y z"),       # all distinct
+            (3, "solo"),          # no bigrams
+            (4, ""),              # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dup_bigram_frac"], r["top_token_frac"])
+        for r in repetition_ratios(docs).collect()
+    }
+    assert got[1] == (0.6, 0.5)       # (5-2)/5, 3/6
+    assert got[2] == (0.0, 0.25)
+    assert got[3] == (0.0, 1.0)
+    assert got[4] == (0.0, 0.0)
