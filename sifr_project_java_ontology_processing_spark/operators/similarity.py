@@ -501,3 +501,66 @@ def _broadcast_neardup(
     return src.mapInPandas(
         _blocks, schema="vec_a long, vec_b long, cos_sim double"
     )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Semantic decontamination: max cosine of each corpus embedding
+    against ANY benchmark embedding — the third member of the
+    decontamination trilogy (exact n-gram overlap, fuzzy lexical
+    MinHash, semantic cosine) that catches paraphrased test-set leaks.
+
+    → (id, max_cos, is_semantic_contaminated) for EVERY corpus vector.
+
+    Scale shape: the benchmark is test-set-sized and rides a driver
+    broadcast as one numpy matrix (same rationale as the broadcast
+    n-gram dictionary in ngram_decontaminate); each corpus partition
+    computes one blocked (batch × |bench|) BLAS product inside
+    ``mapInPandas`` — map-only, zero shuffle, one output row per
+    corpus vector. No self-exclusion: a corpus doc identical to a
+    benchmark doc scores 1.0, which is exactly the leak signal."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    rows = benchmark.select(vec_col).collect()
+    if not rows:
+        return corpus.select(
+            F.col(id_col),
+            F.lit(0.0).alias("max_cos"),
+            F.lit(False).alias("is_semantic_contaminated"),
+        )
+    b_mat = np.array([r[0] for r in rows], dtype=np.float64)
+    b_norms = np.linalg.norm(b_mat, axis=1)
+    bc = spark.sparkContext.broadcast((b_mat, b_norms))
+
+    src = corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
+
+    def _blocks(it):
+        import pandas as pd
+
+        mat, norms = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            block = np.array(list(pdf["_v"]), dtype=np.float64)
+            bn = np.linalg.norm(block, axis=1)
+            sims = (block @ mat.T) / np.outer(bn, norms)
+            np.round(sims, 6, out=sims)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "max_cos": sims.max(axis=1),
+                }
+            )
+
+    out = src.mapInPandas(_blocks, schema=f"{id_col} long, max_cos double")
+    return out.select(
+        F.col(id_col),
+        F.col("max_cos"),
+        (F.col("max_cos") >= threshold).alias("is_semantic_contaminated"),
+    )

@@ -1276,6 +1276,34 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_decontaminate",
+    """
+    SELECT a.vec_id,
+           round(max(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))), 6)
+             AS max_cos,
+           round(max(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))), 6)
+             >= 0.99 AS is_semantic_contaminated
+    FROM embeddings a CROSS JOIN embeddings b
+    WHERE b.vec_id % 17 = 0
+    GROUP BY a.vec_id
+    """,
+)
+def q_embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination vs the every-17th-vector benchmark:
+    broadcast benchmark matrix + blocked GEMM per corpus partition
+    (map-only); the oracle checks the exact max-cosine per vector."""
+    from sifr_project_java_ontology_processing_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    benchmark = emb.where(F.col("vec_id") % 17 == 0)
+    return embedding_decontaminate(emb, benchmark, threshold=0.99)
+
+
+@register(
     "ann_cosine_topk",
     """
     SELECT query_id, neighbor_id, cos_sim, rank FROM (

@@ -135,3 +135,35 @@ def test_lsh_recall_floor_vs_exact(spark):
     # OR-amplification must raise recall; 6 tables clear the floor
     assert recalls[6] >= 0.5, f"recall@3 {recalls} below floor"
     assert recalls[6] > recalls[1], recalls
+
+
+def test_embedding_decontaminate_semantics(spark):
+    """Identical vector → 1.0 flagged; scaled copy → 1.0 (cosine is
+    scale-invariant); orthogonal → 0.0 unflagged; empty benchmark →
+    all clean."""
+    from sifr_project_java_ontology_processing_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [2.0, 0.0, 0.0]),   # scaled copy of the bench vector
+            (3, [0.0, 1.0, 0.0]),   # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["max_cos"], r["is_semantic_contaminated"])
+        for r in embedding_decontaminate(corpus, bench, threshold=0.99).collect()
+    }
+    assert got[1] == (1.0, True)
+    assert got[2] == (1.0, True)
+    assert got[3] == (0.0, False)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    clean = embedding_decontaminate(corpus, empty).collect()
+    assert all(not r["is_semantic_contaminated"] for r in clean) and len(clean) == 3
