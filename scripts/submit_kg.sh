@@ -1,0 +1,16 @@
+#!/usr/bin/env bash
+# north_rule launch mode: package the engine as a zip and run any CLI
+# subcommand via `spark-submit --py-files` (multi-executor ready — the
+# master is env-overridable; nothing below is local-mode specific).
+#
+#   ./scripts/submit_kg.sh kg --pages ... --labels ... --out ...
+#   SPARK_MASTER=yarn ./scripts/submit_kg.sh kg ...
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+ZIP="$(mktemp -u /tmp/sifr_spark_XXXXXX).zip"
+trap 'rm -f "$ZIP"' EXIT
+(cd "$REPO" && zip -qr "$ZIP" sifr_project_java_ontology_processing_spark -x '*/__pycache__/*')
+exec spark-submit \
+  --master "${SPARK_MASTER:-local[${SPARK_GRAFT_CPUS:-8}]}" \
+  --py-files "$ZIP" \
+  "$REPO/scripts/submit_kg_driver.py" "$@"
