@@ -149,3 +149,42 @@ def test_distributed_similarity_no_driver_collect(spark):
     nd_plan = _plan(neardup_pairs(emb, threshold=0.5, num_blocks=3))
     assert "FlatMapGroupsInPandas" in nd_plan, nd_plan
     assert "CartesianProduct" not in nd_plan, nd_plan
+
+
+def test_decontaminate_broadcasts_benchmark_dictionary(spark):
+    """Exact decontamination: the benchmark n-gram dictionary rides a
+    broadcast; the corpus side is never cartesian-joined."""
+    plan = _plan(queries()["decontaminate"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_fuzzy_decontaminate_no_cross_product(spark):
+    """Fuzzy decontamination candidates come from the (band, bucket)
+    equi-join — a corpus × benchmark product must never appear."""
+    plan = _plan(queries()["fuzzy_decontaminate"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_curation_single_corpus_reason_scan(spark):
+    """Curation computes quality/lang inline: no cartesian, and the
+    only aggregation-side join partners are the keeper window and the
+    decontamination hit count."""
+    plan = _plan(queries()["corpus_curation"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_repetition_and_pii_are_map_only(spark):
+    """Row-wise signal queries must not introduce a shuffle beyond the
+    scan (single stage, no Exchange)."""
+    for name in ("repetition_quality", "pii_scrub"):
+        plan = _plan(queries()[name](spark, SF))
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_embedding_decontaminate_map_only(spark):
+    """Semantic decontamination is one mapInPandas over the corpus —
+    zero shuffle (benchmark rides the driver broadcast)."""
+    plan = _plan(queries()["embedding_decontaminate"](spark, SF))
+    assert "Exchange" not in plan, plan
