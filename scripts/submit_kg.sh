@@ -7,8 +7,11 @@
 #   SPARK_MASTER=yarn ./scripts/submit_kg.sh kg ...
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
-ZIP="$(mktemp -u /tmp/sifr_spark_XXXXXX).zip"
-trap 'rm -f "$ZIP"' EXIT
+# mktemp -d (not -u): a private dir avoids the predictable-name race on
+# shared hosts; the zip is created inside it.
+TMPDIR_PKG="$(mktemp -d /tmp/sifr_spark_XXXXXX)"
+ZIP="$TMPDIR_PKG/pkg.zip"
+trap 'rm -rf "$TMPDIR_PKG"' EXIT
 (cd "$REPO" && zip -qr "$ZIP" sifr_project_java_ontology_processing_spark -x '*/__pycache__/*')
 exec spark-submit \
   --master "${SPARK_MASTER:-local[${SPARK_GRAFT_CPUS:-8}]}" \

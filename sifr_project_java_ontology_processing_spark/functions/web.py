@@ -54,8 +54,12 @@ def normalize_url(url: Column) -> Column:
     s = F.when(scheme == "", s).otherwise(
         F.concat(F.lower(scheme), userinfo, F.lower(hostport), tail)
     )
-    s = F.regexp_replace(s, r"^(http://[^/:?#]*):80((/|\?).*)?$", "$1$2")
-    s = F.regexp_replace(s, r"^(https://[^/:?#]*):443((/|\?).*)?$", "$1$2")
+    # optional userinfo before the host: 'http://user:pw@h:80/x' must
+    # strip its default port too, or it splits from 'http://user:pw@h/x'
+    s = F.regexp_replace(s, r"^(http://(?:[^/?#]*@)?[^/:?#]*):80((/|\?).*)?$", "$1$2")
+    s = F.regexp_replace(
+        s, r"^(https://(?:[^/?#]*@)?[^/:?#]*):443((/|\?).*)?$", "$1$2"
+    )
     # rule 4: non-first params, then a first param (promoting the next
     # separator), then a dangling '?'
     s = F.regexp_replace(s, TRACKING_MID_RX, "")

@@ -8,17 +8,23 @@ of drop reasons:
 
     exact_dup > contaminated > quality > lang
 
-Scale shape: one window shuffle on the content hash (exact dedup), one
+Scale shape: the exact-dedup keeper is a PARTIALLY-AGGREGATED groupBy
+on the content hash joined back to the corpus (the same shape as
+``dedup.exact_dedup``) — NOT a window. A window on md5(text) puts
+every row of one content hash in a single task, so a boilerplate page
+duplicated 50M times at 100 TB is one straggler; the groupBy's
+map-side combine shuffles ~one row per hash per input partition, and
+the join back is an equi-join AQE can skew-split. Decontamination is a
 broadcast join against the benchmark n-gram dictionary plus a
-partial-aggregated hit count (decontamination), map-side quality and
-language features — no corpus × corpus or corpus × benchmark product
-anywhere. The whole decision is replayed in SQL by the
-``corpus_curation`` registry oracle.
+partial-aggregated hit count; quality and language features are
+map-side — no corpus × corpus or corpus × benchmark product anywhere.
+The whole decision is replayed in SQL by the ``corpus_curation``
+registry oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sifr_project_java_ontology_processing_spark.operators.textanalysis import (
@@ -56,13 +62,18 @@ def curate_corpus(
     quality_fail = (n_tok < min_tokens) | (stop_ratio < min_stopword_ratio)
     pred_lang, _hits = lang_pred_cols(F.col(text_col))
 
-    w = Window.partitionBy(F.md5(F.col(text_col)))
+    # keeper via partial-agg groupBy + join back (skew-safe; see module
+    # docstring) — identical result to a min-over-window on the hash
+    keepers = (
+        docs.groupBy(F.md5(F.col(text_col)).alias("_th"))
+        .agg(F.min(F.col(id_col)).alias("keeper"))
+    )
     base = docs.select(
         F.col(id_col),
-        F.min(F.col(id_col)).over(w).alias("keeper"),
+        F.md5(F.col(text_col)).alias("_th"),
         quality_fail.alias("_qfail"),
         pred_lang.alias("pred_lang"),
-    )
+    ).join(keepers, "_th")
 
     cont = ngram_decontaminate(docs, benchmark, id_col, text_col, n=n).select(
         id_col, "is_contaminated"

@@ -282,26 +282,41 @@ def detect_mentions_joined(
     10M+-label ontology no longer fits in executor memory. This variant
     never collects or broadcasts the dimension:
 
-      1. pages are tokenized map-side into ``(url, idx, tok)`` rows;
+      1. pages are tokenized map-side ONCE into ``(url, idx, tok,
+         start, end)`` rows — char offsets ride along so the resolve
+         step never re-tokenizes;
       2. the label dim is normalized into a phrase table keyed by its
          FIRST token (an inverted index), deduped per normalized phrase
          with the same first-wins rule as the trie leaf (pref < alt <
          hidden, then min concept_iri);
-      3. an equi-join on ``tok == first_token`` yields candidate starts
+      3. the token stream is PRUNED before any exchange with a
+         broadcast semi-join against the distinct phrase VOCABULARY
+         (every token of every phrase, not just firsts — continuation
+         tokens are needed for verification). The vocab is
+         distinct-words-sized (≪ the label dim, which carries IRIs and
+         full phrases), so it broadcasts even when the dim cannot;
+         tokens outside the vocab — the overwhelming majority of a web
+         corpus — never enter a shuffle;
+      4. an equi-join on ``tok == first_token`` yields candidate starts
          (AQE skew-join splits hot first tokens);
-      4. candidates are packed into one array per url (``collect_list``)
-         and joined back to the pages; a single Arrow-batched
+      5. candidates AND kept tokens are packed into one array per url
+         (two ``collect_list`` aggs sharing the url partitioning) and
+         joined back to the pages; a single Arrow-batched
          ``mapInPandas`` verifies each candidate phrase against the
-         page's token stream and replays the trie's greedy
-         longest-match, non-overlapping scan. (One batch covers many
+         kept-token position map and replays the trie's greedy
+         longest-match, non-overlapping scan, slicing surfaces from
+         the page text via the carried offsets. (One batch covers many
          pages — a cogrouped ``applyInPandas`` per url pays a Python
-         round-trip per PAGE and benched 13× slower.)
+         round-trip per PAGE and benched 13× slower.) A vocab position
+         missing from the map cannot be a phrase continuation, so
+         pruning never changes the result.
 
     Output schema and rows are IDENTICAL to ``detect_mentions`` (equality
-    is pytest-gated); only the physical plan differs: two equi-join
-    shuffles (token, url) instead of one broadcast. Both sides scale
-    linearly — candidates are O(occurrences of first tokens), never
-    |pages| × |labels|.
+    is pytest-gated); only the physical plan differs: equi-join
+    shuffles (vocab-pruned token, url) instead of one broadcast. Both
+    sides scale linearly — shuffled rows are O(occurrences of phrase
+    vocabulary), never |pages| × |labels| and never the full token
+    stream.
     """
     cui_rx = re.compile(r"^C[0-9]{7}$")
 
@@ -366,12 +381,13 @@ def detect_mentions_joined(
         )
     )
 
-    # --- page tokens, exploded map-side --------------------------------
+    # --- page tokens, exploded map-side (ONE tokenize pass: char
+    # offsets ride along so resolve never re-runs _WORD_RX) -------------
     src = extracted.select("url", text_col, "lang")
 
     def _tokens(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            urls, idxs, toks = [], [], []
+            urls, idxs, toks, starts, ends = [], [], [], [], []
             for url, text in zip(pdf["url"], pdf[text_col]):
                 if not text:
                     continue
@@ -383,29 +399,48 @@ def detect_mentions_joined(
                     urls.append(url)
                     idxs.append(i)
                     toks.append(t)
+                    starts.append(m.start())
+                    ends.append(m.end())
                     i += 1
             yield pd.DataFrame(
                 {
                     "url": pd.Series(urls, dtype="object"),
                     "idx": pd.Series(idxs, dtype="int32"),
                     "tok": pd.Series(toks, dtype="object"),
+                    "start": pd.Series(starts, dtype="int32"),
+                    "end": pd.Series(ends, dtype="int32"),
                 }
             )
 
-    tokens = src.mapInPandas(_tokens, schema="url string, idx int, tok string")
-    candidates = tokens.join(
+    tokens = src.mapInPandas(
+        _tokens, schema="url string, idx int, tok string, start int, end int"
+    )
+    # pre-prune BEFORE any exchange: only occurrences of the phrase
+    # vocabulary (first + continuation tokens) may matter downstream.
+    # The vocab is distinct-words-sized, so it broadcasts even when the
+    # phrase dim itself cannot; the semi-join runs map-side and the
+    # full web-corpus token stream never hits a shuffle.
+    vocab = phrases.select(
+        F.explode(F.split("phrase_key", " ")).alias("tok")
+    ).distinct()
+    tokens_kept = tokens.join(F.broadcast(vocab), "tok", "semi")
+    candidates = tokens_kept.join(
         phrases.withColumnRenamed("first_token", "tok"), "tok"
     ).select("url", "idx", "phrase_key", "n_tokens", "concept_iri", "label_kind")
 
     # --- per-url verify + greedy longest-match resolve ------------------
-    # candidates packed to one array row per url, joined to the pages;
-    # the resolve UDF then streams many pages per Arrow batch.
+    # candidates + kept tokens packed to one array row per url (the two
+    # aggs and the joins share the url hash partitioning), joined to
+    # the pages; the resolve UDF then streams many pages per Arrow batch.
     cand_arrays = candidates.groupBy("url").agg(
         F.collect_list(
             F.struct("idx", "phrase_key", "n_tokens", "concept_iri", "label_kind")
         ).alias("cands")
     )
-    joined = src.join(cand_arrays, "url")
+    tok_arrays = tokens_kept.groupBy("url").agg(
+        F.collect_list(F.struct("idx", "tok", "start", "end")).alias("toks")
+    )
+    joined = src.join(cand_arrays, "url").join(tok_arrays, "url")
 
     out_schema = (
         "url string, span_start int, span_end int, surface string, "
@@ -421,8 +456,8 @@ def detect_mentions_joined(
                 "url": [], "span_start": [], "span_end": [], "surface": [],
                 "concept_iri": [], "label_kind": [], "lang": [],
             }
-            for url, text, lang, cands in zip(
-                pdf["url"], pdf[text_col], pdf["lang"], pdf["cands"]
+            for url, text, lang, cands, toks in zip(
+                pdf["url"], pdf[text_col], pdf["lang"], pdf["cands"], pdf["toks"]
             ):
                 if not text or cands is None or len(cands) == 0:
                     continue
@@ -440,24 +475,32 @@ def detect_mentions_joined(
                     )
                 for lst in by_idx.values():
                     lst.sort(key=lambda t: -t[0])
-                words = [
-                    (m.start(), m.end(), _norm_token(m.group(0)))
-                    for m in _WORD_RX.finditer(text)
-                ]
-                words = [w for w in words if w[2]]
-                n_words = len(words)
-                i = 0
-                while i < n_words:
+                # position map from the FIRST tokenize pass (global token
+                # idx → norm token + char span). Only vocab tokens are
+                # present; a missing position cannot equal a phrase
+                # token, so `get` returning None fails verification with
+                # the same outcome as the full-stream comparison.
+                pos: dict[int, tuple] = {
+                    int(t["idx"]): (t["tok"], int(t["start"]), int(t["end"]))
+                    for t in toks
+                } if toks is not None else {}
+                cursor = 0
+                for i in sorted(by_idx):
+                    if i < cursor:
+                        continue  # consumed by a previous (longer) match
                     best = None
-                    for n, ktoks, concept, kind in by_idx.get(i, ()):
-                        if i + n > n_words:
-                            continue
-                        if [w[2] for w in words[i : i + n]] == ktoks:
+                    for n, ktoks, concept, kind in by_idx[i]:
+                        span = [pos.get(i + j) for j in range(n)]
+                        if all(
+                            s is not None and s[0] == ktoks[j]
+                            for j, s in enumerate(span)
+                        ):
                             best = (n, concept, kind)
                             break  # sorted longest-first
                     if best is not None:
                         best_n, concept, kind = best
-                        start, end = words[i][0], words[i + best_n - 1][1]
+                        start = pos[i][1]
+                        end = pos[i + best_n - 1][2]
                         cols["url"].append(url)
                         cols["span_start"].append(start)
                         cols["span_end"].append(end)
@@ -465,9 +508,7 @@ def detect_mentions_joined(
                         cols["concept_iri"].append(concept)
                         cols["label_kind"].append(kind)
                         cols["lang"].append(lang)
-                        i += best_n
-                    else:
-                        i += 1
+                        cursor = i + best_n
             yield pd.DataFrame(
                 {
                     "url": pd.Series(cols["url"], dtype="object"),

@@ -65,6 +65,7 @@ def brute_force_topk(
     query_id_col: str = "query_id",
     driver_threshold: int = 100_000,
     num_shards: int | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """→ (query_id, neighbor_id, cos_sim, rank): exact top-k by cosine,
     deterministic ties (rounded score desc, neighbor id asc).
@@ -72,16 +73,24 @@ def brute_force_topk(
 
     Hybrid: broadcast-GEMM under ``driver_threshold`` corpus rows;
     sharded cogroup-GEMM above it (no driver materialization — round-1
-    collected unconditionally, which dies past driver memory). An
-    explicit ``num_shards`` pins the distributed path and skips the
-    sizing count() entirely."""
-    if num_shards is None:
+    collected unconditionally, which dies past driver memory).
+
+    ``mode`` pins the path and makes the plan DETERMINISTIC with no
+    sizing ``count()`` job before the real one: ``'broadcast'`` (caller
+    asserts the corpus is dimension-sized), ``'sharded'`` (uses
+    ``num_shards``, default 8), or ``'auto'`` (runs the count unless
+    ``num_shards`` is given). Registry/bench calls pin the mode."""
+    if mode == "broadcast":
+        return _broadcast_topk(corpus, queries, k, id_col, vec_col, query_id_col)
+    if mode == "sharded":
+        shards = num_shards or 8
+    elif num_shards is not None:
+        shards = num_shards
+    else:
         n = corpus.count()
         if n <= driver_threshold:
             return _broadcast_topk(corpus, queries, k, id_col, vec_col, query_id_col)
         shards = max(2, math.ceil(n / driver_threshold))
-    else:
-        shards = num_shards
     c = corpus.select(
         F.pmod(F.hash(F.col(id_col)), F.lit(shards)).alias("shard"),
         F.col(id_col).alias("_cid"),
@@ -387,6 +396,7 @@ def neardup_pairs(
     vec_col: str = "embedding",
     driver_threshold: int = 100_000,
     num_blocks: int | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs → (vec_a, vec_b, cos_sim),
     vec_a < vec_b, exact (all pairs ≥ threshold).
@@ -394,14 +404,22 @@ def neardup_pairs(
     Hybrid: broadcast blocked-GEMM under ``driver_threshold`` rows;
     above it, a block-nested-loop with one cogrouped GEMM task per
     unordered block pair — B× replication, B(B+1)/2 tasks, no driver
-    materialization. Explicit ``num_blocks`` skips the sizing count()."""
-    if num_blocks is None:
+    materialization.
+
+    ``mode`` pins the path (``'broadcast'`` | ``'blocked'`` | ``'auto'``)
+    so the plan is deterministic and the pre-job sizing ``count()``
+    disappears; explicit ``num_blocks`` also skips the count."""
+    if mode == "broadcast":
+        return _broadcast_neardup(corpus, threshold, id_col, vec_col)
+    if mode == "blocked":
+        blocks = num_blocks or 8
+    elif num_blocks is not None:
+        blocks = num_blocks
+    else:
         n = corpus.count()
         if n <= driver_threshold:
             return _broadcast_neardup(corpus, threshold, id_col, vec_col)
         blocks = max(2, math.ceil(n / driver_threshold))
-    else:
-        blocks = num_blocks
     rep = corpus.select(
         F.pmod(F.hash(F.col(id_col)), F.lit(blocks)).alias("_b"),
         F.col(id_col).alias("_vid"),
@@ -536,6 +554,18 @@ def embedding_decontaminate(
         )
     b_mat = np.array([r[0] for r in rows], dtype=np.float64)
     b_norms = np.linalg.norm(b_mat, axis=1)
+    # Zero-norm benchmark vectors (empty-text embeddings) would zero a
+    # denominator column → NaN sims → NaN max_cos, and Spark orders NaN
+    # above every double, flagging the whole corpus. Drop them: a zero
+    # vector carries no semantic signal to leak.
+    nz = b_norms > 0.0
+    b_mat, b_norms = b_mat[nz], b_norms[nz]
+    if b_mat.shape[0] == 0:
+        return corpus.select(
+            F.col(id_col),
+            F.lit(0.0).alias("max_cos"),
+            F.lit(False).alias("is_semantic_contaminated"),
+        )
     bc = spark.sparkContext.broadcast((b_mat, b_norms))
 
     src = corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
@@ -549,7 +579,13 @@ def embedding_decontaminate(
                 continue
             block = np.array(list(pdf["_v"]), dtype=np.float64)
             bn = np.linalg.norm(block, axis=1)
-            sims = (block @ mat.T) / np.outer(bn, norms)
+            denom = np.outer(bn, norms)
+            sims = np.divide(
+                block @ mat.T,
+                denom,
+                out=np.zeros((block.shape[0], mat.shape[0])),
+                where=denom > 0.0,
+            )
             np.round(sims, 6, out=sims)
             yield pd.DataFrame(
                 {

@@ -480,9 +480,12 @@ def run_kg_pipeline_incremental(
         )
     cur = StageStore(spark, store_root, run_id)
 
-    sig_now = cur.materialize(
-        "labels_sig", lambda: _labels_signature(ontology_labels)
-    )
+    # Compare prev vs the LIVE dim, not cur's committed copy: if run_id
+    # was used before, cur.materialize would return the stale committed
+    # signature and a retry after label drift could pass the guard while
+    # delta mentions are computed with the new dim (the mixed-dim state
+    # the guard exists to reject). The signature is a 1-row aggregate.
+    sig_now = _labels_signature(ontology_labels)
     if prev.exists("labels_sig"):
         sig_prev = prev.materialize("labels_sig", None)
         if sig_now.collect() != sig_prev.collect() and not allow_label_drift:
@@ -491,6 +494,7 @@ def run_kg_pipeline_incremental(
                 "prev mentions would be stale; rerun full, or pass "
                 "allow_label_drift=True to accept mixed-dim mentions"
             )
+    # (run_kg_pipeline commits this run's labels_sig via its own stage().)
 
     prev_extracted = prev.materialize("extracted", None)
     prev_mentions = prev.materialize("mentions", None)

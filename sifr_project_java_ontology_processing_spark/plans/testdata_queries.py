@@ -317,8 +317,8 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                        || regexp_replace(s, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
              END AS s FROM n1),
     n3 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
-             '^(http://[^/:?#]*):80((/|\?).*)?$', '\1\2'),
-             '^(https://[^/:?#]*):443((/|\?).*)?$', '\1\2') AS s FROM n2),
+             '^(http://(?:[^/?#]*@)?[^/:?#]*):80((/|\?).*)?$', '\1\2'),
+             '^(https://(?:[^/?#]*@)?[^/:?#]*):443((/|\?).*)?$', '\1\2') AS s FROM n2),
     n4 AS (SELECT doc_id,
              regexp_replace(regexp_replace(regexp_replace(s,
                '&(utm_[a-zA-Z0-9_]+|gclid|fbclid)=[^&]*', '', 'g'),
@@ -1328,7 +1328,10 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = brute_force_topk(emb, queries_df, k=5)
+    # mode pinned: testdata embeddings are dimension-sized, so the
+    # broadcast-GEMM path is the right plan AND the sizing count() job
+    # disappears (deterministic plan for the bench)
+    out = brute_force_topk(emb, queries_df, k=5, mode="broadcast")
     # bigint rank: DuckDB row_number() type
     return out.select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
 
@@ -1681,7 +1684,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         neardup_pairs,
     )
 
-    return neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+    return neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, mode="broadcast"
+    )
 
 
 @register(

@@ -294,3 +294,40 @@ def test_pipeline_incremental_label_drift_guard(spark, kg_fixture, kg_tables, tm
             store_root=root, run_id="rB", prev_run_id="rA",
             disambiguate_cuis=False,
         )
+
+
+def test_pipeline_incremental_drift_guard_on_retry(spark, kg_fixture, kg_tables,
+                                                   tmp_path):
+    """The guard must compare prev vs the LIVE dim, not this run's
+    committed signature: after a successful incremental run, retrying
+    the SAME run_id with a drifted dim must still raise (a stale
+    committed labels_sig would otherwise mask the drift)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sifr_project_java_ontology_processing_spark.plans.kg_pipeline import (
+        run_kg_pipeline_incremental,
+    )
+    from sifr_project_java_ontology_processing_spark.sources.stage_store import (
+        StageStore,
+    )
+
+    pages = kg_tables["pages"]
+    root = str(tmp_path / "stages")
+    _run(spark, kg_fixture, kg_tables, store=StageStore(spark, root, "rA"),
+         run_id="rA")
+    # successful incremental run commits rB's labels_sig (== rA's)
+    run_kg_pipeline_incremental(
+        spark, pages, kg_tables["ontology_labels"], kg_tables["mappings"],
+        kg_tables["umls_concepts"], kg_tables["umls_semtypes"],
+        store_root=root, run_id="rB", prev_run_id="rA",
+        disambiguate_cuis=False,
+    )
+    drifted = kg_tables["ontology_labels"].where(F.col("label_kind") != "hidden")
+    with pytest.raises(ValueError, match="differ from the previous run"):
+        run_kg_pipeline_incremental(
+            spark, pages, drifted, kg_tables["mappings"],
+            kg_tables["umls_concepts"], kg_tables["umls_semtypes"],
+            store_root=root, run_id="rB", prev_run_id="rA",
+            disambiguate_cuis=False,
+        )

@@ -47,6 +47,15 @@ def test_mention_detect_no_shuffle_before_result(spark):
     assert "Exchange rangepartitioning" not in plan, plan
 
 
+def test_mention_detect_joined_prunes_tokens_before_exchange(spark):
+    """The no-broadcast detector must semi-join the exploded token
+    stream against the broadcast phrase vocabulary BEFORE any shuffle —
+    the full web-corpus token stream entering the exchange is the
+    operator's scale killer (round-3 VERDICT #4)."""
+    plan = _plan(queries()["mention_detect_joined"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
 def test_aggregates_have_partial_phase(spark):
     """Map-side combine: hash agg must appear in partial+final pairs."""
     plan = _plan(queries()["pricing_summary"](spark, SF))
@@ -169,10 +178,20 @@ def test_fuzzy_decontaminate_no_cross_product(spark):
 
 def test_curation_single_corpus_reason_scan(spark):
     """Curation computes quality/lang inline: no cartesian, and the
-    only aggregation-side join partners are the keeper window and the
+    only aggregation-side join partners are the keeper groupBy and the
     decontamination hit count."""
     plan = _plan(queries()["corpus_curation"](spark, SF))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_curation_keeper_is_partial_agg_not_window(spark):
+    """The exact-dup keeper must be a partially-aggregated groupBy on
+    the content hash (map-side combine → skew-safe), never a Window —
+    a window puts all rows of one viral content hash in a single task.
+    Evidence: a partial_min in the plan and no Window operator."""
+    plan = _plan(queries()["corpus_curation"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
 
 
 def test_repetition_and_pii_are_map_only(spark):

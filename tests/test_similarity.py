@@ -90,6 +90,39 @@ def test_distributed_neardup_equals_broadcast(spark):
     assert dist == small and small, "block-pair path diverged (or empty)"
 
 
+def test_pinned_mode_skips_sizing_count(spark, monkeypatch):
+    """``mode='broadcast'`` / ``'sharded'`` / ``'blocked'`` must never
+    run the pre-job sizing ``count()`` (a full corpus scan before the
+    real job) and must return the same rows as auto."""
+    from pyspark.sql import DataFrame
+
+    df, vecs = _emb_df(spark)
+    queries = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    auto_topk = {(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+                 for r in brute_force_topk(df, queries, k=3).collect()}
+    auto_nd = {(r["vec_a"], r["vec_b"], r["cos_sim"])
+               for r in neardup_pairs(df, threshold=0.3).collect()}
+
+    def _no_count(self):
+        raise AssertionError("sizing count() ran despite pinned mode")
+
+    monkeypatch.setattr(DataFrame, "count", _no_count)
+    got_b = {(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+             for r in brute_force_topk(df, queries, k=3, mode="broadcast").collect()}
+    got_s = {(r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+             for r in brute_force_topk(df, queries, k=3, mode="sharded",
+                                       num_shards=3).collect()}
+    nd_b = {(r["vec_a"], r["vec_b"], r["cos_sim"])
+            for r in neardup_pairs(df, threshold=0.3, mode="broadcast").collect()}
+    nd_k = {(r["vec_a"], r["vec_b"], r["cos_sim"])
+            for r in neardup_pairs(df, threshold=0.3, mode="blocked",
+                                   num_blocks=3).collect()}
+    assert got_b == auto_topk and got_s == auto_topk
+    assert nd_b == auto_nd and nd_k == auto_nd
+
+
 def test_ivf_recall_rises_with_nprobe(spark):
     """IVF top-k: probing more cells must raise recall vs exact ground
     truth; probing ALL cells is exact."""
@@ -166,4 +199,40 @@ def test_embedding_decontaminate_semantics(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     clean = embedding_decontaminate(corpus, empty).collect()
+    assert all(not r["is_semantic_contaminated"] for r in clean) and len(clean) == 3
+
+
+def test_embedding_decontaminate_zero_norm_vectors(spark):
+    """Zero-norm vectors must never poison the result with NaN (Spark
+    orders NaN above every double, so a NaN max_cos would flag rows as
+    contaminated). A zero-norm BENCHMARK vector is dropped (no signal);
+    a zero-norm CORPUS vector scores 0.0 against everything; an
+    all-zero-norm benchmark behaves like an empty one."""
+    import math
+
+    from sifr_project_java_ontology_processing_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [0.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["max_cos"], r["is_semantic_contaminated"])
+        for r in embedding_decontaminate(corpus, bench, threshold=0.99).collect()
+    }
+    assert all(not math.isnan(c) for c, _ in got.values()), got
+    assert got[1] == (0.0, False)   # orthogonal to the only live bench vec
+    assert got[2] == (0.0, False)   # zero-norm corpus vec: defined 0.0
+    assert got[3] == (1.0, True)    # identical to the live bench vec
+
+    all_zero = spark.createDataFrame(
+        [(100, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    clean = embedding_decontaminate(corpus, all_zero).collect()
     assert all(not r["is_semantic_contaminated"] for r in clean) and len(clean) == 3
