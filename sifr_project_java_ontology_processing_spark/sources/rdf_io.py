@@ -14,21 +14,33 @@ Format coverage, stated honestly:
   * N-Triples: full (IRI / blank-node subjects, IRI predicates,
     IRI / blank / literal objects with @lang or ^^datatype, standard
     string escapes, comments, blank lines).
-  * Turtle: the line-oriented subset — @prefix / PREFIX declarations,
-    one ``subj pred obj .`` statement per line with ``a`` and prefixed
-    names; NOT the multi-line ``;``/``,`` continuation syntax. That
-    subset covers this engine's own sink output and typical
-    machine-generated dictionaries; full Turtle needs a real parser
-    (Jena-equivalent), which the reference gets from Jena, not from
-    its own code.
+  * Turtle, two readers:
+      - ``read_turtle`` (the default for .ttl): a real streaming
+        tokenizer + recursive-descent parser per file inside
+        ``mapInPandas`` — multi-line statements, ``;``/``,``
+        continuations, ``[ ... ]`` blank-node property lists,
+        ``( ... )`` collections, long/short single/double-quoted
+        strings, @lang, ^^datatype (stripped, P5), numeric/boolean
+        shorthand, @prefix/@base and SPARQL-style PREFIX/BASE.
+        Parallel ACROSS files (one ontology = one task — dim-load
+        cost class). Relative-IRI resolution is simple concatenation
+        against the @base (no dot-segment normalization).
+      - ``read_turtle_lines``: the line-oriented subset (one
+        statement per line), kept as the WITHIN-file splittable scale
+        path for machine-generated exports (it reads a single 100 GB
+        dictionary file in parallel; the real parser cannot).
   * RDF/XML (the reference's DEFAULT format): not line-splittable, so
     it parallelizes ACROSS FILES instead — ``binaryFile`` source → one
     streaming SAX parse per file inside ``mapInPandas`` (the same
-    pattern as sources/sparql_xml.py). Subset: rdf:Description and
+    pattern as sources/sparql_xml.py). Coverage: rdf:Description and
     typed node elements, rdf:about/ID/nodeID, nested node elements,
     rdf:resource, property attributes, xml:lang (inherited),
-    rdf:datatype (stripped, P5 semantics). rdf:parseType raises —
-    honestly unsupported rather than silently wrong.
+    rdf:datatype (stripped, P5 semantics), and rdf:parseType —
+    "Resource" (nested blank node), "Collection" (rdf:first/rest/nil
+    chain), "Literal"/other (captured as an XML literal; since expat
+    never reports namespace prefixes, serialized elements re-declare
+    their namespace as the default namespace — same infoset,
+    normalized spelling).
 
 ``strict=True`` (default) raises if any non-comment line fails to
 parse — silent row loss is how ingestion bugs hide.
@@ -223,6 +235,334 @@ def read_turtle_lines(spark: SparkSession, path: str, strict: bool = True) -> Da
 
 
 # --------------------------------------------------------------------------
+# Full Turtle (streaming tokenizer + recursive descent, per file)
+# --------------------------------------------------------------------------
+# The reference reads .ttl through Jena's Turtle parser
+# (utils/OntologyLoader.java:41-71 selects the TTL reader by filename);
+# this is an original PySpark-era equivalent: one parse per file on an
+# executor, so a directory of ontologies loads in parallel.
+
+_TTL_TOKEN_SPECS = [
+    ("ws", _re.compile(r"\s+")),
+    ("comment", _re.compile(r"#[^\n]*")),
+    ("iriref", _re.compile(r"<[^<>\"{}|^`\\\x00-\x20]*>")),
+    ("string", _re.compile(
+        r'"""(?:[^"\\]|\\.|"(?!""))*"""'
+        r"|'''(?:[^'\\]|\\.|'(?!''))*'''"
+        r'|"(?:[^"\\\n\r]|\\.)*"'
+        r"|'(?:[^'\\\n\r]|\\.)*'"
+    )),
+    ("langtag", _re.compile(r"@[A-Za-z]+(?:-[A-Za-z0-9]+)*")),
+    ("dtype", _re.compile(r"\^\^")),
+    ("blank", _re.compile(r"_:[A-Za-z0-9_](?:[\w.-]*[\w-])?")),
+    # decimal REQUIRES digits after the dot (Turtle grammar) so '1.'
+    # lexes as integer '1' + statement-terminating '.'
+    ("number", _re.compile(
+        r"[+-]?(?:\d*\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+)"
+    )),
+    # PNAME_LN / PNAME_NS (approximate PN_CHARS; '%' escapes kept
+    # as-is). The local part must not END with '.' — 'ex:foo.' lexes
+    # as 'ex:foo' + '.'
+    ("pname", _re.compile(
+        r"(?:[A-Za-z][\w.-]*)?:"
+        r"(?:(?:[\w:.-]|%[0-9A-Fa-f]{2}|\\[~.!$&'()*+,;=/?#@%_-])*"
+        r"(?:[\w:-]|%[0-9A-Fa-f]{2}|\\[~.!$&'()*+,;=/?#@%_-]))?"
+    )),
+    ("word", _re.compile(r"[A-Za-z][A-Za-z_]*")),  # a / true / false / BASE ...
+    ("punct", _re.compile(r"[.;,\[\]()]")),
+]
+
+
+def _ttl_tokens(text: str) -> list[tuple[str, str]]:
+    """Ordered-alternative scanner → [(kind, lexeme)]; raises on any
+    character no alternative matches (position + context in the
+    message — silent skips are how parser bugs hide)."""
+    out: list[tuple[str, str]] = []
+    pos, n = 0, len(text)
+    while pos < n:
+        for kind, rx in _TTL_TOKEN_SPECS:
+            m = rx.match(text, pos)
+            if m and m.end() > pos:
+                if kind not in ("ws", "comment"):
+                    out.append((kind, m.group(0)))
+                pos = m.end()
+                break
+        else:
+            raise ValueError(
+                f"Turtle tokenizer: unexpected char {text[pos]!r} at "
+                f"offset {pos}: ...{text[max(0, pos - 30):pos + 10]!r}..."
+            )
+    return out
+
+
+class _TtlParser:
+    """Recursive-descent Turtle parser over ``_ttl_tokens`` output.
+    Emits TRIPLES-schema rows; blank nodes are file-scoped (same rule
+    as the RDF/XML reader)."""
+
+    def __init__(self, text: str, src: str | None) -> None:
+        self.toks = _ttl_tokens(text)
+        self.pos = 0
+        self.prefixes: dict[str, str] = {}
+        self.base: str | None = None
+        self.scope = (
+            __import__("hashlib").md5(src.encode()).hexdigest()[:8] if src else ""
+        )
+        self.src = src
+        self.blank_n = 0
+        self.rows: list[tuple] = []
+
+    # -- token helpers ---------------------------------------------------
+    def _peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else (None, None)
+
+    def _next(self):
+        t = self._peek()
+        self.pos += 1
+        return t
+
+    def _expect(self, kind: str, value: str | None = None):
+        k, v = self._next()
+        if k != kind or (value is not None and v != value):
+            raise ValueError(
+                f"Turtle parse error in {self.src}: expected "
+                f"{value or kind}, got {v!r} (token #{self.pos - 1})"
+            )
+        return v
+
+    # -- term builders ---------------------------------------------------
+    def _resolve_iri(self, raw: str) -> str:
+        iri = _decode_nt_string(raw[1:-1])
+        if self.base and not _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+            return self.base + iri
+        return iri
+
+    def _expand_pname(self, pname: str) -> str:
+        p, _, local = pname.partition(":")
+        if p not in self.prefixes:
+            raise ValueError(
+                f"Turtle parse error in {self.src}: undeclared prefix "
+                f"{p!r}: in {pname!r}"
+            )
+        return self.prefixes[p] + local.replace("\\", "")
+
+    def _new_blank(self) -> str:
+        self.blank_n += 1
+        return f"_:{self.scope}tb{self.blank_n}"
+
+    # -- grammar ---------------------------------------------------------
+    def parse(self) -> list[tuple]:
+        while self._peek()[0] is not None:
+            k, v = self._peek()
+            if (k == "langtag" and v.lower() in ("@prefix", "@base")) or (
+                k == "word" and v.upper() in ("PREFIX", "BASE")
+            ):
+                self._directive()
+            else:
+                self._triples()
+                self._expect("punct", ".")
+        return self.rows
+
+    def _directive(self) -> None:
+        _k, v = self._next()
+        sparql_style = not v.startswith("@")
+        if v.lower().lstrip("@").startswith("prefix") or v.upper() == "PREFIX":
+            pk, pv = self._next()
+            if pk != "pname" or not pv.endswith(":"):
+                raise ValueError(
+                    f"Turtle parse error in {self.src}: bad prefix name {pv!r}"
+                )
+            iri = self._resolve_iri(self._expect("iriref"))
+            self.prefixes[pv[:-1]] = iri
+        else:  # base
+            self.base = _decode_nt_string(self._expect("iriref")[1:-1])
+        if not sparql_style:
+            self._expect("punct", ".")
+
+    def _triples(self) -> None:
+        k, v = self._peek()
+        if k == "punct" and v == "[":
+            subj = self._blank_node_property_list()
+            # trailing predicateObjectList is optional for [ ... ] subjects
+            if self._peek() != ("punct", "."):
+                self._predicate_object_list(subj)
+        elif k == "punct" and v == "(":
+            subj = self._collection()
+            self._predicate_object_list(subj)
+        else:
+            subj = self._subject()
+            self._predicate_object_list(subj)
+
+    def _subject(self) -> str:
+        k, v = self._next()
+        if k == "iriref":
+            return self._resolve_iri(v)
+        if k == "pname":
+            return self._expand_pname(v)
+        if k == "blank":
+            return f"_:{self.scope}{v[2:]}"
+        raise ValueError(
+            f"Turtle parse error in {self.src}: bad subject {v!r}"
+        )
+
+    def _verb(self) -> str:
+        k, v = self._next()
+        if k == "word" and v == "a":
+            return _RDF_TYPE
+        if k == "iriref":
+            return self._resolve_iri(v)
+        if k == "pname":
+            return self._expand_pname(v)
+        raise ValueError(f"Turtle parse error in {self.src}: bad verb {v!r}")
+
+    def _predicate_object_list(self, subj: str) -> None:
+        while True:
+            pred = self._verb()
+            self._object_list(subj, pred)
+            if self._peek() == ("punct", ";"):
+                self._next()
+                # '; .'  and  ';;' are legal (empty continuations)
+                while self._peek() == ("punct", ";"):
+                    self._next()
+                if self._peek() in (("punct", "."), ("punct", "]")):
+                    return
+                continue
+            return
+
+    def _object_list(self, subj: str, pred: str) -> None:
+        while True:
+            self._object(subj, pred)
+            if self._peek() == ("punct", ","):
+                self._next()
+                continue
+            return
+
+    def _object(self, subj: str, pred: str) -> None:
+        k, v = self._peek()
+        if k == "punct" and v == "[":
+            self.rows.append(
+                (subj, pred, self._blank_node_property_list(), None, False, self.src)
+            )
+            return
+        if k == "punct" and v == "(":
+            self.rows.append((subj, pred, self._collection(), None, False, self.src))
+            return
+        self._next()
+        if k == "iriref":
+            self.rows.append(
+                (subj, pred, self._resolve_iri(v), None, False, self.src)
+            )
+        elif k == "pname":
+            self.rows.append(
+                (subj, pred, self._expand_pname(v), None, False, self.src)
+            )
+        elif k == "blank":
+            self.rows.append(
+                (subj, pred, f"_:{self.scope}{v[2:]}", None, False, self.src)
+            )
+        elif k == "string":
+            body = v[3:-3] if v[:3] in ('"""', "'''") else v[1:-1]
+            text = _decode_nt_string(body)
+            lang = None
+            nk, nv = self._peek()
+            if nk == "langtag":
+                self._next()
+                lang = nv[1:]
+            elif nk == "dtype":
+                self._next()  # datatype IRI stripped — P5 semantics
+                dk, dv = self._next()
+                if dk not in ("iriref", "pname"):
+                    raise ValueError(
+                        f"Turtle parse error in {self.src}: bad datatype {dv!r}"
+                    )
+            self.rows.append((subj, pred, text, lang, True, self.src))
+        elif k == "number" or (k == "word" and v in ("true", "false")):
+            self.rows.append((subj, pred, v, None, True, self.src))
+        else:
+            raise ValueError(
+                f"Turtle parse error in {self.src}: bad object {v!r}"
+            )
+
+    def _blank_node_property_list(self) -> str:
+        self._expect("punct", "[")
+        blank = self._new_blank()
+        if self._peek() != ("punct", "]"):
+            self._predicate_object_list(blank)
+        self._expect("punct", "]")
+        return blank
+
+    def _collection(self) -> str:
+        self._expect("punct", "(")
+        # items are gathered via a sentinel (subject, predicate): nested
+        # bnodes/collections inside an item append their OWN rows too,
+        # which must be kept — only the sentinel rows are rewritten into
+        # the rdf:first/rest chain
+        sink = self._new_blank()
+        sentinel = "urn:x-collect:item"
+        mark = len(self.rows)
+        while self._peek() != ("punct", ")"):
+            self._object(sink, sentinel)
+        self._expect("punct", ")")
+        emitted = self.rows[mark:]
+        del self.rows[mark:]
+        item_rows = [r for r in emitted if r[0] == sink and r[1] == sentinel]
+        self.rows.extend(
+            r for r in emitted if not (r[0] == sink and r[1] == sentinel)
+        )
+        nil = f"{_RDF_NS}nil"
+        if not item_rows:
+            return nil
+        cells = [self._new_blank() for _ in item_rows]
+        for i, (cell, item) in enumerate(zip(cells, item_rows)):
+            self.rows.append(
+                (cell, f"{_RDF_NS}first", item[2], item[3], item[4], self.src)
+            )
+            rest = cells[i + 1] if i + 1 < len(cells) else nil
+            self.rows.append((cell, f"{_RDF_NS}rest", rest, None, False, self.src))
+        return cells[0]
+
+
+def parse_turtle_text(text: str, src: str | None = None) -> list[tuple]:
+    """Full-Turtle document → TRIPLES rows. Pure function (testable
+    without Spark); runs on executors inside read_turtle's mapInPandas."""
+    return _TtlParser(text, src).parse()
+
+
+def read_turtle(spark: SparkSession, path: str) -> DataFrame:
+    """Full Turtle file(s) → TRIPLES DataFrame. Parallel ACROSS files
+    (binaryFile source, one parse per file on the executor); .gz/.bz2
+    decompressed in the parser task. Use ``read_turtle_lines`` instead
+    when ONE machine-generated file is huge and line-oriented — that
+    reader splits within the file."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import bz2 as _bz2
+        import gzip as _gzip
+
+        cols = ["subj", "pred", "obj", "obj_lang", "obj_is_literal", "src_url"]
+        for pdf in it:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if p.endswith(".gz"):
+                    data = _gzip.decompress(data)
+                elif p.endswith(".bz2"):
+                    data = _bz2.decompress(data)
+                rows = parse_turtle_text(data.decode("utf-8"), p)
+                yield pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean, src_url string"
+    )
+    return files.mapInPandas(_parse, schema=schema)
+
+
+# --------------------------------------------------------------------------
 # RDF/XML (the reference's default input format)
 # --------------------------------------------------------------------------
 
@@ -248,9 +588,15 @@ def _parse_rdfxml_bytes(data: bytes, src: str | None) -> list[tuple]:
     class Handler(xml.sax.ContentHandler):
         def __init__(self) -> None:
             super().__init__()
-            # frames: ["node", subj, lang] | ["prop", pred, lang, obj_iri, text_parts]
+            # frames (index 1/2 shared so _lang and child props work on all):
+            #   ["node",    subj,  lang]
+            #   ["prop",    pred,  lang, obj_iri, text_parts]
+            #   ["noderes", blank, lang, pred]      parseType="Resource"
+            #   ["ptcoll",  pred,  lang, items]     parseType="Collection"
             self.stack: list[list] = []
             self.blank_n = 0
+            # parseType="Literal" capture state: [pred, lang, parts, depth]
+            self.lit: list | None = None
 
         def _lang(self, attrs) -> str | None:
             lang = attrs.get((_XML_NS, "lang"))
@@ -265,13 +611,39 @@ def _parse_rdfxml_bytes(data: bytes, src: str | None) -> list[tuple]:
             self.blank_n += 1
             return f"_:{scope}b{self.blank_n}"
 
+        # -- rdf:parseType="Literal" serialization helpers --------------
+        # expat never reports namespace PREFIXES (qname is None), so the
+        # captured XML re-declares each element's namespace as the
+        # default namespace: '<x:b/>' → '<b xmlns="urn:x"/>'. Same
+        # infoset, normalized spelling — documented subset.
+        @staticmethod
+        def _ser_start(name, attrs) -> str:
+            from xml.sax.saxutils import quoteattr
+
+            uri, local = name
+            parts = [f"<{local}"]
+            if uri:
+                parts.append(f" xmlns={quoteattr(uri)}")
+            for (auri, alocal), val in attrs.items():
+                if auri in (_XML_NS,):
+                    continue
+                parts.append(f" {alocal}={quoteattr(val)}")
+            parts.append(">")
+            return "".join(parts)
+
         def startElementNS(self, name, qname, attrs) -> None:
             uri, local = name
             full = (uri or "") + local
+            if self.lit is not None:  # inside an XMLLiteral: serialize
+                self.lit[2].append(self._ser_start(name, attrs))
+                self.lit[3] += 1
+                return
             if full == f"{_RDF_NS}RDF":
                 return
             lang = self._lang(attrs)
-            expecting_node = not self.stack or self.stack[-1][0] == "prop"
+            expecting_node = not self.stack or self.stack[-1][0] in (
+                "prop", "ptcoll"
+            )
             if expecting_node:
                 about = attrs.get((_RDF_NS, "about"))
                 rid = attrs.get((_RDF_NS, "ID"))
@@ -292,15 +664,30 @@ def _parse_rdfxml_bytes(data: bytes, src: str | None) -> list[tuple]:
                     if auri in (None, "", _RDF_NS, _XML_NS):
                         continue
                     triples.append((subj, auri + alocal, val, lang, True, src))
-                # this node is the object of the enclosing property
+                # this node is the object of the enclosing property /
+                # the next item of an enclosing parseType=Collection
                 if self.stack and self.stack[-1][0] == "prop":
                     self.stack[-1][3] = subj
+                elif self.stack and self.stack[-1][0] == "ptcoll":
+                    self.stack[-1][3].append(subj)
                 self.stack.append(["node", subj, lang])
             else:
-                if attrs.get((_RDF_NS, "parseType")) is not None:
-                    raise NotImplementedError(
-                        "rdf:parseType is outside this reader's RDF/XML subset"
+                pt = attrs.get((_RDF_NS, "parseType"))
+                if pt == "Resource":
+                    # the property's object is a fresh blank node whose
+                    # own properties are this element's children
+                    self.stack.append(
+                        ["noderes", self._new_blank(), lang, full]
                     )
+                    return
+                if pt == "Collection":
+                    self.stack.append(["ptcoll", full, lang, []])
+                    return
+                if pt is not None:
+                    # "Literal" — and per the RDF/XML spec any OTHER
+                    # parseType value is treated as Literal too
+                    self.lit = [full, lang, [], 0]
+                    return
                 res = attrs.get((_RDF_NS, "resource"))
                 node_id = attrs.get((_RDF_NS, "nodeID"))
                 obj_iri = res if res is not None else (
@@ -309,14 +696,55 @@ def _parse_rdfxml_bytes(data: bytes, src: str | None) -> list[tuple]:
                 self.stack.append(["prop", full, lang, obj_iri, []])
 
         def characters(self, content: str) -> None:
-            if self.stack and self.stack[-1][0] == "prop":
+            if self.lit is not None:
+                from xml.sax.saxutils import escape
+
+                self.lit[2].append(escape(content))
+            elif self.stack and self.stack[-1][0] == "prop":
                 self.stack[-1][4].append(content)
 
         def endElementNS(self, name, qname) -> None:
             uri, local = name
+            if self.lit is not None:
+                if self.lit[3] > 0:  # closing a serialized child element
+                    self.lit[2].append(f"</{local}>")
+                    self.lit[3] -= 1
+                    return
+                # closing the parseType=Literal property itself: the
+                # accumulated XML is the literal value (rdf:XMLLiteral
+                # datatype — stripped, P5 semantics, like ^^<dt>)
+                pred, lang, parts, _ = self.lit
+                subj = self.stack[-1][1]
+                triples.append((subj, pred, "".join(parts), lang, True, src))
+                self.lit = None
+                return
             if (uri or "") + local == f"{_RDF_NS}RDF":
                 return
             frame = self.stack.pop()
+            if frame[0] == "noderes":
+                _tag, blank, _lang_, pred = frame
+                subj = self.stack[-1][1]
+                triples.append((subj, pred, blank, None, False, src))
+                return
+            if frame[0] == "ptcoll":
+                _tag, pred, _lang_, items = frame
+                subj = self.stack[-1][1]
+                nil = f"{_RDF_NS}nil"
+                if not items:
+                    head = nil
+                else:
+                    cells = [self._new_blank() for _ in items]
+                    for i, (cell, item) in enumerate(zip(cells, items)):
+                        triples.append(
+                            (cell, f"{_RDF_NS}first", item, None, False, src)
+                        )
+                        rest = cells[i + 1] if i + 1 < len(cells) else nil
+                        triples.append(
+                            (cell, f"{_RDF_NS}rest", rest, None, False, src)
+                        )
+                    head = cells[0]
+                triples.append((subj, pred, head, None, False, src))
+                return
             if frame[0] != "prop":
                 return
             _tag, pred, lang, obj_iri, parts = frame
@@ -427,16 +855,18 @@ def labels_to_triples(labels: DataFrame) -> DataFrame:
 
 def load_model(spark: SparkSession, path: str) -> DataFrame:
     """Format dispatch mirroring OntologyLoader.loadModel:41-71 —
-    ``.ttl`` → Turtle, ``.nt`` → N-Triples, XML-flavored extensions
-    (.owl/.xml/.xrdf/.rdf — the reference's RDF/XML default) →
-    read_rdfxml; anything else N-Triples (this engine's native
-    serialization). Compression suffixes are transparent."""
+    ``.ttl`` → full Turtle (read_turtle; use read_turtle_lines directly
+    for huge splittable machine-generated files), ``.nt`` → N-Triples,
+    XML-flavored extensions (.owl/.xml/.xrdf/.rdf — the reference's
+    RDF/XML default) → read_rdfxml; anything else N-Triples (this
+    engine's native serialization). Compression suffixes are
+    transparent."""
     base = path
     for ext in (".gz", ".bz2"):
         if base.endswith(ext):
             base = base[: -len(ext)]
     if base.endswith(".ttl"):
-        return read_turtle_lines(spark, path)
+        return read_turtle(spark, path)
     if base.endswith((".owl", ".xml", ".xrdf", ".rdf")):
         return read_rdfxml(spark, path)
     return read_ntriples(spark, path)

@@ -217,21 +217,148 @@ def test_rdfxml_reader_subset(spark, tmp_path):
     assert all(r["src_url"].endswith("onto.owl.gz") for r in rows)
 
 
-def test_rdfxml_parsetype_is_honest(spark):
-    import pytest as _pytest
-
+def test_rdfxml_parsetype_resource_collection_literal():
+    """rdf:parseType coverage (round-3 VERDICT #2): Resource → nested
+    blank node, Collection → rdf:first/rest/nil chain, Literal → the
+    inner XML captured as one literal."""
     from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
         _parse_rdfxml_bytes,
     )
 
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
     doc = (
-        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
-        'xmlns:x="http://x/"><rdf:Description rdf:about="http://e/A">'
-        '<x:p rdf:parseType="Resource"><x:q>v</x:q></x:p>'
+        f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:x="http://x/">'
+        '<rdf:Description rdf:about="http://e/A">'
+        '<x:p rdf:parseType="Resource"><x:q>v</x:q>'
+        '<x:r rdf:resource="http://e/R"/></x:p>'
+        '<x:c rdf:parseType="Collection">'
+        '<rdf:Description rdf:about="http://e/i1"/>'
+        '<rdf:Description rdf:about="http://e/i2"/></x:c>'
+        '<x:l rdf:parseType="Literal">pre <x:em>mid</x:em> post</x:l>'
+        '<x:e rdf:parseType="Collection"/>'
         "</rdf:Description></rdf:RDF>"
     )
-    with _pytest.raises(NotImplementedError, match="parseType"):
-        _parse_rdfxml_bytes(doc.encode(), None)
+    rows = _parse_rdfxml_bytes(doc.encode(), "mem://pt.rdf")
+    by_pred = {}
+    for s, p, o, lang, lit, _src in rows:
+        by_pred.setdefault(p, []).append((s, o, lang, lit))
+
+    # Resource: A --x:p--> blank; blank has q (literal) and r (IRI)
+    (s, bn, _l, is_lit), = by_pred["http://x/p"]
+    assert s == "http://e/A" and bn.startswith("_:") and not is_lit
+    assert by_pred["http://x/q"] == [(bn, "v", None, True)]
+    assert by_pred["http://x/r"] == [(bn, "http://e/R", None, False)]
+
+    # Collection: chain of rdf:first/rest ending in nil, head on x:c
+    (_, head, _l2, _lit2), = by_pred["http://x/c"]
+    firsts = {s: o for s, o, _l3, _lit3 in by_pred[f"{RDF}first"]}
+    rests = {s: o for s, o, _l4, _lit4 in by_pred[f"{RDF}rest"]}
+    assert firsts[head] == "http://e/i1"
+    second = rests[head]
+    assert firsts[second] == "http://e/i2"
+    assert rests[second] == f"{RDF}nil"
+
+    # Literal: inner XML captured verbatim (local-name serialization +
+    # namespace redeclared as default — same infoset)
+    (_, xml_lit, _l5, lit5), = by_pred["http://x/l"]
+    assert lit5 and xml_lit == 'pre <em xmlns="http://x/">mid</em> post'
+
+    # empty Collection → rdf:nil directly
+    (_, nil_obj, _l6, _lit6), = by_pred["http://x/e"]
+    assert nil_obj == f"{RDF}nil"
+
+
+TTL_FULL = """@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+@prefix owl:  <http://www.w3.org/2002/07/owl#> .
+@prefix ex:   <http://full.org/> .
+
+# a realistic hand-authored SKOS release: ';'/',' continuations,
+# multi-line statements, bnodes, long strings, numeric shorthand
+ex:C01 a owl:Class , skos:Concept ;
+    skos:prefLabel "angine"@fr ,
+        "sore throat"@en ;
+    skos:altLabel "angina"@en ;
+    skos:notation "J02.9"^^ex:icd ;
+    skos:broader ex:C00 ;
+    skos:definition '''an
+inflammation'''@en ;
+    ex:rank 3 .
+
+ex:C00 a skos:Concept ; skos:prefLabel "maladie"@fr ;
+    skos:related [ a owl:Restriction ; owl:onProperty ex:site ] .
+"""
+
+
+def test_turtle_full_parser_multiline(spark, tmp_path):
+    """Full Turtle (round-3 VERDICT #2): ';'/',' continuations,
+    multi-line statements, datatyped + long literals, bnode property
+    lists — rows land in the TRIPLES schema."""
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        read_turtle,
+    )
+
+    p = tmp_path / "full.ttl"
+    p.write_text(TTL_FULL)
+    rows = read_turtle(spark, str(p)).collect()
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["obj_lang"], r["obj_is_literal"])
+        for r in rows
+    }
+    OWL = "http://www.w3.org/2002/07/owl#"
+    c1 = "http://full.org/C01"
+    assert (c1, RDF_TYPE, f"{OWL}Class", None, False) in got
+    assert (c1, RDF_TYPE, f"{SKOS}Concept", None, False) in got
+    assert (c1, f"{SKOS}prefLabel", "angine", "fr", True) in got
+    assert (c1, f"{SKOS}prefLabel", "sore throat", "en", True) in got
+    assert (c1, f"{SKOS}notation", "J02.9", None, True) in got
+    assert (c1, f"{SKOS}definition", "an\ninflammation", "en", True) in got
+    assert (c1, "http://full.org/rank", "3", None, True) in got
+    bnodes = {r["obj"] for r in rows if r["pred"] == f"{SKOS}related"}
+    assert len(bnodes) == 1 and next(iter(bnodes)).startswith("_:")
+    bn = next(iter(bnodes))
+    assert (bn, RDF_TYPE, f"{OWL}Restriction", None, False) in got
+    assert all(r["src_url"].endswith("full.ttl") for r in rows)
+
+
+def test_turtle_full_through_cascade(spark, tmp_path):
+    """The ';'-style TTL fixture loads via load_model and feeds the S2
+    named-class scan + label bridge — the 'unmodified third-party SKOS
+    file through the cascade' gate from the round-3 verdict."""
+    from sifr_project_java_ontology_processing_spark.operators.cascade import (
+        named_classes,
+    )
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        labels_from_triples,
+    )
+
+    p = tmp_path / "full.ttl"
+    p.write_text(TTL_FULL)
+    triples = load_model(spark, str(p))  # .ttl → full parser dispatch
+    classes = {r["concept_iri"] for r in named_classes(triples).collect()}
+    # C01 is owl:Class; owl classes exist, so the skos:Concept fallback
+    # does NOT fire (reference getClasses semantics) and C00 stays out
+    assert classes == {"http://full.org/C01"}
+    labels = labels_from_triples(triples)
+    got = {
+        (r["concept_iri"], r["label"], r["label_kind"], r["lang"])
+        for r in labels.collect()
+    }
+    assert ("http://full.org/C01", "angine", "pref", "fr") in got
+    assert ("http://full.org/C01", "angina", "alt", "en") in got
+    assert ("http://full.org/C01", "J02.9", "notation", "") in got
+
+
+def test_turtle_full_parser_errors_are_loud():
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        parse_turtle_text,
+    )
+
+    with pytest.raises(ValueError, match="undeclared prefix"):
+        parse_turtle_text('miss:a miss:b "x" .', "m")
+    with pytest.raises(ValueError, match="bad object"):
+        parse_turtle_text("@prefix ex: <http://e/> .\nex:a ex:b ", "m")
+    with pytest.raises(ValueError, match="unexpected char"):
+        parse_turtle_text("@prefix ex: <http://e/> .\nex:a ex:b ~ .", "m")
 
 
 def test_batch_clean_directory_driver(spark, tmp_path):
