@@ -2001,3 +2001,86 @@ def q_turtle_full_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obj_is_literal boolean, src_url string",
     )
     return out.select("subj", "pred", "obj", "obj_lang", "obj_is_literal")
+
+
+def _synth_media_blob(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic REAL container bytes per doc: even ids → an 8-bit
+    RGB PNG sized (1 + id%64, 1 + id%48); odd ids → a mono 16-bit
+    8 kHz WAV with 800 + (id%100)*80 frames. Stdlib-only, executor-side."""
+    import io
+    import struct
+    import wave
+    import zlib
+
+    if doc_id % 2 == 0:
+        w, h = 1 + doc_id % 64, 1 + doc_id % 48
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+        return "image", (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+    frames = 800 + (doc_id % 100) * 80
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(b"\x00\x00" * frames)
+    return "audio", buf.getvalue()
+
+
+@register(
+    "multimodal_real_decode",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 64 AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 48 AS INT) END AS height,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST((800 + (doc_id % 100) * 80) * 1000 // 8000 AS INT)
+           END AS duration_ms
+    FROM documents
+    """,
+)
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec-path gate (round-3 VERDICT #7): genuine PNG and WAV
+    container bytes are synthesized per document on the executors
+    (stdlib-only), then decoded by ``real_decoder`` — actual IHDR and
+    RIFF parsing, not the sha256 pseudo-decode. The oracle replays the
+    generating formulas, so a decoder regression (wrong endianness,
+    off-by-one in the marker walk, frames/rate math) hash-mismatches."""
+    import pandas as pd
+
+    from sifr_project_java_ontology_processing_spark.operators.multimodal import (
+        decode_media,
+        real_decoder,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _synth(it):
+        for pdf in it:
+            ids, types, blobs = [], [], []
+            for did in pdf["doc_id"]:
+                mtype, blob = _synth_media_blob(int(did))
+                ids.append(did)
+                types.append(mtype)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": types, "content": blobs}
+            )
+
+    media = docs.mapInPandas(
+        _synth, schema="media_id long, media_type string, content binary"
+    )
+    return decode_media(media, real_decoder).select(
+        "media_id", "media_type", "width", "height", "duration_ms"
+    )
