@@ -107,3 +107,99 @@ def test_no_doc_concept_product_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan, plan
+
+
+# --- link-quality harness (round-3 VERDICT #6) ---------------------------
+# A labeled golden set with the two failure modes the blend must cover:
+#   * AMBIGUOUS SURFACES ("bank"): both concepts carry the same label,
+#     so surface_sim ties at 1.0 and only context can disambiguate;
+#   * NEAR-IDENTICAL CONCEPTS (hypertension/hypotension): descriptions
+#     share almost all tokens, so context ties and only the surface
+#     term separates them.
+
+LQ_DESCS = [
+    ("http://c/riverbank", "river shore water sediment erosion flow channel"),
+    ("http://c/moneybank", "money deposit loan finance interest account branch"),
+    ("http://c/hypertension", "blood pressure disorder circulatory measurement"),
+    ("http://c/hypotension", "blood pressure disorder circulatory reading"),
+]
+LQ_LABELS = [
+    ("http://c/riverbank", "bank"),
+    ("http://c/moneybank", "bank"),
+    ("http://c/hypertension", "hypertension"),
+    ("http://c/hypotension", "hypotension"),
+]
+
+
+def _lq_fixture(spark):
+    pages, golden, cands = [], [], []
+    for i in range(8):
+        url = f"http://p/river{i}"
+        pages.append((url, f"the bank by the river carried water and sediment downstream {i}"))
+        golden.append((url, "bank", "http://c/riverbank"))
+        cands += [(url, "http://c/riverbank", "bank"), (url, "http://c/moneybank", "bank")]
+    for i in range(8):
+        url = f"http://p/money{i}"
+        pages.append((url, f"the bank approved the loan and the deposit earned interest {i}"))
+        golden.append((url, "bank", "http://c/moneybank"))
+        cands += [(url, "http://c/riverbank", "bank"), (url, "http://c/moneybank", "bank")]
+    for i in range(4):
+        url = f"http://p/ht{i}"
+        pages.append((url, f"patient diagnosed with hypertension blood pressure disorder {i}"))
+        golden.append((url, "hypertension", "http://c/hypertension"))
+        cands += [
+            (url, "http://c/hypertension", "hypertension"),
+            (url, "http://c/hypotension", "hypertension"),
+        ]
+    extracted = spark.createDataFrame(pages, "url string, extracted_text string")
+    golden_df = spark.createDataFrame(golden, "url string, surface string, concept_iri string")
+    mentions = spark.createDataFrame(cands, "url string, concept_iri string, surface string")
+    return extracted, golden_df, mentions
+
+
+def test_link_quality_gate(spark):
+    """score_mentions link accuracy on the labeled golden set must
+    clear the floor, and the 0.7/0.3 blend must be at least as good as
+    either feature alone (this is the gate that justifies the blend)."""
+    from sifr_project_java_ontology_processing_spark.operators.linkscore import (
+        evaluate_link_quality,
+        score_mentions,
+    )
+
+    extracted, golden, mentions = _lq_fixture(spark)
+    descs = spark.createDataFrame(LQ_DESCS, "concept_iri string, description string")
+    labels = spark.createDataFrame(LQ_LABELS, "concept_iri string, label string")
+    scored = score_mentions(extracted, mentions, descs, labels=labels).cache()
+
+    def _metrics(score_col):
+        r = evaluate_link_quality(scored, golden, score_col=score_col).collect()[0]
+        return r["precision"], r["recall"]
+
+    p_blend, r_blend = _metrics("link_score")
+    p_ctx, _ = _metrics("tfidf_cosine")
+    p_surf, _ = _metrics("surface_sim")
+
+    # stated floor: the blend must resolve BOTH failure modes
+    assert p_blend >= 0.95 and r_blend >= 0.95, (p_blend, r_blend)
+    # each single feature fails its blind spot...
+    assert p_surf < 0.95, f"surface-only unexpectedly resolves ambiguity: {p_surf}"
+    # ...and the blend dominates both
+    assert p_blend >= p_ctx and p_blend >= p_surf, (p_blend, p_ctx, p_surf)
+
+
+def test_link_quality_counts_missing_candidates_in_recall(spark):
+    from sifr_project_java_ontology_processing_spark.operators.linkscore import (
+        evaluate_link_quality,
+    )
+
+    scored = spark.createDataFrame(
+        [("u1", "s", "http://c/a", 0.9)],
+        "url string, surface string, concept_iri string, link_score double",
+    )
+    golden = spark.createDataFrame(
+        [("u1", "s", "http://c/a"), ("u2", "s", "http://c/b")],
+        "url string, surface string, concept_iri string",
+    )
+    r = evaluate_link_quality(scored, golden).collect()[0]
+    assert r["n_gold"] == 2 and r["n_pred"] == 1 and r["n_correct"] == 1
+    assert r["precision"] == 1.0 and r["recall"] == 0.5
