@@ -39,6 +39,8 @@ HEADLINE = [
     "events_hourly",
     "tfidf_link_score",     # round 2: north_star TF-IDF context scorer
     "corpus_curation",      # round 2: composed curation decision
+    "turtle_full_parse",    # round 3: full-Turtle render∘parse identity
+    "multimodal_real_decode",  # round 3: real PNG/WAV container decode
 ]
 
 

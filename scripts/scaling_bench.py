@@ -20,9 +20,12 @@ Jobs measured:
   * ``full_pipeline`` — whole KG pipeline incl. dimension-side
     cascade/CC stages (fixed cost, amortizes at scale).
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/BASELINE.md (default levels) or BENCH/SCALING_PAIRS.md
+(custom levels) and prints one JSON line.
 
-Usage: python scripts/scaling_bench.py [amplify] [sf_dir] [repeats]
+Usage: python scripts/scaling_bench.py [amplify] [sf_dir] [repeats] [levels]
+  levels: comma-separated core counts, default "2,8,32"; every (N, 4N)
+  pair present in the list is reported (e.g. "4,16" → the 4→16 pair).
 """
 
 from __future__ import annotations
@@ -118,7 +121,9 @@ def main() -> int:
     n_docs_base = 5000 if "sf0.1" in sf_dir else 500
     n_pages = n_docs_base * amplify
 
-    levels = [2, 8, 32]
+    levels = (
+        [int(x) for x in sys.argv[4].split(",")] if len(sys.argv) > 4 else [2, 8, 32]
+    )
     jobs = ["map_path", "full_pipeline"]
     best: dict[tuple[str, int], float] = {}
     loads: list[float] = []
@@ -143,17 +148,19 @@ def main() -> int:
             "efficiency": round((t_lo / t_hi) / (hi / lo), 3),
         }
 
+    pairs = [(lo, hi) for lo in levels for hi in levels if hi == 4 * lo]
     report = {
         "pages": n_pages,
         "amplify": amplify,
         "sf_dir": sf_dir,
         "repeats": repeats,
+        "levels": levels,
         "cotenant_load_1m_during_runs": loads,
-        "map_path_2_to_8": pair("map_path", 2, 8),
-        "map_path_8_to_32": pair("map_path", 8, 32),
-        "full_pipeline_2_to_8": pair("full_pipeline", 2, 8),
-        "full_pipeline_8_to_32": pair("full_pipeline", 8, 32),
+        "best_sec": {f"{job}@{cpus}": sec for (job, cpus), sec in best.items()},
     }
+    for job in jobs:
+        for lo, hi in pairs:
+            report[f"{job}_{lo}_to_{hi}"] = pair(job, lo, hi)
     print(json.dumps(report))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -161,6 +168,25 @@ def main() -> int:
         return (f"| {name} | local[{lo}]→local[{hi}] | {d[f'local[{lo}]_sec']} | "
                 f"{d[f'local[{hi}]_sec']} | {d[f'local[{lo}]_pages_per_sec']} | "
                 f"{d[f'local[{hi}]_pages_per_sec']} | {d['speedup']}× | **{d['efficiency']}** |")
+
+    if levels != [2, 8, 32]:
+        # custom-pair run: write a standalone report, leave the curated
+        # BENCH/BASELINE.md untouched (it is hand-annotated per round)
+        with open(os.path.join(REPO, "BENCH", "SCALING_PAIRS.md"), "w") as f:
+            f.write(
+                f"# Scaling pairs {levels} at {n_pages:,} pages "
+                f"({sf_dir}, best of {repeats}, loads {loads})\n\n"
+                "| job | pair (N→4N) | N sec | 4N sec | N pages/s | "
+                "4N pages/s | speedup | scaling efficiency |\n"
+                "|---|---|---|---|---|---|---|---|\n"
+                + "\n".join(
+                    row(job, report[f"{job}_{lo}_to_{hi}"], lo, hi)
+                    for job in jobs
+                    for lo, hi in pairs
+                )
+                + "\n"
+            )
+        return 0
 
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH/BASELINE — measured numbers (this engine)
