@@ -2084,3 +2084,70 @@ def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media, real_decoder).select(
         "media_id", "media_type", "width", "height", "duration_ms"
     )
+
+
+@register(
+    "rdfxml_full_parse",
+    """
+    SELECT 'http://ex/n/' || n_name AS subj, p.pred AS pred,
+           CASE p.pred
+             WHEN 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+               THEN 'http://www.w3.org/2002/07/owl#Class'
+             WHEN 'http://www.w3.org/2004/02/skos/core#prefLabel' THEN n_name
+             WHEN 'http://ex/p/region'
+               THEN 'http://ex/r/' || CAST(n_regionkey AS VARCHAR)
+             ELSE 'note <b>' || n_name || '</b> end'
+           END AS obj,
+           CASE p.pred
+             WHEN 'http://www.w3.org/2004/02/skos/core#prefLabel' THEN 'en'
+           END AS obj_lang,
+           p.pred NOT IN ('http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                          'http://ex/p/region') AS obj_is_literal
+    FROM nation
+    CROSS JOIN (VALUES
+      ('http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+      ('http://www.w3.org/2004/02/skos/core#prefLabel'),
+      ('http://ex/p/region'),
+      ('http://ex/p/note')) AS p(pred)
+    """,
+)
+def q_rdfxml_full_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF/XML reader gate (S12 tail): each nation row rendered as an
+    RDF/XML document — typed node element, xml:lang literal,
+    rdf:resource and a parseType="Literal" property with inner markup —
+    parsed back by the SAX reader inside mapInPandas (distributed, one
+    doc per row). The oracle is the original row set; a hash match
+    proves render∘parse identity incl. the XMLLiteral capture."""
+    import pandas as pd
+
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        _parse_rdfxml_bytes,
+    )
+
+    n = _t(spark, sf_dir, "nation").select("n_name", "n_regionkey")
+
+    def _render_parse(it):
+        cols = ["subj", "pred", "obj", "obj_lang", "obj_is_literal", "src_url"]
+        for pdf in it:
+            rows: list[tuple] = []
+            for name, rk in zip(pdf["n_name"], pdf["n_regionkey"]):
+                doc = (
+                    '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+                    ' xmlns:skos="http://www.w3.org/2004/02/skos/core#"'
+                    ' xmlns:owl="http://www.w3.org/2002/07/owl#"'
+                    ' xmlns:ex="http://ex/p/">'
+                    f'<owl:Class rdf:about="http://ex/n/{name}">'
+                    f'<skos:prefLabel xml:lang="en">{name}</skos:prefLabel>'
+                    f'<ex:region rdf:resource="http://ex/r/{rk}"/>'
+                    f'<ex:note rdf:parseType="Literal">note <b>{name}</b> end</ex:note>'
+                    "</owl:Class></rdf:RDF>"
+                )
+                rows.extend(_parse_rdfxml_bytes(doc.encode(), None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    out = n.mapInPandas(
+        _render_parse,
+        schema="subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean, src_url string",
+    )
+    return out.select("subj", "pred", "obj", "obj_lang", "obj_is_literal")
