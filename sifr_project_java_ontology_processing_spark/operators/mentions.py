@@ -30,6 +30,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _WORD_RX = re.compile(r"\S+")
 _EDGE_PUNCT_RX = re.compile(r"^[^\w]+|[^\w]+$")
@@ -267,6 +268,19 @@ def extract_and_detect(
     return src.mapInArrow(_batches, schema=out_schema)
 
 
+def _vocab_pruned_tokens(tokens: DataFrame, phrases: DataFrame) -> DataFrame:
+    """Prune the exploded token stream BEFORE any exchange: only
+    occurrences of the phrase VOCABULARY (first + continuation tokens —
+    continuations are needed for verification) can matter downstream.
+    The vocab is distinct-words-sized, so it broadcasts even when the
+    phrase dim itself cannot; the semi-join runs map-side, and the full
+    web-corpus token stream never hits a shuffle (plan-gated)."""
+    vocab = phrases.select(
+        F.explode(F.split("phrase_key", " ")).alias("tok")
+    ).distinct()
+    return tokens.join(F.broadcast(vocab), "tok", "semi")
+
+
 def detect_mentions_joined(
     spark: SparkSession,
     extracted: DataFrame,
@@ -292,11 +306,13 @@ def detect_mentions_joined(
       3. the token stream is PRUNED before any exchange with a
          broadcast semi-join against the distinct phrase VOCABULARY
          (every token of every phrase, not just firsts — continuation
-         tokens are needed for verification). The vocab is
-         distinct-words-sized (≪ the label dim, which carries IRIs and
-         full phrases), so it broadcasts even when the dim cannot;
-         tokens outside the vocab — the overwhelming majority of a web
-         corpus — never enter a shuffle;
+         tokens are needed for verification; ``_vocab_pruned_tokens``).
+         The vocab is distinct-words-sized (≪ the label dim, which
+         carries IRIs and full phrases), so it broadcasts even when
+         the dim cannot; tokens outside the vocab — the overwhelming
+         majority of a web corpus — never enter a shuffle. The pruned
+         stream is materialized ONCE (eager localCheckpoint) so its
+         two consumers cannot re-run the scan→tokenize pipeline;
       4. an equi-join on ``tok == first_token`` yields candidate starts
          (AQE skew-join splits hot first tokens);
       5. candidates AND kept tokens are packed into one array per url
@@ -415,15 +431,19 @@ def detect_mentions_joined(
     tokens = src.mapInPandas(
         _tokens, schema="url string, idx int, tok string, start int, end int"
     )
-    # pre-prune BEFORE any exchange: only occurrences of the phrase
-    # vocabulary (first + continuation tokens) may matter downstream.
-    # The vocab is distinct-words-sized, so it broadcasts even when the
-    # phrase dim itself cannot; the semi-join runs map-side and the
-    # full web-corpus token stream never hits a shuffle.
-    vocab = phrases.select(
-        F.explode(F.split("phrase_key", " ")).alias("tok")
-    ).distinct()
-    tokens_kept = tokens.join(F.broadcast(vocab), "tok", "semi")
+    pruned = _vocab_pruned_tokens(tokens, phrases)
+    # The pruned stream has TWO consumers (the candidates join and the
+    # per-url token pack). Without materialization each consumer
+    # re-runs the scan→tokenize→semi-join pipeline — including html
+    # extraction when the input is an unmaterialized DAG — because
+    # Spark's exchange reuse does not dedupe these subtrees (divergent
+    # column pruning defeats plan canonicalization; verified
+    # empirically). An EAGER localCheckpoint computes the pruned
+    # stream exactly once and truncates the lineage; both consumers
+    # then read the stored blocks. Storage cost is the
+    # vocabulary-occurrence fraction of the corpus token stream — the
+    # same cost class as the shuffle this operator already pays.
+    tokens_kept = pruned.localCheckpoint(eager=True)
     candidates = tokens_kept.join(
         phrases.withColumnRenamed("first_token", "tok"), "tok"
     ).select("url", "idx", "phrase_key", "n_tokens", "concept_iri", "label_kind")

@@ -48,12 +48,37 @@ def test_mention_detect_no_shuffle_before_result(spark):
 
 
 def test_mention_detect_joined_prunes_tokens_before_exchange(spark):
-    """The no-broadcast detector must semi-join the exploded token
+    """The no-broadcast detector must (a) semi-join the exploded token
     stream against the broadcast phrase vocabulary BEFORE any shuffle —
-    the full web-corpus token stream entering the exchange is the
-    operator's scale killer (round-3 VERDICT #4)."""
+    the full token stream entering an exchange is the operator's scale
+    killer (round-3 VERDICT #4) — and (b) materialize the pruned
+    stream ONCE: the final plan reads it from checkpointed blocks
+    (ExistingRDD) with no tokenize UDF left, so its two consumers
+    cannot silently re-run scan→tokenize."""
+    from pyspark.sql import functions as F
+
+    from sifr_project_java_ontology_processing_spark.operators.mentions import (
+        _vocab_pruned_tokens,
+    )
+
+    # (a) the prune itself is a map-side broadcast semi-join
+    toks = spark.createDataFrame(
+        [("u", 0, "aorta", 0, 5)], "url string, idx int, tok string, start int, end int"
+    )
+    phrases = spark.createDataFrame(
+        [("aortic valve", "aortic", 2, "c1", "pref")],
+        "phrase_key string, first_token string, n_tokens int, "
+        "concept_iri string, label_kind string",
+    )
+    pp = _plan(_vocab_pruned_tokens(toks, phrases))
+    assert "BroadcastHashJoin" in pp and "LeftSemi" in pp, pp
+    assert "Exchange hashpartitioning" not in pp.split("LeftSemi")[0], pp
+
+    # (b) the full operator's final plan reads the pruned stream from
+    # the checkpoint — the tokenize UDF ran exactly once, upstream
     plan = _plan(queries()["mention_detect_joined"](spark, SF))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "MapInPandas _tokens" not in plan, plan
 
 
 def test_aggregates_have_partial_phase(spark):
