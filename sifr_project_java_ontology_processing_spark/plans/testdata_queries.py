@@ -2151,3 +2151,76 @@ def q_rdfxml_full_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obj_is_literal boolean, src_url string",
     )
     return out.select("subj", "pred", "obj", "obj_lang", "obj_is_literal")
+
+
+@register(
+    "turtle_sink_roundtrip",
+    """
+    SELECT 'http://ex/n/' || n_name AS subj, p.pred AS pred,
+           CASE p.pred
+             WHEN 'http://ex/p/in_region' THEN 'http://ex/r/' || CAST(n_regionkey AS VARCHAR)
+             WHEN 'http://ex/p/label' THEN n_name
+             ELSE n_name || ' has "quotes" and \\ and ' || chr(9) || chr(10) || 'end'
+           END AS obj,
+           CASE p.pred WHEN 'http://ex/p/label' THEN 'en' END AS obj_lang,
+           p.pred <> 'http://ex/p/in_region' AS obj_is_literal
+    FROM nation
+    CROSS JOIN (VALUES ('http://ex/p/in_region'), ('http://ex/p/label'),
+                       ('http://ex/p/note')) AS p(pred)
+    """,
+)
+def q_turtle_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9 .ttl sink gate: the SAME triple set as ``rdf_roundtrip``
+    (escaping gauntlet included) serialized by ``to_turtle_lines`` with
+    prefix COMPACTION, then parsed back line-by-line by the full Turtle
+    parser on the executors. Oracle = the original set, shared with
+    rdf_roundtrip — a hash match proves ttl-format∘parse is the
+    identity including compaction/expansion symmetry."""
+    import pandas as pd
+
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        parse_turtle_text,
+    )
+    from sifr_project_java_ontology_processing_spark.sources.rdf_sink import (
+        to_turtle_lines,
+    )
+
+    prefixes = {"exp": "http://ex/p/", "exn": "http://ex/n/"}
+    header = "".join(f"@prefix {p}: <{ns}> .\n" for p, ns in prefixes.items())
+
+    n = _t(spark, sf_dir, "nation")
+    subj = F.concat(F.lit("http://ex/n/"), F.col("n_name"))
+
+    def leg(pred, obj, lang, lit):
+        return n.select(
+            subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj"),
+            lang.alias("obj_lang"), F.lit(lit).alias("obj_is_literal"),
+            F.lit(None).cast("string").alias("src_url"),
+        )
+
+    triples = (
+        leg("http://ex/p/in_region",
+            F.concat(F.lit("http://ex/r/"), F.col("n_regionkey").cast("string")),
+            F.lit(None).cast("string"), False)
+        .unionByName(leg("http://ex/p/label", F.col("n_name"), F.lit("en"), True))
+        .unionByName(leg(
+            "http://ex/p/note",
+            F.concat(F.col("n_name"), F.lit(' has "quotes" and \\ and \t\nend')),
+            F.lit(None).cast("string"), True))
+    )
+    lines = to_turtle_lines(triples, prefixes)
+
+    def _parse(it):
+        cols = ["subj", "pred", "obj", "obj_lang", "obj_is_literal", "src_url"]
+        for pdf in it:
+            rows: list[tuple] = []
+            for line in pdf["line"]:
+                rows.extend(parse_turtle_text(header + line, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    out = lines.mapInPandas(
+        _parse,
+        schema="subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean, src_url string",
+    )
+    return out.select("subj", "pred", "obj", "obj_lang", "obj_is_literal")

@@ -55,6 +55,89 @@ def write_ntriples(triples: DataFrame, path: str, single_file: bool = False) -> 
     lines.write.mode("overwrite").text(path)
 
 
+def to_turtle_lines(
+    triples: DataFrame, prefixes: dict[str, str] | None = None
+) -> DataFrame:
+    """TRIPLES → Turtle statement lines (column ``line``), with IRIs
+    compacted against ``prefixes`` ({prefix: namespace_iri}) — the
+    reference's mappings sink emits ``.ttl``
+    (mapping/DefaultOntologyMappingDelegate.java:135-142); this is the
+    distributed equivalent. One statement per line (the engine's own
+    ``read_turtle_lines`` subset, and valid input for any full Turtle
+    parser). The @prefix header lines are NOT included here — the
+    writer prepends them (they are driver-side constants).
+
+    Compaction rule: longest matching namespace wins; a local part must
+    be a simple PN_LOCAL ([A-Za-z0-9_][\\w.-]* not ending in '.') or
+    the IRI stays in ``<>`` form. Literal escaping is shared with the
+    N-Triples sink, so ttl∘parse round-trips byte-identically."""
+    prefixes = prefixes or {}
+
+    def compact(col) -> F.Column:
+        out = F.concat(F.lit("<"), col, F.lit(">"))
+        # longest namespace first so nested namespaces compact correctly
+        for p, ns in sorted(prefixes.items(), key=lambda kv: -len(kv[1])):
+            local = F.substring(col, len(ns) + 1, 1_000_000)
+            ok = col.startswith(ns) & local.rlike(
+                r"^[A-Za-z0-9_](?:[\w.-]*[\w-])?$"
+            )
+            out = F.when(ok, F.concat(F.lit(f"{p}:"), local)).otherwise(out)
+        return out
+
+    obj_lit = F.concat(F.lit('"'), _escape_literal(F.col("obj")), F.lit('"'))
+    obj_lang = F.concat(obj_lit, F.lit("@"), F.col("obj_lang"))
+    obj = (
+        F.when(~F.col("obj_is_literal"), compact(F.col("obj")))
+        .when(F.col("obj_lang").isNotNull() & (F.col("obj_lang") != ""), obj_lang)
+        .otherwise(obj_lit)
+    )
+    line = F.format_string(
+        "%s %s %s .",
+        compact(F.col("subj")),
+        compact(F.col("pred")),
+        obj,
+    )
+    return triples.select(line.alias("line"))
+
+
+DEFAULT_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+}
+
+
+def write_turtle(
+    triples: DataFrame,
+    path: str,
+    prefixes: dict[str, str] | None = None,
+    single_file: bool = False,
+) -> None:
+    """S8/S9 ``.ttl`` twin of ``write_ntriples``: every part-file is a
+    SELF-CONTAINED Turtle document — the @prefix header is prepended to
+    each partition (mapInPandas yields the header frame first), so a
+    single part parses through ``read_turtle`` and the whole directory
+    parses through ``read_turtle_lines`` (repeated identical @prefix
+    lines are idempotent). ``single_file`` coalesces to one part for
+    dimension-sized outputs."""
+    prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
+    header_lines = [f"@prefix {p}: <{ns}> ." for p, ns in sorted(prefixes.items())]
+    lines = to_turtle_lines(triples, prefixes)
+    if single_file:
+        lines = lines.coalesce(1)
+
+    def _with_header(it):
+        import pandas as pd
+
+        yield pd.DataFrame({"line": header_lines})
+        for pdf in it:
+            yield pdf
+
+    lines.mapInPandas(_with_header, schema="line string").write.mode(
+        "overwrite"
+    ).text(path)
+
+
 def write_reject_file(concept_iris: DataFrame, path: str) -> None:
     """S11 — concepts-without-CUI reject sink
     (OntologyCUIProcessor.java:94-98 writes under a lock; a distributed

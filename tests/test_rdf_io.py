@@ -449,3 +449,43 @@ def test_mappings_sink_roundtrip(spark, tmp_path):
         F.col("obj").alias("target_iri"),
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, mappings.collect()))
+
+
+def test_write_turtle_roundtrip_both_readers(spark, tmp_path):
+    """S8/S9 .ttl sink: write_turtle output parses back IDENTICALLY
+    through read_turtle_lines (whole directory) AND the full parser
+    (per part-file) — compaction, escaping and @lang all round-trip."""
+    from sifr_project_java_ontology_processing_spark.sources.rdf_sink import (
+        write_turtle,
+    )
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        read_turtle,
+        read_turtle_lines,
+    )
+
+    rows = [
+        ("http://e/C1", RDF_TYPE, f"{SKOS}Concept", None, False, None),
+        ("http://e/C1", f"{SKOS}prefLabel", "ang\"ine\tx", "fr", True, None),
+        ("http://e/C1", f"{SKOS}broader", "http://e/C0", None, False, None),
+        ("http://e/C1", "http://other/p", "plain", None, True, None),
+        # IRI with a local part that cannot compact (trailing dot)
+        ("http://e/C.", f"{SKOS}notation", "J02", None, True, None),
+    ]
+    triples = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean, src_url string",
+    )
+    out = str(tmp_path / "out.ttl")
+    write_turtle(triples, out, prefixes={"skos": SKOS, "e": "http://e/"})
+    want = {(r[0], r[1], r[2], r[3], r[4]) for r in rows}
+    got_lines = {
+        (r["subj"], r["pred"], r["obj"], r["obj_lang"], r["obj_is_literal"])
+        for r in read_turtle_lines(spark, out).collect()
+    }
+    assert got_lines == want
+    got_full = {
+        (r["subj"], r["pred"], r["obj"], r["obj_lang"], r["obj_is_literal"])
+        for r in read_turtle(spark, out).collect()
+    }
+    assert got_full == want
