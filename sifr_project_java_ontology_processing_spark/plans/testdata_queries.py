@@ -2224,3 +2224,86 @@ def q_turtle_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obj_is_literal boolean, src_url string",
     )
     return out.select("subj", "pred", "obj", "obj_lang", "obj_is_literal")
+
+
+@register(
+    "corpus_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE CASE lang
+      WHEN 'en' THEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '80000000'
+      WHEN 'fr' THEN substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) < '40000000'
+      WHEN 'de' THEN TRUE
+      ELSE FALSE END
+    """,
+)
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data mixing): keep
+    50% of en, 25% of fr, all of de, none of the rest — decided by
+    md5(id:seed) thresholds, NOT RNG, so reruns/retries/cluster-size
+    changes keep byte-identical samples. Map-only; the oracle replays
+    the exact hash decision per row."""
+    from sifr_project_java_ontology_processing_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, {"en": 0.5, "fr": 0.25, "de": 1.0}, stratum_col="lang", seed=42
+    )
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "corpus_upsample",
+    """
+    SELECT doc_id, CAST(t.copy AS INT) AS copy
+    FROM documents,
+         UNNEST(range(0, 2 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':43'),
+                                               1, 8) < '4ccccccc'
+                              THEN 1 ELSE 0 END)) AS t(copy)
+    """,
+)
+def q_corpus_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture upsampling at rate 2.3: every doc gets 2
+    copies, ~30% (hash-chosen, stable) get a third — reproducible
+    epochs for weighted data mixes. Map-only explode."""
+    from sifr_project_java_ontology_processing_spark.operators.sampling import (
+        upsample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return upsample(docs, 2.3, seed=43).select("doc_id", "copy")
+
+
+@register(
+    "sequence_pack",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(str_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tok,
+           (cum - n_tok) // 512 AS start_seq,
+           (cum - n_tok) % 512 AS start_offset,
+           greatest(cum - 1, cum - n_tok) // 512 AS end_seq
+    FROM c
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing plan at budget 512: the
+    global token cumsum runs as a two-phase distributed prefix sum
+    (range sort + per-partition offsets), NEVER a single-partition
+    global window; the oracle replays the same cumsum in SQL."""
+    from sifr_project_java_ontology_processing_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512)

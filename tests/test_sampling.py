@@ -1,0 +1,116 @@
+"""Deterministic sampling / mixing / packing (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from sifr_project_java_ontology_processing_spark.operators.sampling import (
+    hash_sample,
+    pack_sequences,
+    stratified_sample,
+    upsample,
+)
+
+
+def _docs(spark, n=400):
+    rows = [(i, ["en", "fr", "de", "zh"][i % 4], f"tok{i} " * (1 + i % 7)) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def _kept(doc_id: int, seed: int, frac: float) -> bool:
+    h = hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()[:8]
+    return h < format(int(frac * 16**8), "08x")
+
+
+def test_hash_sample_deterministic_and_exact(spark):
+    df = _docs(spark)
+    got = {r["doc_id"] for r in hash_sample(df, 0.5, seed=7).collect()}
+    want = {i for i in range(400) if _kept(i, 7, 0.5)}
+    assert got == want  # EXACT per-row decision, not approximate
+    # rerun + different partitioning → identical sample
+    again = {r["doc_id"] for r in hash_sample(df.repartition(13), 0.5, seed=7).collect()}
+    assert again == got
+    assert hash_sample(df, 1.0).count() == 400  # frac >= 1 keeps all
+
+
+def test_stratified_sample_per_stratum(spark):
+    df = _docs(spark)
+    out = stratified_sample(
+        df, {"en": 0.5, "fr": 1.0}, stratum_col="lang", seed=42, default_fraction=0.0
+    )
+    rows = out.collect()
+    langs = {r["lang"] for r in rows}
+    assert langs == {"en", "fr"}
+    assert sum(r["lang"] == "fr" for r in rows) == 100  # all fr kept
+    en_ids = {r["doc_id"] for r in rows if r["lang"] == "en"}
+    assert en_ids == {i for i in range(0, 400, 4) if _kept(i, 42, 0.5)}
+
+
+def test_upsample_copy_counts(spark):
+    df = _docs(spark, n=200)
+    out = upsample(df, 2.3, seed=43).collect()
+    by_id: dict[int, list[int]] = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], []).append(r["copy"])
+    for i in range(200):
+        expect = 3 if _kept(i, 43, 0.3 + 1e-12) else 2
+        # threshold arithmetic: frac=0.3 exactly as the operator computes
+        expect = 2 + (1 if _kept(i, 43, 2.3 - 2) else 0)
+        assert sorted(by_id[i]) == list(range(expect)), (i, by_id[i])
+    # rate < 1 degenerates to a sample with copy=0
+    small = upsample(df, 0.25, seed=43).collect()
+    assert all(r["copy"] == 0 for r in small)
+    assert {r["doc_id"] for r in small} == {i for i in range(200) if _kept(i, 43, 0.25)}
+
+
+def test_pack_sequences_matches_python_and_partitioning_invariant(spark):
+    df = _docs(spark, n=150)
+    budget = 17
+    got = {
+        r["doc_id"]: (r["n_tok"], r["start_seq"], r["start_offset"], r["end_seq"])
+        for r in pack_sequences(df, budget=budget).collect()
+    }
+    cum = 0
+    for i in range(150):
+        n = 1 + i % 7
+        start = cum
+        cum += n
+        want = (n, start // budget, start % budget, max(cum - 1, start) // budget)
+        assert got[i] == want, (i, got[i], want)
+    # the packing is a function of the ordered counts ONLY — any input
+    # partitioning yields the identical layout
+    got2 = {
+        r["doc_id"]: (r["n_tok"], r["start_seq"], r["start_offset"], r["end_seq"])
+        for r in pack_sequences(df.repartition(11), budget=budget).collect()
+    }
+    assert got2 == got
+
+
+def test_pack_sequences_empty_doc_and_doc_spanning_sequences(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, " ".join(["w"] * 40)), (4, "x")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["start_seq"], r["start_offset"], r["end_seq"])
+        for r in pack_sequences(df, budget=10).collect()
+    }
+    assert got[1] == (3, 0, 0, 0)
+    assert got[2] == (0, 0, 3, 0)          # empty doc: zero-width at its offset
+    assert got[3] == (40, 0, 3, 4)         # spans sequences 0..4
+    assert got[4] == (1, 4, 3, 4)
+
+
+def test_sampling_ops_are_map_only(spark):
+    """hash/stratified/upsample must add NO shuffle — pure codegen
+    expressions over the scan."""
+    df = _docs(spark)
+    for op in (
+        lambda d: hash_sample(d, 0.5),
+        lambda d: stratified_sample(d, {"en": 0.5}, "lang"),
+        lambda d: upsample(d, 2.3),
+    ):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
