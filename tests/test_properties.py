@@ -70,3 +70,98 @@ def test_scan_spans_slice_back_to_surface(words):
 def test_sparql_parse_never_raises(s):
     out = parse_sparql_results(s)
     assert isinstance(out, list)
+
+
+# --- full-Turtle parser properties (round 3) -----------------------------
+
+_LIT = st.text(max_size=60)
+_LANG = st.sampled_from([None, "en", "fr", "zh-Hans"])
+_LOCAL = st.from_regex(r"[A-Za-z0-9_][A-Za-z0-9_-]{0,12}", fullmatch=True)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(_LOCAL, _LOCAL, _LIT, _LANG), min_size=1, max_size=12))
+def test_turtle_serialize_parse_roundtrip(rows):
+    """NT-escape ∘ ttl-compact ∘ full-parse is the identity on
+    arbitrary literal content (quotes, backslashes, newlines, unicode —
+    whatever hypothesis throws)."""
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        parse_turtle_text,
+    )
+
+    def esc(s: str) -> str:
+        out = s.replace("\\", "\\\\").replace('"', '\\"')
+        return out.replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
+    header = "@prefix ex: <http://e/> .\n"
+    doc_lines, want = [], set()
+    for s_local, p_local, lit, lang in rows:
+        tag = f"@{lang}" if lang else ""
+        doc_lines.append(f'ex:{s_local} ex:{p_local} "{esc(lit)}"{tag} .')
+        want.add((f"http://e/{s_local}", f"http://e/{p_local}", lit, lang, True))
+    got = {
+        (s, p, o, lg, il)
+        for s, p, o, lg, il, _src in parse_turtle_text(header + "\n".join(doc_lines), None)
+    }
+    assert got == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=300))
+def test_turtle_parser_never_hangs_or_segfaults(s):
+    """Arbitrary garbage either parses or raises ValueError /
+    NotImplementedError — never an unbounded loop or a non-ValueError
+    crash (the strict-ingestion contract)."""
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        parse_turtle_text,
+    )
+
+    try:
+        parse_turtle_text(s, "fuzz")
+    except ValueError:
+        pass
+
+
+# XML 1.0 cannot carry most control chars even escaped; the reader's
+# contract starts at well-formed documents. Whitespace-only content
+# strips to '' by design (XML pretty-printing), asserted via .strip().
+_XML_LIT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cc", "Cs"), min_codepoint=0x20),
+    max_size=60,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_LOCAL, st.sampled_from(["pref", "alt"]), _XML_LIT, _LANG),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_rdfxml_parse_roundtrip_literals(rows):
+    """XML-escape ∘ SAX-parse is the identity (modulo the documented
+    whitespace strip) on arbitrary literal property values (incl.
+    xml:lang inheritance)."""
+    from xml.sax.saxutils import escape
+
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        _parse_rdfxml_bytes,
+    )
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    body, want = [], []
+    for i, (local, _kind, lit, lang) in enumerate(rows):
+        lang_attr = f' xml:lang="{lang}"' if lang else ""
+        body.append(
+            f'<rdf:Description rdf:about="http://e/{local}{i}">'
+            f"<x:p{lang_attr}>{escape(lit)}</x:p></rdf:Description>"
+        )
+        want.append((f"http://e/{local}{i}", "http://x/p", lit.strip(), lang, True))
+    doc = (
+        f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:x="http://x/">'
+        + "".join(body)
+        + "</rdf:RDF>"
+    )
+    got = [(s, p, o, lg, il) for s, p, o, lg, il, _src in _parse_rdfxml_bytes(doc.encode(), None)]
+    assert got == want
