@@ -82,11 +82,20 @@ def tfidf_vectors(
         .join(idf_side, "token")
         .select(F.col(id_col), "token", (F.col("tf") * F.col("idf")).alias("w_raw"))
     )
-    norms = weighted.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("norm")
-    )
-    return weighted.join(norms, id_col).select(
-        F.col(id_col), "token", (F.col("w_raw") / F.col("norm")).alias("w")
+    # L2 norm via a window over id — NOT a groupBy + self-join: Spark
+    # does not dedupe the two references to `weighted`, so the join
+    # shape re-ran the whole tokenize→idf-join pipeline a second time
+    # (visible as doubled scans in the executed plan). One id-keyed
+    # window = one exchange, zero recompute; per-id row counts are
+    # bounded by distinct tokens per document, so no skew risk.
+    w_id = Window.partitionBy(id_col)
+    return weighted.select(
+        F.col(id_col),
+        "token",
+        (
+            F.col("w_raw")
+            / F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw")).over(w_id))
+        ).alias("w"),
     )
 
 
