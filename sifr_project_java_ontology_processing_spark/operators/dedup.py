@@ -146,6 +146,13 @@ def jaccard_verify(
 
     → (doc_a, doc_b, jaccard) for candidate pairs with jaccard ≥
     threshold."""
+    # candidates is referenced three times below (two cand_ids legs +
+    # the verify join); when it arrives as an unmaterialized LSH plan,
+    # each reference re-runs signature generation AND the band
+    # self-join. Candidate pairs are the SMALL intermediate by this
+    # operator's construction (bounded by near-dup density), so one
+    # eager materialization is strictly cheaper than three recomputes.
+    candidates = candidates.localCheckpoint(eager=True)
     # only docs that appear in a candidate pair need their shingle
     # arrays built — at scale candidates are sparse vs the corpus
     cand_ids = (
@@ -244,8 +251,14 @@ def minhash_lsh_pairs(
     are the (band, bucket) equi-join and the final distinct — never an
     all-pairs product."""
     r = k // bands
+    # the banded stream is self-joined (a/b sides below): without
+    # materialization each side re-runs the whole shingle→k×md5→min
+    # signature pipeline (Spark does not dedupe the duplicated
+    # subtree — same finding as the joined mention detector). The
+    # stream is ~bands rows/doc of (id, int, hash) — shuffle-file cost
+    # class — and checkpointing it once halves signature compute.
     sig = minhash_signatures(docs, id_col, text_col, n, k)
-    band_df = _banded_buckets(sig, id_col, bands, r)
+    band_df = _banded_buckets(sig, id_col, bands, r).localCheckpoint(eager=True)
     a = band_df.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b = band_df.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (
