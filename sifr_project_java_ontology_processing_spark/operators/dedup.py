@@ -103,13 +103,18 @@ def ngram_jaccard_pairs(
     capped self-join is too hot, use
     ``jaccard_verify(docs, minhash_lsh_pairs(docs))`` instead.
     """
-    sh = _jaccard_filtered_shingles(docs, id_col, text_col, n, max_shingle_df)
+    # the capped shingle stream feeds FOUR references below (sizes +
+    # both self-join sides, and the cap's anti-join already consumed
+    # the raw stream twice upstream); one eager materialization stops
+    # the explode+cap pipeline re-running per reference (round-3
+    # finding, same as the LSH verify path). Post-cap the stream's
+    # fan-out is bounded, so the checkpoint is shuffle-file-sized.
+    sh = _jaccard_filtered_shingles(
+        docs, id_col, text_col, n, max_shingle_df
+    ).localCheckpoint(eager=True)
     # sizes aggregates map-side (partial agg: the shuffle carries ~one
-    # row per doc per partition), so recomputing the shingle stream for
-    # it is cheaper than routing it through the shingle-keyed exchange.
-    # The explicit repartition on the join key keeps the self-join
-    # shuffle single (A/B-measured vs sizes-from-the-exchange: equal
-    # wall time, strictly fewer shuffled bytes this way).
+    # row per doc per partition). The explicit repartition on the join
+    # key keeps the self-join shuffle single.
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     shp = sh.repartition("shingle")
     a = shp.select(F.col(id_col).alias("doc_a"), "shingle")
