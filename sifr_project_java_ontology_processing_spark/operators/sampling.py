@@ -107,6 +107,42 @@ def upsample(
     )
 
 
+def mix_corpora(
+    docs: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 43,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Weighted data mixture in ONE pass: each source stratum is
+    up/down-sampled to its target rate (⌊rate⌋ copies + a deterministic
+    hash-chosen extra for the fractional part — the same rule as
+    ``upsample``, resolved per row by a when-chain instead of N
+    unioned frames, so one scan covers every source). Adds ``copy``.
+
+    The naive shape — filter per source, upsample each, union —
+    re-scans the corpus once per source and unions S plans; this is a
+    single map-only expression whatever |rates| is."""
+    whole = F.lit(int(default_rate))
+    thr = F.lit(_threshold_hex(default_rate - int(default_rate)))
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(source_col) == stratum
+        whole = F.when(cond, F.lit(int(rate))).otherwise(whole)
+        thr = F.when(
+            cond, F.lit(_threshold_hex(rate - int(rate)))
+        ).otherwise(thr)
+    extra = (_hash_prefix(F.col(id_col), seed) < thr).cast("int")
+    return (
+        docs.select("*", (whole + extra).alias("_n"))
+        .where(F.col("_n") > 0)
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("copy")
+        )
+        .drop("_n")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

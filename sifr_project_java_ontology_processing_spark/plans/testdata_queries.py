@@ -2307,3 +2307,32 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return pack_sequences(docs, budget=512)
+
+
+@register(
+    "corpus_mix",
+    """
+    SELECT doc_id, source, CAST(t.copy AS INT) AS copy
+    FROM documents,
+         UNNEST(range(0,
+           (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END)
+           + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':43'), 1, 8) <
+                       (CASE source WHEN 'src0' THEN '80000000'
+                                    WHEN 'src1' THEN '40000000'
+                                    ELSE '00000000' END)
+                  THEN 1 ELSE 0 END)) AS t(copy)
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture in one pass: src0 at rate 2.5 (2 copies + a
+    deterministic half get a third), src1 at 0.25 (hash-kept quarter),
+    everything else at 1.0 — a when-chain per row, never one
+    scan-per-source union. The oracle replays the copy-count
+    arithmetic exactly."""
+    from sifr_project_java_ontology_processing_spark.operators.sampling import (
+        mix_corpora,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_corpora(docs, {"src0": 2.5, "src1": 0.25}, seed=43)
+    return out.select("doc_id", "source", "copy")

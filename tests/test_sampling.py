@@ -114,3 +114,28 @@ def test_sampling_ops_are_map_only(spark):
     ):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_mix_corpora_single_pass(spark):
+    from sifr_project_java_ontology_processing_spark.operators.sampling import (
+        mix_corpora,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_corpora(df, {"a": 2.5, "b": 0.25}, seed=43)
+    by_id: dict[int, int] = {}
+    for r in out.collect():
+        by_id[r["doc_id"]] = by_id.get(r["doc_id"], 0) + 1
+    for i, src in rows:
+        if src == "a":
+            want = 2 + (1 if _kept(i, 43, 0.5) else 0)
+        elif src == "b":
+            want = 1 if _kept(i, 43, 0.25) else 0
+        else:
+            want = 1
+        assert by_id.get(i, 0) == want, (i, src, by_id.get(i, 0), want)
+    # single pass: one scan, no union, no shuffle
+    plan = mix_corpora(df, {"a": 2.5, "b": 0.25})._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "Exchange" not in plan and plan.count("Scan") <= 1, plan
