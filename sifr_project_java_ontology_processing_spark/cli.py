@@ -216,6 +216,52 @@ def cmd_kg(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    """Training-data curation over a parquet corpus: composed keep/drop
+    decision (exact-dup > contaminated > quality > lang), optional
+    deterministic per-source mixture of the kept docs. The corpus-side
+    completeness piece of the north_star: the same engine that builds
+    the KG prepares its own training corpus, launched the same way
+    (spark-submit --py-files)."""
+    from sifr_project_java_ontology_processing_spark.operators.curation import (
+        curate_corpus,
+    )
+    from sifr_project_java_ontology_processing_spark.operators.sampling import (
+        mix_corpora,
+    )
+
+    spark = _spark("sifr-curate")
+    docs = spark.read.parquet(args.docs)
+    benchmark = (
+        spark.read.parquet(args.benchmark)
+        if args.benchmark
+        else docs.limit(0)
+    )
+    decisions = curate_corpus(
+        docs,
+        benchmark,
+        min_tokens=args.min_tokens,
+        allowed_langs=tuple(args.langs.split(",")),
+    )
+    decisions.write.mode("overwrite").parquet(f"{args.out}/decisions")
+    kept = docs.join(
+        decisions.where("is_kept").select("doc_id"), "doc_id", "left_semi"
+    )
+    if args.mix:
+        rates = {}
+        for part in args.mix.split(","):
+            src, _, rate = part.partition("=")
+            rates[src] = float(rate)
+        kept = mix_corpora(kept, rates)
+    kept.write.mode("overwrite").parquet(f"{args.out}/kept")
+    # one tiny reason-count frame: the per-run lineage metric
+    decisions.groupBy("drop_reason").count().write.mode("overwrite").parquet(
+        f"{args.out}/reason_counts"
+    )
+    print(f"curated corpus written to {args.out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sifr-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -273,6 +319,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="inverted-index join mention detection (label dim "
                         "too large to broadcast)")
     k.set_defaults(fn=cmd_kg)
+
+    cu = sub.add_parser("curate", help="corpus curation + optional mixture")
+    cu.add_argument("--docs", required=True, help="parquet corpus (doc_id, text, lang, source)")
+    cu.add_argument("--benchmark", default=None,
+                    help="parquet benchmark/test set for decontamination")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--min-tokens", dest="min_tokens", type=int, default=20)
+    cu.add_argument("--langs", default="en", help="comma-separated kept languages")
+    cu.add_argument("--mix", default=None,
+                    help="per-source rates, e.g. 'web=1.0,books=2.5,code=0.5'")
+    cu.set_defaults(fn=cmd_curate)
     return p
 
 

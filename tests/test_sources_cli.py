@@ -161,3 +161,34 @@ def test_partitioned_graph_sink(spark, tmp_path):
     assert back.count() == 1
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(pred_kind" in plan, plan
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    """`curate` subcommand: decisions + kept (mixed) + reason counts,
+    from parquet in to parquet out — the spark-submit-able curation
+    entry (round-3 addition)."""
+    from sifr_project_java_ontology_processing_spark.cli import main
+
+    out = str(tmp_path / "curated")
+    sf = "/root/testdata/sf0.001"
+    assert main([
+        "curate", "--docs", f"{sf}/documents.parquet", "--out", out,
+        "--langs", "en,fr", "--min-tokens", "5", "--mix", "src0=2.0",
+    ]) == 0
+    dec = spark.read.parquet(f"{out}/decisions")
+    kept = spark.read.parquet(f"{out}/kept")
+    reasons = {r["drop_reason"]: r["count"]
+               for r in spark.read.parquet(f"{out}/reason_counts").collect()}
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert dec.count() == n_docs
+    assert set(reasons) <= {"", "exact_dup", "contaminated", "quality", "lang"}
+    # kept ⊆ decisions.is_kept, with src0 docs doubled by the mixture
+    kept_ids = dec.where("is_kept")
+    n_src0 = kept.where("source = 'src0'").count()
+    base_src0 = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .join(kept_ids.select("doc_id"), "doc_id", "left_semi")
+        .where("source = 'src0'").count()
+    )
+    assert n_src0 == 2 * base_src0
+    assert kept.where("copy = 1").count() > 0
