@@ -54,7 +54,7 @@ def _work(args):
 
 if __name__ == "__main__":
     chunks = []
-    per = N_PAGES // (N_PROCS * 4)  # 4 waves per proc
+    per = max(1, N_PAGES // (N_PROCS * 4))  # 4 waves per proc; >=1 so tiny inputs terminate
     lo = 0
     while lo < N_PAGES:
         hi = min(lo + per, N_PAGES)

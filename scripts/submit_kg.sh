@@ -13,7 +13,10 @@ TMPDIR_PKG="$(mktemp -d /tmp/sifr_spark_XXXXXX)"
 ZIP="$TMPDIR_PKG/pkg.zip"
 trap 'rm -rf "$TMPDIR_PKG"' EXIT
 (cd "$REPO" && zip -qr "$ZIP" sifr_project_java_ontology_processing_spark -x '*/__pycache__/*')
-exec spark-submit \
+# NOT exec: the EXIT trap must fire after spark-submit returns, or the
+# temp package dir leaks on every invocation
+spark-submit \
   --master "${SPARK_MASTER:-local[${SPARK_GRAFT_CPUS:-8}]}" \
   --py-files "$ZIP" \
   "$REPO/scripts/submit_kg_driver.py" "$@"
+exit $?

@@ -237,13 +237,16 @@ def cmd_curate(args: argparse.Namespace) -> int:
         if args.benchmark
         else docs.limit(0)
     )
-    decisions = curate_corpus(
+    curate_corpus(
         docs,
         benchmark,
         min_tokens=args.min_tokens,
         allowed_langs=tuple(args.langs.split(",")),
-    )
-    decisions.write.mode("overwrite").parquet(f"{args.out}/decisions")
+    ).write.mode("overwrite").parquet(f"{args.out}/decisions")
+    # downstream passes read the COMMITTED decisions back (a cheap
+    # parquet scan) — referencing the lazy plan would re-run the whole
+    # curation pipeline once per consumer (round-3 review finding)
+    decisions = spark.read.parquet(f"{args.out}/decisions")
     kept = docs.join(
         decisions.where("is_kept").select("doc_id"), "doc_id", "left_semi"
     )

@@ -32,6 +32,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sifr_project_java_ontology_processing_spark.operators.materialize import (
+    materialize_once,
+)
+
 
 def tokens(text_col) -> Column:
     return F.filter(F.split(text_col, " "), lambda x: x != "")
@@ -111,7 +115,8 @@ def ngram_jaccard_pairs(
     # fan-out is bounded, so the checkpoint is shuffle-file-sized.
     sh = _jaccard_filtered_shingles(
         docs, id_col, text_col, n, max_shingle_df
-    ).localCheckpoint(eager=True)
+    )
+    sh = materialize_once(sh)
     # sizes aggregates map-side (partial agg: the shuffle carries ~one
     # row per doc per partition). The explicit repartition on the join
     # key keeps the self-join shuffle single.
@@ -157,7 +162,7 @@ def jaccard_verify(
     # self-join. Candidate pairs are the SMALL intermediate by this
     # operator's construction (bounded by near-dup density), so one
     # eager materialization is strictly cheaper than three recomputes.
-    candidates = candidates.localCheckpoint(eager=True)
+    candidates = materialize_once(candidates)
     # only docs that appear in a candidate pair need their shingle
     # arrays built — at scale candidates are sparse vs the corpus
     cand_ids = (
@@ -263,7 +268,7 @@ def minhash_lsh_pairs(
     # stream is ~bands rows/doc of (id, int, hash) — shuffle-file cost
     # class — and checkpointing it once halves signature compute.
     sig = minhash_signatures(docs, id_col, text_col, n, k)
-    band_df = _banded_buckets(sig, id_col, bands, r).localCheckpoint(eager=True)
+    band_df = materialize_once(_banded_buckets(sig, id_col, bands, r))
     a = band_df.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b = band_df.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     return (

@@ -260,7 +260,13 @@ def evaluate_link_quality(
     return joined.agg(
         F.count(F.lit(1)).alias("n_gold"),
         F.count("pred_iri").alias("n_pred"),
-        F.sum((F.col("pred_iri") == F.col("gold_iri")).cast("int")).alias("n_correct"),
+        # coalesce: with ZERO predictions the sum is over all-NULLs and
+        # would return NULL — the no-candidates regression this harness
+        # gates must read as 0 correct, not as a None that breaks the
+        # pytest comparison
+        F.coalesce(
+            F.sum((F.col("pred_iri") == F.col("gold_iri")).cast("int")), F.lit(0)
+        ).alias("n_correct"),
     ).select(
         "n_gold",
         "n_pred",

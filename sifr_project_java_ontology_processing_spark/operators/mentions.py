@@ -443,7 +443,11 @@ def detect_mentions_joined(
     # then read the stored blocks. Storage cost is the
     # vocabulary-occurrence fraction of the corpus token stream — the
     # same cost class as the shuffle this operator already pays.
-    tokens_kept = pruned.localCheckpoint(eager=True)
+    from sifr_project_java_ontology_processing_spark.operators.materialize import (
+        materialize_once,
+    )
+
+    tokens_kept = materialize_once(pruned)
     candidates = tokens_kept.join(
         phrases.withColumnRenamed("first_token", "tok"), "tok"
     ).select("url", "idx", "phrase_key", "n_tokens", "concept_iri", "label_kind")

@@ -63,15 +63,21 @@ def unimplemented_decoder(content: bytes | None, media_type: str) -> dict:
 
 
 def _pil_image_dims(data: bytes) -> tuple[int, int] | None:
-    """Pillow path (any format PIL reads); None when PIL is absent."""
+    """Pillow path (any format PIL reads); None when PIL is absent OR
+    cannot read the blob — decode failure must fall through to the
+    stdlib header parse and ultimately to real_decoder's documented
+    ValueError, never leak a PIL exception type into the task."""
     try:
         import io
 
         from PIL import Image
     except ImportError:
         return None
-    with Image.open(io.BytesIO(data)) as im:
-        return im.size  # (width, height)
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            return im.size  # (width, height)
+    except Exception:
+        return None
 
 
 def image_dims(data: bytes) -> tuple[int, int] | None:

@@ -173,21 +173,29 @@ def pack_sequences(
     The cut points are a pure function of the ordered token counts, so
     the packing is exactly reproducible and boundary-independent (and
     SQL-replayable — ``sequence_pack`` oracle)."""
-    n_tok = (
+    # NULL text would yield F.size(NULL) = -1 and silently shift every
+    # later document's offsets through the cumsum — clamp to 0 tokens
+    # (and clamp a provided count column the same way)
+    raw_tok = (
         F.col(n_tokens_col)
         if n_tokens_col
         else F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
     )
+    n_tok = F.greatest(F.coalesce(raw_tok, F.lit(0)), F.lit(0))
     src = (
         docs.select(F.col(id_col), n_tok.alias("n_tok"))
         .repartitionByRange(id_col)
         .sortWithinPartitions(id_col)
         .withColumn("_pid", F.spark_partition_id())
-        # the partition layout must be FROZEN across the two passes
-        # (totals + final): lineage recomputation may re-sample range
-        # boundaries, silently corrupting offsets
-        .localCheckpoint(eager=True)
     )
+    # the partition layout must be FROZEN across the two passes
+    # (totals + final): lineage recomputation may re-sample range
+    # boundaries, silently corrupting offsets
+    from sifr_project_java_ontology_processing_spark.operators.materialize import (
+        materialize_once,
+    )
+
+    src = materialize_once(src)
     totals = src.groupBy("_pid").agg(F.sum("n_tok").alias("_t")).collect()
     running, offsets = 0, {}
     for row in sorted(totals, key=lambda r: r["_pid"]):

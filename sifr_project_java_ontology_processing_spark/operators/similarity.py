@@ -80,6 +80,12 @@ def brute_force_topk(
     asserts the corpus is dimension-sized), ``'sharded'`` (uses
     ``num_shards``, default 8), or ``'auto'`` (runs the count unless
     ``num_shards`` is given). Registry/bench calls pin the mode."""
+    if mode not in ("auto", "broadcast", "sharded"):
+        raise ValueError(
+            f"unknown mode {mode!r}: expected 'auto' | 'broadcast' | 'sharded' "
+            "(a typo silently falling through to auto would run the sizing "
+            "count the explicit mode exists to avoid)"
+        )
     if mode == "broadcast":
         return _broadcast_topk(corpus, queries, k, id_col, vec_col, query_id_col)
     if mode == "sharded":
@@ -409,6 +415,10 @@ def neardup_pairs(
     ``mode`` pins the path (``'broadcast'`` | ``'blocked'`` | ``'auto'``)
     so the plan is deterministic and the pre-job sizing ``count()``
     disappears; explicit ``num_blocks`` also skips the count."""
+    if mode not in ("auto", "broadcast", "blocked"):
+        raise ValueError(
+            f"unknown mode {mode!r}: expected 'auto' | 'broadcast' | 'blocked'"
+        )
     if mode == "broadcast":
         return _broadcast_neardup(corpus, threshold, id_col, vec_col)
     if mode == "blocked":

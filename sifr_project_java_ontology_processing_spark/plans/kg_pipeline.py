@@ -494,7 +494,15 @@ def run_kg_pipeline_incremental(
                 "prev mentions would be stale; rerun full, or pass "
                 "allow_label_drift=True to accept mixed-dim mentions"
             )
-    # (run_kg_pipeline commits this run's labels_sig via its own stage().)
+    # Commit this run's signature BEFORE extracted/mentions: if the
+    # driver dies after those commit but before run_kg_pipeline's own
+    # labels_sig stage, a later incremental run from THIS run would
+    # find no signature and silently skip the drift guard (round-3
+    # review finding). materialize is compute-if-absent, so a retry
+    # with the same run_id keeps the first committed signature — which
+    # is exactly the dim its committed mentions were built with.
+    if not cur.exists("labels_sig"):
+        cur.materialize("labels_sig", lambda: sig_now)
 
     prev_extracted = prev.materialize("extracted", None)
     prev_mentions = prev.materialize("mentions", None)

@@ -75,8 +75,12 @@ def to_turtle_lines(
 
     def compact(col) -> F.Column:
         out = F.concat(F.lit("<"), col, F.lit(">"))
-        # longest namespace first so nested namespaces compact correctly
-        for p, ns in sorted(prefixes.items(), key=lambda kv: -len(kv[1])):
+        # SHORTEST namespace first: each F.when wraps the previous, so
+        # the LAST-added (longest) branch is checked first — which is
+        # what makes the longest matching namespace win for nested
+        # namespaces (round-3 review: longest-first iteration inverted
+        # the precedence)
+        for p, ns in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
             local = F.substring(col, len(ns) + 1, 1_000_000)
             ok = col.startswith(ns) & local.rlike(
                 r"^[A-Za-z0-9_](?:[\w.-]*[\w-])?$"

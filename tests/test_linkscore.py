@@ -203,3 +203,20 @@ def test_link_quality_counts_missing_candidates_in_recall(spark):
     r = evaluate_link_quality(scored, golden).collect()[0]
     assert r["n_gold"] == 2 and r["n_pred"] == 1 and r["n_correct"] == 1
     assert r["precision"] == 1.0 and r["recall"] == 0.5
+
+
+def test_link_quality_zero_predictions_reads_zero(spark):
+    """With NO scored candidates at all (the no-candidates regression
+    this harness gates) the metrics must be 0, never NULL."""
+    from sifr_project_java_ontology_processing_spark.operators.linkscore import (
+        evaluate_link_quality,
+    )
+
+    scored = spark.createDataFrame(
+        [], "url string, surface string, concept_iri string, link_score double"
+    )
+    golden = spark.createDataFrame(
+        [("u1", "s", "http://c/a")], "url string, surface string, concept_iri string"
+    )
+    r = evaluate_link_quality(scored, golden).collect()[0]
+    assert (r["n_correct"], r["precision"], r["recall"]) == (0, 0.0, 0.0)

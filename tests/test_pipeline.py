@@ -331,3 +331,38 @@ def test_pipeline_incremental_drift_guard_on_retry(spark, kg_fixture, kg_tables,
             store_root=root, run_id="rB", prev_run_id="rA",
             disambiguate_cuis=False,
         )
+
+
+def test_incremental_commits_sig_before_snapshots(spark, kg_fixture, kg_tables,
+                                                  tmp_path, monkeypatch):
+    """Crash-window regression (round-3 review): if the driver dies
+    after the incremental run materializes extracted/mentions but
+    before the pipeline's own labels_sig stage, the run must ALREADY
+    have its signature committed — otherwise a later incremental run
+    from it silently skips the drift guard."""
+    import pytest
+    from sifr_project_java_ontology_processing_spark.plans import kg_pipeline as kp
+    from sifr_project_java_ontology_processing_spark.sources.stage_store import (
+        StageStore,
+    )
+
+    root = str(tmp_path / "stages")
+    _run(spark, kg_fixture, kg_tables, store=StageStore(spark, root, "rA"),
+         run_id="rA")
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated driver death after snapshot commits")
+
+    monkeypatch.setattr(kp, "run_kg_pipeline", _boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        kp.run_kg_pipeline_incremental(
+            spark, kg_tables["pages"], kg_tables["ontology_labels"],
+            kg_tables["mappings"], kg_tables["umls_concepts"],
+            kg_tables["umls_semtypes"],
+            store_root=root, run_id="rB", prev_run_id="rA",
+            disambiguate_cuis=False,
+        )
+    crashed = StageStore(spark, root, "rB")
+    assert crashed.exists("labels_sig"), (
+        "labels_sig must commit before extracted/mentions"
+    )

@@ -489,3 +489,22 @@ def test_write_turtle_roundtrip_both_readers(spark, tmp_path):
         for r in read_turtle(spark, out).collect()
     }
     assert got_full == want
+
+
+def test_turtle_compaction_longest_namespace_wins(spark, tmp_path):
+    """Nested namespaces: the longest matching prefix must win
+    (round-3 review: the when-chain order inverted the precedence)."""
+    from sifr_project_java_ontology_processing_spark.sources.rdf_sink import (
+        to_turtle_lines,
+    )
+
+    triples = spark.createDataFrame(
+        [("http://ex/abcd", "http://ex/abc/p", "http://other/x", None, False, None)],
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean, src_url string",
+    )
+    line = to_turtle_lines(
+        triples, {"short": "http://ex/ab", "long": "http://ex/abc/"}
+    ).collect()[0]["line"]
+    # subj matches only the short ns; pred matches both → long must win
+    assert line == "short:cd long:p <http://other/x> ."

@@ -139,3 +139,18 @@ def test_mix_corpora_single_pass(spark):
     plan = mix_corpora(df, {"a": 2.5, "b": 0.25})._jdf.queryExecution()\
         .executedPlan().toString()
     assert "Exchange" not in plan and plan.count("Scan") <= 1, plan
+
+
+def test_pack_sequences_null_text_is_zero_tokens(spark):
+    """A NULL text row must count 0 tokens — F.size(NULL) is -1 under
+    Spark's legacy sizeOfNull and would silently shift every later
+    document's offsets (round-3 review finding)."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "c d e")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["start_seq"], r["start_offset"], r["end_seq"])
+        for r in pack_sequences(df, budget=4).collect()
+    }
+    assert got[2] == (0, 0, 2, 0)
+    assert got[3] == (3, 0, 2, 1)  # NOT shifted by a phantom -1

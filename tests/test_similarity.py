@@ -236,3 +236,17 @@ def test_embedding_decontaminate_zero_norm_vectors(spark):
     )
     clean = embedding_decontaminate(corpus, all_zero).collect()
     assert all(not r["is_semantic_contaminated"] for r in clean) and len(clean) == 3
+
+
+def test_mode_typo_raises(spark):
+    """An unknown mode must raise, not silently fall through to the
+    auto path (whose sizing count / driver collect the explicit mode
+    exists to avoid)."""
+    import pytest
+
+    df, _ = _emb_df(spark, n=8)
+    q = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="unknown mode"):
+        brute_force_topk(df, q, mode="Sharded")
+    with pytest.raises(ValueError, match="unknown mode"):
+        neardup_pairs(df, mode="block")
