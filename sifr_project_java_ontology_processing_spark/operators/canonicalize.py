@@ -34,6 +34,10 @@ count over the full edge set).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from sifr_project_java_ontology_processing_spark.operators.materialize import (
+    materialize_once,
+)
 from pyspark.sql import functions as F
 
 
@@ -89,7 +93,7 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    cur = cur.localCheckpoint(eager=True) if not reliable else cur.checkpoint(eager=True)
+    cur = materialize_once(cur) if not reliable else cur.checkpoint(eager=True)
 
     n_edges = cur.count()
     if n_edges == 0:
@@ -128,7 +132,7 @@ def connected_components(
         after_large = _star_round(cur, large=True)
         after_small = _star_round(after_large, large=False)
         after_small = (
-            after_small.localCheckpoint(eager=True)
+            materialize_once(after_small)
             if not reliable
             else after_small.checkpoint(eager=True)
         )

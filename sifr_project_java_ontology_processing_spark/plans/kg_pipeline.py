@@ -148,7 +148,11 @@ def run_kg_pipeline(
         branch."""
         if store is not None:
             return stage(name, thunk)
-        return thunk().localCheckpoint(eager=True)
+        from sifr_project_java_ontology_processing_spark.operators.materialize import (
+            materialize_once,
+        )
+
+        return materialize_once(thunk())
 
     # label-dim signature: committed alongside the snapshots so a later
     # incremental run can detect dimension drift (see
