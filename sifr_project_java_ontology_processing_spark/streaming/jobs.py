@@ -92,3 +92,49 @@ def streaming_exact_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["text_hash"])
     )
+
+
+def streaming_curate(
+    docs_stream: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_stopword_ratio: float = 0.05,
+    allowed_langs: tuple[str, ...] = ("en",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ingest curation: the stateless curation signals
+    (quality + language — the same expressions batch ``curate_corpus``
+    composes) evaluated per arriving document, then first-arrival exact
+    dedup within the watermark horizon. → the KEPT stream with a
+    ``drop_reason``-free contract (dropped rows never emit).
+
+    State shape: the only state is the dedup hash set, bounded by the
+    watermark exactly as in ``streaming_exact_dedup``; quality/lang are
+    pure column expressions. Benchmark decontamination is deliberately
+    NOT here — it needs the corpus-vs-benchmark join, which belongs to
+    the batch compaction pass (streams curate what CAN be decided per
+    row + bounded state; the nightly batch decontaminates)."""
+    from sifr_project_java_ontology_processing_spark.operators.curation import (
+        STOPWORDS,
+    )
+    from sifr_project_java_ontology_processing_spark.operators.textanalysis import (
+        lang_pred_cols,
+    )
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    n_tok = F.size(toks)
+    stop_ratio = F.when(n_tok <= 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n_tok.cast("double")
+    )
+    quality_ok = (n_tok >= min_tokens) & (stop_ratio >= min_stopword_ratio)
+    pred_lang, _hits = lang_pred_cols(F.col(text_col))
+
+    return (
+        docs_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .where(quality_ok & pred_lang.isin(*allowed_langs))
+        .withColumn("text_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
