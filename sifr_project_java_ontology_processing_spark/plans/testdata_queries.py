@@ -2336,3 +2336,47 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = mix_corpora(docs, {"src0": 2.5, "src1": 0.25}, seed=43)
     return out.select("doc_id", "source", "copy")
+
+
+@register(
+    "embedding_dedup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.985
+    ),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, src FROM sym
+      UNION
+      SELECT s.dst, re.r FROM reach re JOIN sym s ON s.src = re.node
+    ),
+    canon AS (SELECT node, min(r) AS c FROM reach GROUP BY node)
+    SELECT e.vec_id AS doc_id,
+           coalesce(m.c, e.vec_id) AS keeper,
+           (coalesce(m.c, e.vec_id) = e.vec_id) AS is_kept
+    FROM embeddings e LEFT JOIN canon m ON e.vec_id = m.node
+    """,
+)
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality dedup composition: embedding-cosine near-dup
+    pairs (blocked GEMM) feed the SAME connected-component keeper as
+    the text LSH path — one keeper operator serves every similarity
+    modality. Oracle replays pairs exactly and components with a
+    recursive CTE."""
+    from sifr_project_java_ontology_processing_spark.operators.dedup import (
+        dedup_clusters,
+    )
+    from sifr_project_java_ontology_processing_spark.operators.similarity import (
+        neardup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs(emb, threshold=0.985, mode="broadcast").select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"))
+    return dedup_clusters(docs, pairs)
