@@ -14,12 +14,23 @@ on the content hash joined back to the corpus (the same shape as
 every row of one content hash in a single task, so a boilerplate page
 duplicated 50M times at 100 TB is one straggler; the groupBy's
 map-side combine shuffles ~one row per hash per input partition, and
-the join back is an equi-join AQE can skew-split. Decontamination is a
-broadcast join against the benchmark n-gram dictionary plus a
-partial-aggregated hit count; quality and language features are
-map-side — no corpus × corpus or corpus × benchmark product anywhere.
-The whole decision is replayed in SQL by the ``corpus_curation``
-registry oracle.
+the join back is an equi-join AQE can skew-split. The text column is
+scanned ONCE: a narrow (id, hash, quality, lang) projection is
+materialized first, and both the keeper aggregate and the per-row
+side read that frame — at 100 TB the second pass touches ~50 bytes
+per row instead of re-decompressing and re-hashing the full corpus
+text. Decontamination is a broadcast join against the benchmark
+n-gram dictionary plus a partial-aggregated hit count; quality and
+language features are map-side — no corpus × corpus or
+corpus × benchmark product anywhere. The whole decision is replayed
+in SQL by the ``corpus_curation`` registry oracle.
+
+The content hash is ``md5(coalesce(text, ''))``: md5(NULL) is NULL
+and an equi-join never matches NULL keys, so hashing the raw column
+would silently drop NULL-text docs from the decision frame — the
+exact row loss this module's contract ("a row for EVERY corpus doc")
+forbids. NULL text and empty text dedup into one group by design:
+both carry zero content.
 """
 
 from __future__ import annotations
@@ -27,6 +38,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sifr_project_java_ontology_processing_spark.operators.materialize import (
+    materialize_once,
+)
 from sifr_project_java_ontology_processing_spark.operators.textanalysis import (
     lang_pred_cols,
     ngram_decontaminate,
@@ -53,27 +67,33 @@ def curate_corpus(
     'quality' (too short or stopword-starved), 'lang' (predicted
     language not allowed)."""
     # quality and language are pure row-wise expressions — computed
-    # inline on the SAME scan as the keeper window, never joined back
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    # inline on the SAME scan as the keeper hash, never joined back.
+    # NULL text is treated as empty everywhere (zero tokens → quality
+    # drop), never as a silently-vanishing row.
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(F.lower(txt), " "), lambda x: x != "")
     n_tok = F.size(toks)
     stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
         F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n_tok.cast("double")
     )
     quality_fail = (n_tok < min_tokens) | (stop_ratio < min_stopword_ratio)
-    pred_lang, _hits = lang_pred_cols(F.col(text_col))
+    pred_lang, _hits = lang_pred_cols(txt)
 
+    # one text scan: hash + features into a narrow materialized frame;
+    # the keeper agg and the per-row side both read it (see module
+    # docstring). coalesce keeps NULL-text docs in the decision frame.
+    narrow = materialize_once(
+        docs.select(
+            F.col(id_col),
+            F.md5(txt).alias("_th"),
+            quality_fail.alias("_qfail"),
+            pred_lang.alias("pred_lang"),
+        )
+    )
     # keeper via partial-agg groupBy + join back (skew-safe; see module
     # docstring) — identical result to a min-over-window on the hash
-    keepers = (
-        docs.groupBy(F.md5(F.col(text_col)).alias("_th"))
-        .agg(F.min(F.col(id_col)).alias("keeper"))
-    )
-    base = docs.select(
-        F.col(id_col),
-        F.md5(F.col(text_col)).alias("_th"),
-        quality_fail.alias("_qfail"),
-        pred_lang.alias("pred_lang"),
-    ).join(keepers, "_th")
+    keepers = narrow.groupBy("_th").agg(F.min(F.col(id_col)).alias("keeper"))
+    base = narrow.join(keepers, "_th")
 
     cont = ngram_decontaminate(docs, benchmark, id_col, text_col, n=n).select(
         id_col, "is_contaminated"

@@ -133,11 +133,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_curation",
     """
     WITH base AS (
-      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS keeper
       FROM documents
     ),
     toks AS (
-      SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS t
+      SELECT doc_id,
+             list_filter(str_split(lower(coalesce(text, '')), ' '),
+                         x -> x <> '') AS t
       FROM documents
     ),
     quality AS (

@@ -165,3 +165,34 @@ def test_repetition_ratios_cases(spark):
     assert got[2] == (0.0, 0.25)
     assert got[3] == (0.0, 1.0)
     assert got[4] == (0.0, 0.0)
+
+
+def test_curate_corpus_null_text_not_dropped(spark):
+    """NULL-text docs must stay in the decision frame (the contract is a
+    row for EVERY corpus doc): md5(NULL) is NULL and an equi-join never
+    matches NULL keys, so the hash must be md5(coalesce(text, '')).
+    NULL and '' dedup into one group (both zero-content), the group's
+    min-id wins, and losers drop as exact_dup; the keeper itself fails
+    quality (0 tokens)."""
+    from sifr_project_java_ontology_processing_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    good = ("the cat and the dog of a to and the " * 4).strip()
+    docs = spark.createDataFrame(
+        [(1, good), (2, None), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["drop_reason"], r["keeper"])
+        for r in curate_corpus(docs, bench, n=8).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}, "every doc, NULL text included"
+    assert got[1] == ("", 1)
+    assert got[2] == ("quality", 2)   # keeper of the empty-content group
+    assert got[3] == ("exact_dup", 2)
+    assert got[4] == ("exact_dup", 2)
