@@ -96,18 +96,36 @@ def image_dims(data: bytes) -> tuple[int, int] | None:
         return int(w), int(h)
     if data[:2] == b"\xff\xd8":
         i = 2
-        while i + 9 <= len(data):
+        while i + 4 <= len(data):
             if data[i] != 0xFF:
                 return None
-            marker = data[i + 1]
+            # JPEG allows any number of 0xFF fill bytes before a marker
+            # (ITU T.81 §B.1.1.2) — skip them, or the marker byte reads
+            # as 0xFF and the bytes after it misparse as a length
+            while i < len(data) and data[i] == 0xFF:
+                i += 1
+            if i >= len(data):
+                return None
+            marker = data[i]
+            i += 1
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2
-                continue
-            (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+                continue  # standalone markers, no length payload
+            if marker in (0xD9, 0xDA):
+                # EOI / SOS with no frame header seen: entropy-coded
+                # data follows SOS and length-prefixed walking is
+                # meaningless there — stop, don't misparse
+                return None
+            if i + 2 > len(data):
+                return None
+            (seglen,) = struct.unpack(">H", data[i : i + 2])
+            if seglen < 2:
+                return None
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                if i + 7 > len(data):
+                    return None
+                h, w = struct.unpack(">HH", data[i + 3 : i + 7])
                 return int(w), int(h)
-            i += 2 + seglen
+            i += seglen
     return None
 
 

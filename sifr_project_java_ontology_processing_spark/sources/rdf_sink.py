@@ -24,22 +24,34 @@ def _escape_literal(col) -> F.Column:
     return out
 
 
+def _term(col) -> F.Column:
+    """Render a non-literal term: ``_:``-prefixed values are blank-node
+    labels and must be emitted VERBATIM — '_' is not a legal IRI scheme,
+    so ``<_:b1>`` is invalid Turtle/N-Triples for a conformant external
+    parser. Everything else is an IRI wrapped in ``<>``. The full
+    Turtle/RDF-XML readers routinely produce ``_:`` terms (bnode
+    property lists, collections, parseType=Resource), so parsed-then-
+    written graphs hit this path."""
+    return F.when(col.startswith("_:"), col).otherwise(
+        F.concat(F.lit("<"), col, F.lit(">"))
+    )
+
+
 def to_ntriples_lines(triples: DataFrame) -> DataFrame:
     """TRIPLES → one N-Triples line per row (column ``line``).
 
     Object rendering follows the reference's literal flavors (§1.2):
-    plain literal, ``@lang``-tagged literal, or IRI."""
+    plain literal, ``@lang``-tagged literal, IRI, or blank node."""
     obj_lit = F.concat(F.lit('"'), _escape_literal(F.col("obj")), F.lit('"'))
     obj_lang = F.concat(obj_lit, F.lit("@"), F.col("obj_lang"))
-    obj_iri = F.concat(F.lit("<"), F.col("obj"), F.lit(">"))
     obj = (
-        F.when(~F.col("obj_is_literal"), obj_iri)
+        F.when(~F.col("obj_is_literal"), _term(F.col("obj")))
         .when(F.col("obj_lang").isNotNull() & (F.col("obj_lang") != ""), obj_lang)
         .otherwise(obj_lit)
     )
     line = F.format_string(
-        "<%s> <%s> %s .",
-        F.col("subj"),
+        "%s <%s> %s .",
+        _term(F.col("subj")),
         F.col("pred"),
         obj,
     )
@@ -74,7 +86,8 @@ def to_turtle_lines(
     prefixes = prefixes or {}
 
     def compact(col) -> F.Column:
-        out = F.concat(F.lit("<"), col, F.lit(">"))
+        out = _term(col)  # blank nodes verbatim, IRIs in <>; namespaces
+        # all start with a scheme so no compaction branch can fire on _:
         # SHORTEST namespace first: each F.when wraps the previous, so
         # the LAST-added (longest) branch is checked first — which is
         # what makes the longest matching namespace win for nested
@@ -123,7 +136,16 @@ def write_turtle(
     single part parses through ``read_turtle`` and the whole directory
     parses through ``read_turtle_lines`` (repeated identical @prefix
     lines are idempotent). ``single_file`` coalesces to one part for
-    dimension-sized outputs."""
+    dimension-sized outputs.
+
+    Blank-node caveat: labels are emitted verbatim (``_:b1``), which a
+    conformant reader scopes PER DOCUMENT — i.e. per part-file. With
+    the multi-part default, bnode-connected triples split across parts
+    lose their shared identity under an external parser (the engine's
+    own line reader keeps labels verbatim, so engine-internal
+    round-trips are exact). For bnode-heavy graphs bound for external
+    consumers, pass ``single_file=True`` or pre-partition by bnode
+    connected component (``canonicalize.connected_components``)."""
     prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
     header_lines = [f"@prefix {p}: <{ns}> ." for p, ns in sorted(prefixes.items())]
     lines = to_turtle_lines(triples, prefixes)

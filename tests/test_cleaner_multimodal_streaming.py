@@ -296,3 +296,34 @@ def test_streaming_events_hourly(spark, tmp_path):
     batch_total = spark.read.parquet(src).count()
     emitted = out.agg(F.sum("n_events")).collect()[0][0]
     assert 0.9 * batch_total <= emitted <= batch_total
+
+
+def test_image_dims_jpeg_padding_and_sos():
+    """Two legal JPEG stream features the marker walk must survive
+    (round-3 ADVICE): 0xFF fill bytes between segments (ITU T.81
+    §B.1.1.2) and an SOS reached before any SOF — entropy-coded data
+    follows SOS, so walking past it must stop, not misparse."""
+    import struct
+
+    from sifr_project_java_ontology_processing_spark.operators.multimodal import (
+        image_dims,
+    )
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03\x00\x00\x00"
+    )
+    # fill bytes before both APP0 and SOF0 markers
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + app0 + b"\xff\xff" + sof0
+    assert image_dims(padded) == (640, 480)
+
+    # SOS before any SOF: must return None, not walk into entropy data
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x00\x00\x00\x3f\x00"
+    truncated = b"\xff\xd8" + app0 + sos + b"\x12\x34\x56" * 50
+    assert image_dims(truncated) is None
+
+    # EOI immediately: None
+    assert image_dims(b"\xff\xd8\xff\xd9") is None
+    # zero/absurd segment length must not loop or crash
+    assert image_dims(b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 0)) is None

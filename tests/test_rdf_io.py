@@ -508,3 +508,84 @@ def test_turtle_compaction_longest_namespace_wins(spark, tmp_path):
     ).collect()[0]["line"]
     # subj matches only the short ns; pred matches both → long must win
     assert line == "short:cd long:p <http://other/x> ."
+
+
+def test_sink_blank_nodes_rendered_verbatim(spark, tmp_path):
+    """Blank-node subjects/objects (which the full Turtle/RDF-XML
+    readers routinely produce) must serialize as bare ``_:label`` —
+    ``<_:b1>`` is invalid Turtle/N-Triples ('_' is not a legal IRI
+    scheme). Both sinks, and the written graph round-trips through
+    both readers."""
+    from sifr_project_java_ontology_processing_spark.sources.rdf_sink import (
+        to_ntriples_lines,
+        to_turtle_lines,
+        write_turtle,
+    )
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        read_turtle,
+        read_turtle_lines,
+    )
+
+    rows = [
+        ("_:f0b1", RDF_TYPE, f"{SKOS}Concept", None, False, None),
+        ("http://e/C1", f"{SKOS}related", "_:f0b1", None, False, None),
+        ("_:f0b1", f"{SKOS}prefLabel", "anon", "en", True, None),
+    ]
+    triples = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean, src_url string",
+    )
+    nt = {r["line"] for r in to_ntriples_lines(triples).collect()}
+    assert f"_:f0b1 <{RDF_TYPE}> <{SKOS}Concept> ." in nt
+    assert f"<http://e/C1> <{SKOS}related> _:f0b1 ." in nt
+    assert not any("<_:" in ln for ln in nt)
+    ttl = {r["line"] for r in to_turtle_lines(triples, {"skos": SKOS}).collect()}
+    assert "_:f0b1 skos:prefLabel \"anon\"@en ." in ttl
+    assert not any("<_:" in ln for ln in ttl)
+
+    out = str(tmp_path / "bn.ttl")
+    write_turtle(triples, out, prefixes={"skos": SKOS}, single_file=True)
+    want = {(r[0], r[1], r[2], r[3], r[4]) for r in rows}
+    # line reader: labels kept verbatim → byte-identity round-trip
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["obj_lang"], r["obj_is_literal"])
+        for r in read_turtle_lines(spark, out).collect()
+    }
+    assert got == want
+    # full parser: bnode labels are document-scoped per RDF semantics,
+    # so it rescopes them — round-trip is graph ISOMORPHISM, not label
+    # identity: one consistent relabeling of _:f0b1 across all triples
+    full = read_turtle(spark, out).collect()
+    bn = {r["subj"] for r in full if r["subj"].startswith("_:")} | {
+        r["obj"] for r in full if not r["obj_is_literal"] and r["obj"].startswith("_:")
+    }
+    assert len(bn) == 1, bn  # same label everywhere → structure preserved
+    relabel = bn.pop()
+    got_full = {
+        (
+            relabel if r["subj"] == "_:f0b1" else r["subj"],
+            r["pred"],
+            relabel if (not r["obj_is_literal"] and r["obj"] == "_:f0b1") else r["obj"],
+            r["obj_lang"],
+            r["obj_is_literal"],
+        )
+        for r in rows_as_tuples(rows)
+    }
+    assert {
+        (r["subj"], r["pred"], r["obj"], r["obj_lang"], r["obj_is_literal"])
+        for r in full
+    } == got_full
+
+
+def rows_as_tuples(rows):
+    return [
+        {
+            "subj": r[0],
+            "pred": r[1],
+            "obj": r[2],
+            "obj_lang": r[3],
+            "obj_is_literal": r[4],
+        }
+        for r in rows
+    ]
