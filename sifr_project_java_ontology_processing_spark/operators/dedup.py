@@ -461,8 +461,15 @@ def fuzzy_decontaminate(
     Scale shape: candidates come from a cross-corpus banded MinHash-LSH
     bucket equi-join (corpus bands × benchmark bands on (band, bucket)),
     never a corpus × benchmark product; verification is exact Jaccard
-    on candidate pairs only, bounded by |candidates|. Signatures are
-    md5-derived so the whole path replays in SQL (registry oracle)."""
+    on candidate pairs only, bounded by |candidates|. Shingle arrays
+    are built ONLY for docs that appear in a candidate pair — a
+    broadcast left-semi prune on both the corpus and benchmark sides
+    before any shingling (mirrors ``jaccard_verify``), so no exchange
+    ever carries shingles for the non-candidate bulk of the corpus.
+    Candidates are broadcast into the verify join too: they are small
+    by construction (benchmark test sets are tiny vs the corpus, and
+    band collisions bound the pair count). Signatures are md5-derived
+    so the whole path replays in SQL (registry oracle)."""
     bid = bench_id_col or id_col
     btext = bench_text_col or text_col
     r = k // bands
@@ -474,23 +481,38 @@ def fuzzy_decontaminate(
         minhash_signatures(benchmark, bid, btext, n, k), bid, bands, r
     ).withColumnRenamed(bid, "_bench_id")
 
-    cands = (
+    # candidate pairs are the SMALL frame by construction (bounded by
+    # near-dup density vs the benchmark); materialize once — they feed
+    # two semi-join prune legs plus the verify join, and an
+    # unmaterialized plan would re-run signatures + the band join for
+    # each leg
+    cands = materialize_once(
         doc_bands.join(bench_bands, ["band", "bucket"])
         .select(id_col, "_bench_id")
         .distinct()
     )
 
-    sh_docs = docs.select(
-        F.col(id_col), shingle_array(F.col(text_col), n).alias("_sh_d")
-    )
-    sh_bench = benchmark.select(
+    # shingle ONLY candidate docs (mirrors jaccard_verify): at 100 TB
+    # candidates are sparse vs the corpus, and building `_sh_d` for
+    # every doc would materialize/shuffle full shingle arrays for rows
+    # the verify join immediately drops
+    sh_docs = docs.join(
+        F.broadcast(cands.select(id_col).distinct()), id_col, "left_semi"
+    ).select(F.col(id_col), shingle_array(F.col(text_col), n).alias("_sh_d"))
+    sh_bench = benchmark.join(
+        F.broadcast(
+            cands.select("_bench_id").distinct().withColumnRenamed("_bench_id", bid)
+        ),
+        bid,
+        "left_semi",
+    ).select(
         F.col(bid).alias("_bench_id"), shingle_array(F.col(btext), n).alias("_sh_b")
     )
     inter = F.size(F.array_intersect("_sh_d", "_sh_b"))
     union = F.size("_sh_d") + F.size("_sh_b") - inter
     jac = inter / union.cast("double")
     best = (
-        cands.join(sh_docs, id_col)
+        F.broadcast(cands).join(sh_docs, id_col)
         .join(sh_bench, "_bench_id")
         .select(F.col(id_col), jac.alias("_jac"))
         .groupBy(id_col)
