@@ -300,33 +300,13 @@ def lsh_topk(
     return _topk_merge(scored, query_id_col, k)
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    dim: int,
-    k: int = 5,
-    m: int = 16,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-) -> DataFrame:
-    """IVF-style approximate top-k (the mandate's "IVF or LSH" scale
-    path — both now exist): corpus vectors are assigned to the nearest
-    of ``m`` centroids; each query probes its ``nprobe`` nearest cells
-    and ranks exactly within the candidates.
-
-    Centroids are the ``m`` corpus vectors with the smallest
-    md5(vec_id) — a deterministic, engine-replayable pick (the DuckDB
-    oracle recomputes the identical index), standing in for a k-means
-    codebook: the cell/probe/rank machinery is identical, only the
-    codebook quality differs. Assignment and probing are map-side
-    expressions over broadcast centroid literals; the only shuffle is
-    the cell equi-join — same scale shape as ``lsh_topk``. Recall rises
-    with nprobe (nprobe=m is exact minus ties).
-    """
+def _md5_centroids(
+    corpus: DataFrame, m: int, id_col: str, vec_col: str
+) -> "np.ndarray":
+    """The ``m`` corpus vectors with the smallest md5(vec_id): a
+    deterministic, engine-replayable codebook pick (the DuckDB oracle
+    recomputes the identical index)."""
     import numpy as np
-    from pyspark.sql.functions import pandas_udf
 
     cent_rows = (
         corpus.select(id_col, vec_col)
@@ -334,7 +314,65 @@ def ivf_topk(
         .limit(m)
         .collect()
     )
-    cmat = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    return np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+
+
+def train_ivf_codebook(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Distributed spherical k-means codebook (round-3 VERDICT ask #3):
+    md5-deterministic init (so training has no RNG), then ``iters``
+    Lloyd's rounds of
+
+      1. ASSIGN — the same Arrow-batched GEMM kernel the search path
+         uses (one BLAS product per batch, cosine argmax, round-9 tie
+         break), map-only over the corpus;
+      2. UPDATE — per-(cell, position) mean via ``posexplode`` +
+         partially-aggregated groupBy: the shuffle carries m × dim
+         aggregate rows per input partition, never vectors; the
+         m × dim result (KBs) collects to the driver, which is where a
+         codebook lives anyway. Cosine assignment normalizes
+         implicitly, so the mean needs no explicit re-normalization.
+
+    Empty cells keep their previous centroid (the md5-init vector),
+    matching the standard Lloyd's fallback. Cost: ``iters`` corpus
+    scans — a codebook is trained once per corpus (or on a hash-sample
+    via ``sampling.hash_sample`` at 100 TB) and then reused by every
+    ``ivf_topk`` call."""
+    import numpy as np
+
+    cmat = _md5_centroids(corpus, m, id_col, vec_col)
+    src = corpus.select(F.col(vec_col).alias("_v"))
+    for _ in range(iters):
+        cell_udf = _cell_assign_udf(cmat)
+        means = (
+            src.select(cell_udf(F.col("_v")).alias("_cell"), F.posexplode("_v"))
+            .groupBy("_cell", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("_mu"))
+            .collect()
+        )
+        new = cmat.copy()
+        by_cell: dict[int, list[tuple[int, float]]] = {}
+        for r in means:
+            by_cell.setdefault(r["_cell"], []).append((r["pos"], r["_mu"]))
+        for cell, vals in by_cell.items():
+            vec = np.zeros(dim, dtype=np.float64)
+            for pos, mu in vals:
+                vec[pos] = mu
+            if np.linalg.norm(vec) > 0:
+                new[cell - 1] = vec
+        cmat = new
+    return cmat
+
+
+def _cent_sims_fn(cmat: "np.ndarray"):
+    import numpy as np
+
     cnorms = np.linalg.norm(cmat, axis=1)
 
     def _cent_sims(v) -> "np.ndarray":
@@ -346,15 +384,81 @@ def ivf_topk(
         np.round(sims, 9, out=sims)
         return sims
 
-    # Arrow-batched GEMM assignment: one BLAS product per batch beats
-    # m interpreted expression-folds per row by orders of magnitude
-    def _cell_batch(v):  # pd.Series[array] -> pd.Series[int]
+    return _cent_sims
+
+
+def _cell_assign_udf(cmat: "np.ndarray"):
+    """pandas_udf: embedding → 1-based nearest-centroid cell (cosine,
+    round-9, lowest index wins ties) — shared by the IVF search path
+    and the k-means trainer so both always agree on assignment."""
+    from pyspark.sql.functions import pandas_udf
+
+    sims_fn = _cent_sims_fn(cmat)
+
+    def _cell_batch(v):
+        import numpy as np
         import pandas as pd
 
         if len(v) == 0:
             return pd.Series([], dtype="int32")
-        sims = _cent_sims(v)
+        sims = sims_fn(v)
         return pd.Series(np.argmax(sims, axis=1).astype("int32") + 1)
+
+    return pandas_udf(_cell_batch, "int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebook: "str | list | np.ndarray" = "md5",
+    iters: int = 3,
+) -> DataFrame:
+    """IVF-style approximate top-k (the mandate's "IVF or LSH" scale
+    path — both now exist): corpus vectors are assigned to the nearest
+    of ``m`` centroids; each query probes its ``nprobe`` nearest cells
+    and ranks exactly within the candidates.
+
+    ``codebook`` selects the centroids:
+      * ``"md5"`` — the md5-smallest corpus vectors (deterministic,
+        fully oracle-replayable; the recall floor);
+      * ``"kmeans"`` — ``train_ivf_codebook`` (distributed spherical
+        Lloyd's, ``iters`` rounds; better-shaped cells on clustered
+        embeddings, gated by the recall harness in test_similarity);
+      * an explicit m × dim array — a pre-trained codebook (the
+        ``ann_ivf_kmeans_topk`` registry query passes the committed
+        fixture so assignment/probe/rank replay in SQL as literals).
+
+    Assignment and probing are map-side expressions over broadcast
+    centroid literals; the only shuffle is the cell equi-join — same
+    scale shape as ``lsh_topk``. Recall rises with nprobe (nprobe=m is
+    exact minus ties).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(codebook, str):
+        if codebook == "md5":
+            cmat = _md5_centroids(corpus, m, id_col, vec_col)
+        elif codebook == "kmeans":
+            cmat = train_ivf_codebook(corpus, dim, m, iters, id_col, vec_col)
+        else:
+            raise ValueError(f"unknown codebook {codebook!r}")
+    else:
+        cmat = np.array(codebook, dtype=np.float64)
+        if cmat.shape != (m, dim):
+            raise ValueError(f"codebook shape {cmat.shape} != ({m}, {dim})")
+
+    # Arrow-batched GEMM assignment: one BLAS product per batch beats
+    # m interpreted expression-folds per row by orders of magnitude
+    _cent_sims = _cent_sims_fn(cmat)
+    cell_udf = _cell_assign_udf(cmat)
 
     def _probe_batch(v):  # pd.Series[array] -> pd.Series[list[int]]
         import pandas as pd
@@ -369,7 +473,6 @@ def ivf_topk(
             out.append((order + 1).astype("int32").tolist())
         return pd.Series(out)
 
-    cell_udf = pandas_udf(_cell_batch, "int")
     probe_udf = pandas_udf(_probe_batch, "array<int>")
 
     c = corpus.select(

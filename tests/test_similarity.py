@@ -250,3 +250,71 @@ def test_mode_typo_raises(spark):
         brute_force_topk(df, q, mode="Sharded")
     with pytest.raises(ValueError, match="unknown mode"):
         neardup_pairs(df, mode="block")
+
+
+def test_ivf_kmeans_codebook_recall_beats_md5(spark):
+    """Round-3 VERDICT #3 gate: the trained spherical-k-means codebook
+    must reach at-least the md5-pick recall at EQUAL nprobe, and
+    strictly beat it where the cell structure matters (nprobe 2-3 with
+    m = the natural cluster count of the synthetic embeddings). Ground
+    truth = brute-force exact top-5."""
+    from sifr_project_java_ontology_processing_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {}
+    for r in brute_force_topk(emb, q, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(codebook, nprobe):
+        got = {}
+        rows = ivf_topk(
+            emb, q, dim=64, k=5, m=10, nprobe=nprobe, codebook=codebook, iters=5
+        ).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(qid, set()) & t) / len(t) for qid, t in truth.items()
+        ) / len(truth)
+
+    strict_win = False
+    for nprobe in (1, 2, 3):
+        r_md5, r_km = recall("md5", nprobe), recall("kmeans", nprobe)
+        assert r_km >= r_md5, (nprobe, r_md5, r_km)
+        if nprobe >= 2 and r_km > r_md5:
+            strict_win = True
+    assert strict_win, "kmeans never strictly beat the md5 pick"
+
+
+def test_ivf_explicit_codebook_and_validation(spark):
+    """An explicit pre-trained codebook is honored verbatim (the
+    fixture path the ann_ivf_kmeans_topk oracle replays), and a
+    wrong-shape codebook fails loudly instead of mis-assigning."""
+    import numpy as np
+    import pytest
+
+    from sifr_project_java_ontology_processing_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_codebook,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cmat = train_ivf_codebook(emb, dim=64, m=4, iters=2)
+    assert cmat.shape == (4, 64)
+    via_array = ivf_topk(emb, q, dim=64, k=3, m=4, nprobe=2, codebook=cmat).collect()
+    assert len(via_array) > 0
+    with pytest.raises(ValueError, match="codebook shape"):
+        ivf_topk(emb, q, dim=64, k=3, m=8, nprobe=2, codebook=cmat)
+    with pytest.raises(ValueError, match="unknown codebook"):
+        ivf_topk(emb, q, dim=64, k=3, m=4, nprobe=2, codebook="faiss")
+    # kmeans training is deterministic: same input -> same codebook
+    cmat2 = train_ivf_codebook(emb, dim=64, m=4, iters=2)
+    assert np.allclose(cmat, cmat2, rtol=0, atol=1e-12)
