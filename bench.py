@@ -41,6 +41,9 @@ HEADLINE = [
     "corpus_curation",      # round 2: composed curation decision
     "turtle_full_parse",    # round 3: full-Turtle render∘parse identity
     "multimodal_real_decode",  # round 3: real PNG/WAV container decode
+    "fuzzy_decontaminate",  # round 4: candidate-pruned shingle verify
+    "model_quality_score",  # round 4: NB log-odds subword classifier
+    "ann_ivf_kmeans_topk",  # round 4: trained-codebook IVF search
 ]
 
 
@@ -116,6 +119,23 @@ def main() -> int:
         t0 = time.perf_counter()
         run_noop(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # round 4: real-BPE counting over the FULL documents table (the
+    # registry twin is fixture-bound to sf0.01 doc ids, so the bench
+    # drives the distributed encoder on every doc at this sf instead)
+    from sifr_project_java_ontology_processing_spark.functions.bpe import (
+        bpe_token_count,
+        load_fixture_merges,
+    )
+
+    t0 = time.perf_counter()
+    run_noop(
+        bpe_token_count(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            load_fixture_merges(),
+        )
+    )
+    timings["bpe_token_count_full"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
