@@ -144,7 +144,10 @@ def bpe_token_count(
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(list(merges))
     src = docs.select(F.col(id_col), F.col(text_col))
-    schema = f"{id_col} long, {out_col} int"
+    # carry the caller's actual id type through (url-string ids are as
+    # legitimate as longs; a hardcoded `long` would null them in Arrow)
+    id_ddl = src.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_ddl}, {out_col} int"
 
     def _count(it):
         import pandas as pd

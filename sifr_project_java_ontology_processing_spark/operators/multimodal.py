@@ -8,9 +8,11 @@ Decoders, from most to least capable:
     decode for PNG / GIF / JPEG (IHDR / logical-screen / SOF marker
     walk — real parsing of the real container formats, no codec libs
     needed for dimensions). Audio: WAV via the stdlib ``wave`` module
-    (frames / framerate → duration). Video: requires ffmpeg/PyAV —
-    raises ``NotImplementedError`` when absent (the one honest stub
-    left; this container ships no video codec).
+    (frames / framerate → duration). Video: ISO BMFF (MP4/MOV)
+    container metadata via a pure-stdlib box walk (``mp4_info``: mvhd
+    timescale/duration, tkhd 16.16 fixed-point dimensions, v0+v1
+    layouts) — FRAME decode still requires ffmpeg/PyAV and raises
+    ``NotImplementedError`` (this container ships no video codec).
   * ``fake_decoder`` — deterministic sha256-derived pseudo-decode,
     kept as the ORACLE TWIN (its output is replayable in SQL, which a
     real codec's is not) and for plumbing tests on arbitrary bytes.
@@ -129,6 +131,82 @@ def image_dims(data: bytes) -> tuple[int, int] | None:
     return None
 
 
+def mp4_info(data: bytes) -> tuple[int | None, int | None, int | None] | None:
+    """Pure-stdlib ISO BMFF (MP4/MOV) metadata parse — real container
+    walking, the video sibling of the PNG/GIF/JPEG header decodes:
+
+      * box walk (32-bit size, ``size==1`` → 64-bit largesize,
+        ``size==0`` → to end-of-enclosing-box);
+      * ``moov/mvhd`` → timescale + duration (v0 and v1 layouts);
+      * ``moov/trak/tkhd`` → 16.16 fixed-point width/height; the max
+        across tracks wins (audio tracks carry 0 × 0).
+
+    → (width, height, duration_ms), any of which may be None when the
+    box is absent; None for non-BMFF bytes. FRAME decoding still needs
+    a codec lib — this reads only the index metadata, which is what
+    curation-time featurization needs (resolution/duration filters)."""
+    if len(data) < 12 or data[4:8] not in (
+        b"ftyp", b"moov", b"mdat", b"free", b"wide", b"skip", b"pdin", b"styp",
+    ):
+        return None
+
+    def boxes(start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(data[i : i + 4], "big")
+            typ = data[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(data[i + 8 : i + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = end - i
+            if size < hdr or i + size > end:
+                return
+            yield typ, i + hdr, i + size
+            i += size
+
+    width = height = duration_ms = None
+    saw_moov = False
+    for typ, s, e in boxes(0, len(data)):
+        if typ != b"moov":
+            continue
+        saw_moov = True
+        for t2, s2, e2 in boxes(s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 4:
+                # each version's branch requires ITS OWN full field
+                # span — a truncated v1 payload must fail closed, not
+                # fall into the v0 offsets and read timestamp bytes as
+                # a plausible-looking timescale/duration
+                ver = data[s2]
+                ts = dur = None
+                if ver == 1:
+                    if e2 - s2 >= 32:
+                        ts = int.from_bytes(data[s2 + 20 : s2 + 24], "big")
+                        dur = int.from_bytes(data[s2 + 24 : s2 + 32], "big")
+                elif e2 - s2 >= 20:
+                    ts = int.from_bytes(data[s2 + 12 : s2 + 16], "big")
+                    dur = int.from_bytes(data[s2 + 16 : s2 + 20], "big")
+                if ts:
+                    duration_ms = int(dur * 1000 // ts)
+            elif t2 == b"trak":
+                for t3, s3, e3 in boxes(s2, e2):
+                    if t3 != b"tkhd" or e3 - s3 < 4:
+                        continue
+                    ver = data[s3]
+                    off = s3 + (88 if ver == 1 else 76)
+                    if off + 8 <= e3:
+                        w = int.from_bytes(data[off : off + 4], "big") >> 16
+                        h = int.from_bytes(data[off + 4 : off + 8], "big") >> 16
+                        if w and h and (width is None or w * h > width * height):
+                            width, height = w, h
+    if not saw_moov:
+        return None
+    return width, height, duration_ms
+
+
 def wav_duration_ms(data: bytes) -> int | None:
     """WAV duration via the stdlib ``wave`` reader (a real RIFF/PCM
     parse); None if the blob is not a readable WAV."""
@@ -174,9 +252,15 @@ def real_decoder(content: bytes | None, media_type: str) -> dict:
             )
         return {"width": None, "height": None, "duration_ms": dur, "digest": digest}
     if media_type == "video":
-        raise NotImplementedError(
-            "video decoding needs ffmpeg/PyAV, not present in this container"
-        )
+        info = mp4_info(data)
+        if info is None:
+            raise NotImplementedError(
+                "non-MP4 video (or frame decode) needs ffmpeg/PyAV, not "
+                "present in this container; ISO-BMFF container metadata "
+                "IS parsed (mp4_info)"
+            )
+        w, h, dur = info
+        return {"width": w, "height": h, "duration_ms": dur, "digest": digest}
     raise ValueError(f"unknown media_type {media_type!r}")
 
 

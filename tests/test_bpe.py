@@ -110,3 +110,18 @@ def test_pack_sequences_takes_bpe_counts(spark):
     for i, n in enumerate(ref):
         assert packed[i] == (n, run // 16, run % 16), i
         run += n
+
+
+def test_bpe_count_string_ids(spark):
+    """Code-review hardening: the id column's real type flows through
+    the Arrow schema — url-string ids must survive, not null out."""
+    merges = train_bpe(CORPUS, n_merges=20)
+    docs = spark.createDataFrame(
+        [("http://a/1", CORPUS[0]), ("http://a/2", CORPUS[1])], "url string, text string"
+    )
+    got = {
+        r["url"]: r["n_bpe_tokens"]
+        for r in bpe_token_count(docs, merges, id_col="url").collect()
+    }
+    assert set(got) == {"http://a/1", "http://a/2"}
+    assert got["http://a/1"] == len(bpe_encode(CORPUS[0], merges))

@@ -327,3 +327,138 @@ def test_image_dims_jpeg_padding_and_sos():
     assert image_dims(b"\xff\xd8\xff\xd9") is None
     # zero/absurd segment length must not loop or crash
     assert image_dims(b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 0)) is None
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _synth_mp4(w: int, h: int, dur_units: int, timescale: int = 1000) -> bytes:
+    """Minimal valid ISO BMFF: ftyp + moov[mvhd + trak[tkhd]] (v0)."""
+    import struct
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+    mvhd = _mp4_box(
+        b"mvhd", bytes(12) + struct.pack(">II", timescale, dur_units) + bytes(80)
+    )
+    tkhd = _mp4_box(
+        b"tkhd", bytes(76) + struct.pack(">II", w << 16, h << 16)
+    )
+    return ftyp + _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+
+
+def test_mp4_info_real_container_parse():
+    """Round-3 'what's missing #2': video container metadata is now a
+    REAL pure-stdlib ISO-BMFF box walk — mvhd duration, tkhd 16.16
+    dimensions, audio-track 0x0 ignored, v1 large-time layout, 64-bit
+    largesize boxes, and loud NotImplementedError on non-BMFF bytes."""
+    import struct
+
+    import pytest
+
+    from sifr_project_java_ontology_processing_spark.operators.multimodal import (
+        mp4_info,
+        real_decoder,
+    )
+
+    blob = _synth_mp4(640, 360, 12_500)  # 12.5 s at timescale 1000
+    assert mp4_info(blob) == (640, 360, 12_500)
+    out = real_decoder(blob, "video")
+    assert (out["width"], out["height"], out["duration_ms"]) == (640, 360, 12_500)
+    assert len(out["digest"]) == 64
+
+    # audio track (0x0) must not override the video track's dims
+    atrak = _mp4_box(b"trak", _mp4_box(b"tkhd", bytes(76) + struct.pack(">II", 0, 0)))
+    vtrak = _mp4_box(b"trak", _mp4_box(b"tkhd", bytes(76) + struct.pack(">II", 320 << 16, 240 << 16)))
+    mvhd = _mp4_box(b"mvhd", bytes(12) + struct.pack(">II", 600, 3000) + bytes(80))
+    two = _mp4_box(b"ftyp", b"isom") + _mp4_box(b"moov", mvhd + atrak + vtrak)
+    assert mp4_info(two) == (320, 240, 5000)
+
+    # v1 mvhd/tkhd: 64-bit times shift the field offsets
+    mvhd1 = _mp4_box(
+        b"mvhd", b"\x01" + bytes(3) + bytes(16) + struct.pack(">IQ", 1000, 7000) + bytes(80)
+    )
+    tkhd1 = _mp4_box(b"tkhd", b"\x01" + bytes(87) + struct.pack(">II", 64 << 16, 48 << 16))
+    v1 = _mp4_box(b"ftyp", b"isom") + _mp4_box(b"moov", mvhd1 + _mp4_box(b"trak", tkhd1))
+    assert mp4_info(v1) == (64, 48, 7000)
+
+    # largesize (size==1) box header must parse
+    moov_payload = _mp4_box(b"mvhd", bytes(12) + struct.pack(">II", 1000, 250) + bytes(80))
+    large_moov = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov_payload)) + moov_payload
+    assert mp4_info(_mp4_box(b"ftyp", b"isom") + large_moov) == (None, None, 250)
+
+    # garbage: mp4_info None, real_decoder raises the honest stub error
+    assert mp4_info(b"RIFF....WAVE") is None
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        real_decoder(b"not a video at all, long enough bytes", "video")
+    # truncated/hostile sizes must neither loop nor crash
+    assert mp4_info(_mp4_box(b"ftyp", b"isom") + b"\x00\x00\x00\xff" + b"moov") is None
+
+
+def test_mp4_info_hostile_and_variant_containers():
+    """Code-review hardening: empty tkhd payload at buffer end must not
+    IndexError; a truncated v1 mvhd must fail closed (None duration),
+    never read timestamp bytes as timescale via the v0 offsets; files
+    opening with wide/skip/styp are valid BMFF."""
+    import struct
+
+    from sifr_project_java_ontology_processing_spark.operators.multimodal import (
+        mp4_info,
+    )
+
+    # empty-payload tkhd as the very last box: no crash, no dims
+    blob = _mp4_box(b"ftyp", b"isom") + _mp4_box(
+        b"moov", _mp4_box(b"trak", _mp4_box(b"tkhd", b""))
+    )
+    assert mp4_info(blob) == (None, None, None)
+
+    # v1 mvhd truncated to 24 payload bytes: duration must be None
+    trunc_v1 = _mp4_box(b"mvhd", b"\x01" + bytes(3) + bytes(16) + struct.pack(">I", 1000))
+    blob = _mp4_box(b"ftyp", b"isom") + _mp4_box(b"moov", trunc_v1)
+    assert mp4_info(blob) == (None, None, None)
+
+    # 'wide' (QuickTime) and 'styp' (DASH segment) first boxes accepted
+    mvhd = _mp4_box(b"mvhd", bytes(12) + struct.pack(">II", 1000, 4000) + bytes(80))
+    for first in (b"wide", b"skip", b"styp"):
+        blob = _mp4_box(first, b"" if first == b"wide" else b"isom") + _mp4_box(
+            b"moov", mvhd
+        )
+        assert mp4_info(blob) == (None, None, 4000), first
+
+
+def test_streaming_dedup_null_text_matches_batch_hash(spark, tmp_path):
+    """Streaming twins hash md5(coalesce(text,'')) like batch
+    curate_corpus: NULL-text and ''-text events are ONE zero-content
+    dedup group, so batch and streaming agree on duplicates."""
+    import datetime as dt
+
+    from sifr_project_java_ontology_processing_spark.streaming.jobs import (
+        streaming_exact_dedup,
+    )
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (0, base, None),
+        (1, base + dt.timedelta(minutes=1), ""),      # dup of 0 (zero-content)
+        (2, base + dt.timedelta(minutes=2), "real"),
+        (3, base + dt.timedelta(minutes=3), None),    # dup of 0
+    ]
+    src = str(tmp_path / "nsrc")
+    spark.createDataFrame(rows, "doc_id long, ts timestamp, text string").write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).format(
+        "parquet"
+    ).load(src)
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "nout"))
+        .option("checkpointLocation", str(tmp_path / "nckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(str(tmp_path / "nout")).collect())
+    assert len(got) == 2 and got[1] == 2 and got[0] in (0, 1), got

@@ -109,3 +109,19 @@ def test_scoring_plan_is_broadcast_no_shuffle_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_evaluate_empty_golden_reports_zero_not_crash(spark):
+    """Code-review hardening: a golden set sharing no ids with the
+    scored frame must report zero metrics, not TypeError on NULL
+    aggregates."""
+    train = _labeled(spark, GOOD[:3], BAD[:3])
+    weights, bias = train_quality_weights(train)
+    scored = score_quality_model(
+        spark.createDataFrame([(1, GOOD[0])], "doc_id long, text string"),
+        weights,
+        bias,
+    )
+    golden = spark.createDataFrame([(999, 1)], "doc_id long, label int")
+    m = evaluate_quality_model(scored, golden)
+    assert m == {"accuracy": 0.0, "precision": 0.0, "recall": 0.0, "n": 0.0}
