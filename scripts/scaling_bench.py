@@ -42,6 +42,8 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from sifr_project_java_ontology_processing_spark.session import get_spark
+
+
 from sifr_project_java_ontology_processing_spark.plans.flagship import (
     documents_as_pages, vocab_tables)
 from sifr_project_java_ontology_processing_spark.plans.kg_pipeline import run_kg_pipeline
@@ -91,17 +93,34 @@ def load_avg() -> float:
 
 
 def run_once(cpus: int, job: str, amplify: int, sf_dir: str) -> tuple[float, float]:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SCALING_JOB=job)
+    # ROUND-4 KERNEL CHANGE: this sandbox's kernel (6.18.x-fc) stopped
+    # enforcing BOTH sched_setaffinity and cfs cpu quotas (probe:
+    # 8 concurrent 2 s CPU spins under a 2-cpu taskset mask — or a
+    # 2-cpu cgroup v1/v2 quota — all complete in 2 s wall, i.e. 8 cores
+    # actually ran). taskset still *reports* the mask but is advisory,
+    # so the round-3 pin-the-process-tree method silently measures an
+    # unpinned baseline. The N-core emulation therefore moves INTO the
+    # process: -XX:ActiveProcessorCount makes the JVM size GC/JIT/
+    # common pools for N cores (availableProcessors() == N), local[N]
+    # bounds concurrent task slots to N, and single-threaded BLAS
+    # keeps each Python worker one-core. What is measured is "N compute
+    # lanes vs 4N compute lanes" — the parallelism-scaling question —
+    # rather than physical core fencing, which this kernel cannot do.
+    jopts = f"-XX:ActiveProcessorCount={cpus}"
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SCALING_JOB=job,
+        SPARK_SUBMIT_OPTS=jopts,
+        OPENBLAS_NUM_THREADS="1",
+        OMP_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+        VECLIB_MAXIMUM_THREADS="1",
+        NUMEXPR_NUM_THREADS="1",
+    )
     code = CHILD.format(repo=REPO, amplify=amplify, sf_dir=sf_dir)
     pre_load = load_avg()
-    # pin the whole process tree (JVM + python workers) to exactly
-    # ``cpus`` physical cores — the sandbox analog of an N-core
-    # allocation; random offset so persistent co-tenant hotspots don't
-    # stick to one level
-    import random as _r
-    total = os.cpu_count() or 32
-    start = _r.randrange(0, max(1, total - cpus + 1))
-    cmd = ["taskset", "-c", f"{start}-{start + cpus - 1}", sys.executable, "-c", code]
+    cmd = [sys.executable, "-c", code]
     out = subprocess.run(
         cmd, env=env, capture_output=True, text=True,
         timeout=2400,
