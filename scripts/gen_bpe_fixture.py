@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sifr_project_java_ontology_processing_spark.functions.bpe import (  # noqa: E402
     bpe_encode,
+    token_id_table,
     train_bpe,
 )
 
@@ -52,12 +53,18 @@ def main() -> None:
         for a, b in merges:
             f.write(f"{a} {b}\n")
 
+    vocab = token_id_table(merges)
     with open(os.path.join(OUT_DIR, "bpe_counts_sf001.csv"), "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["doc_id", "text_md5", "n_bpe_tokens"])
+        w.writerow(["doc_id", "text_md5", "n_bpe_tokens", "ids_md5"])
         for doc_id, text in rows:
             md5 = hashlib.md5((text or "").encode("utf-8")).hexdigest()
-            w.writerow([doc_id, md5, len(bpe_encode(text or "", merges))])
+            toks = bpe_encode(text or "", merges)
+            ids = ",".join(str(vocab[t]) for t in toks)
+            w.writerow([
+                doc_id, md5, len(toks),
+                hashlib.md5(ids.encode()).hexdigest(),
+            ])
     print(f"wrote {len(merges)} merges + {len(rows)} counts to {OUT_DIR}")
 
 

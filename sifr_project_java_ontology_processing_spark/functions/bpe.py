@@ -191,3 +191,55 @@ def fixture_counts_path() -> str:
         "fixtures",
         "bpe_counts_sf001.csv",
     )
+
+
+def token_id_table(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic symbol → id mapping: ids 0-255 are the raw bytes
+    (hex symbol of each byte), then one id per merge in rank order —
+    the standard BPE vocab layout, reproducible from the merges table
+    alone (no separate vocab artifact to ship)."""
+    vocab = {f"{b:02x}": b for b in range(256)}
+    for i, (a, b) in enumerate(merges):
+        vocab[a + b] = 256 + i
+    return vocab
+
+
+def bpe_token_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """→ (id, token_ids array<int>) — the full distributed encoder, the
+    actual training-data product (``bpe_token_count`` is its counting
+    twin; ``pack_sequences`` cuts sequences of exactly these ids).
+    Same Arrow/mapInPandas/broadcast/LRU shape as the counter; the
+    per-word cache stores the encoded id list."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(list(merges))
+    src = docs.select(F.col(id_col), F.col(text_col))
+    id_ddl = src.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_ddl}, {out_col} array<int>"
+
+    def _encode(it):
+        import pandas as pd
+
+        merges_l = bc.value
+        ranks = {p: i for i, p in enumerate(merges_l)}
+        vocab = token_id_table(merges_l)
+
+        @lru_cache(maxsize=1 << 18)
+        def word_ids(w: str) -> tuple[int, ...]:
+            return tuple(vocab[s] for s in bpe_encode_word(w, ranks))
+
+        for pdf in it:
+            ids = [
+                [i for w in pretokenize(t) for i in word_ids(w)]
+                if t is not None
+                else []
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: ids})
+
+    return src.mapInPandas(_encode, schema=schema)

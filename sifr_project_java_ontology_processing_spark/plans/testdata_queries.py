@@ -2425,7 +2425,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     fix = spark.read.csv(
         fixture_counts_path(),
         header=True,
-        schema="doc_id long, text_md5 string, n_bpe_tokens int",
+        schema="doc_id long, text_md5 string, n_bpe_tokens int, ids_md5 string",
     ).select("doc_id", "text_md5")
     cond = (F.col("d.doc_id") == F.col("f.doc_id")) & (
         F.md5(F.coalesce(F.col("d.text"), F.lit(""))) == F.col("f.text_md5")
@@ -2687,4 +2687,51 @@ def q_multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return decode_media(media, real_decoder).select(
         "media_id", "width", "height", "duration_ms"
+    )
+
+
+@register(
+    "bpe_token_ids",
+    f"""
+    WITH fixture AS (
+      SELECT doc_id, text_md5, ids_md5
+      FROM read_csv('{_bpe_counts_csv()}', header=true)
+    )
+    SELECT d.doc_id, f.ids_md5
+    FROM documents d
+    JOIN fixture f
+      ON f.doc_id = d.doc_id AND f.text_md5 = md5(coalesce(d.text, ''))
+    """,
+)
+def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE ENCODING gate (ids, not just counts): the distributed
+    encoder's token-id sequence per document, digested as
+    md5(comma-joined ids), vs the pure-Python reference encoding
+    committed in the fixture. Exercises the byte→merge→vocab-id path
+    end-to-end — an id-table regression (wrong rank order, missing
+    base-byte ids) hash-mismatches even when counts stay right."""
+    from sifr_project_java_ontology_processing_spark.functions.bpe import (
+        bpe_token_ids,
+        fixture_counts_path,
+        load_fixture_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fix = spark.read.csv(
+        fixture_counts_path(),
+        header=True,
+        schema="doc_id long, text_md5 string, n_bpe_tokens int, ids_md5 string",
+    ).select("doc_id", "text_md5")
+    cond = (F.col("d.doc_id") == F.col("f.doc_id")) & (
+        F.md5(F.coalesce(F.col("d.text"), F.lit(""))) == F.col("f.text_md5")
+    )
+    matched = (
+        docs.alias("d")
+        .join(F.broadcast(fix.alias("f")), cond, "left_semi")
+        .select("doc_id", "text")
+    )
+    ids = bpe_token_ids(matched, load_fixture_merges())
+    return ids.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.col("token_ids"))).alias("ids_md5"),
     )

@@ -125,3 +125,34 @@ def test_bpe_count_string_ids(spark):
     }
     assert set(got) == {"http://a/1", "http://a/2"}
     assert got["http://a/1"] == len(bpe_encode(CORPUS[0], merges))
+
+
+def test_token_ids_match_reference_and_roundtrip(spark):
+    """bpe_token_ids: vocab layout is 256 base bytes + one id per merge
+    rank; the distributed id stream equals the reference encoding and
+    decodes back to the pre-token byte stream."""
+    from sifr_project_java_ontology_processing_spark.functions.bpe import (
+        bpe_token_ids,
+        token_id_table,
+    )
+
+    merges = train_bpe(CORPUS, n_merges=40)
+    vocab = token_id_table(merges)
+    assert vocab["61"] == 0x61  # base byte ids are the byte values
+    assert min(v for k, v in vocab.items() if len(k) > 2) == 256
+    inv = {v: k for k, v in vocab.items()}
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)] + [(100, None), (101, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_token_ids(docs, merges).collect()
+    }
+    assert got[100] == [] and got[101] == []
+    for i, t in enumerate(CORPUS):
+        ref = [vocab[s] for s in bpe_encode(t, merges)]
+        assert got[i] == ref, i
+        decoded = bytes.fromhex("".join(inv[x] for x in got[i])).decode()
+        assert decoded == "".join(pretokenize(t))
