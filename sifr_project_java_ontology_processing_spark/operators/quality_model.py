@@ -105,7 +105,15 @@ def train_quality_weights(
     import math
 
     bias = math.log((counts["p"] + alpha) / (counts["n"] + alpha))
-    return weights, bias
+    # the weights table is a MODEL ARTIFACT (dimension-sized by
+    # contract): materialize it at training time so every downstream
+    # scoring job broadcasts a tiny computed table instead of re-running
+    # the training aggregation — and its corpus scans — per reference
+    from sifr_project_java_ontology_processing_spark.operators.materialize import (
+        materialize_once,
+    )
+
+    return materialize_once(weights), bias
 
 
 def score_quality_model(

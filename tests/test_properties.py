@@ -165,3 +165,44 @@ def test_rdfxml_parse_roundtrip_literals(rows):
     )
     got = [(s, p, o, lg, il) for s, p, o, lg, il, _src in _parse_rdfxml_bytes(doc.encode(), None)]
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=400))
+def test_bpe_encode_roundtrip_any_text(s):
+    """Byte-level BPE is lossless for ARBITRARY unicode: hex-joining
+    the encoded symbols reconstructs the exact UTF-8 bytes of the
+    pre-token stream, and every token is in the vocab id table."""
+    from sifr_project_java_ontology_processing_spark.functions.bpe import (
+        bpe_encode,
+        load_fixture_merges,
+        pretokenize,
+        token_id_table,
+    )
+
+    merges = load_fixture_merges()
+    toks = bpe_encode(s, merges)
+    assert bytes.fromhex("".join(toks)).decode("utf-8") == "".join(pretokenize(s))
+    vocab = token_id_table(merges)
+    assert all(t in vocab for t in toks)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_media_header_parsers_never_raise(data):
+    """image_dims / mp4_info are fed crawl bytes — arbitrary binary
+    must produce a clean result-or-None, never an exception."""
+    from sifr_project_java_ontology_processing_spark.operators.multimodal import (
+        image_dims,
+        mp4_info,
+    )
+
+    for fn in (image_dims, mp4_info):
+        out = fn(data)
+        assert out is None or isinstance(out, tuple)
+    # and with plausible magic prefixes grafted on
+    for magic in (b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"GIF89a",
+                  b"\x00\x00\x00\x14ftypisom"):
+        for fn in (image_dims, mp4_info):
+            out = fn(magic + data)
+            assert out is None or isinstance(out, tuple)
