@@ -182,3 +182,49 @@ def evaluate_quality_model(
         "recall": (tp / ap) if ap else 0.0,
         "n": float(n),
     }
+
+
+def weights_as_dict(weights: DataFrame) -> dict[str, float]:
+    """Collect the (dimension-sized) weights table into the plain-dict
+    model form ``score_quality_inline`` ships as a literal."""
+    return {r["token"]: r["weight"] for r in weights.collect()}
+
+
+def score_quality_inline(
+    docs: DataFrame,
+    weights: dict[str, float],
+    bias: float,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    score_col: str = "model_quality",
+    flag_col: str = "is_good",
+) -> DataFrame:
+    """Per-ROW scorer: same model, zero shuffle — appends
+    (model_quality, is_good) columns instead of aggregating.
+
+    The weights ride as a constant-folded ``map_from_arrays`` literal
+    and the per-doc sum is an ``F.aggregate`` fold over the SAME
+    ``_features`` expression the trainer uses, so scores are equal to
+    ``score_quality_model``'s by construction (parity-gated in
+    test_quality_model). Because there is no groupBy, this form drops
+    straight into a STREAMING query (the grouped scorer would be a
+    stateful streaming aggregation); it is also the cheapest batch
+    shape when the vocabulary is literal-sized (≲100k features — above
+    that, use the broadcast-join scorer)."""
+    if weights:
+        keys = sorted(weights)
+        wmap = F.map_from_arrays(
+            F.lit([k for k in keys]),
+            F.lit([float(weights[k]) for k in keys]),
+        )
+        z = F.aggregate(
+            _features(F.col(text_col)),
+            F.lit(0.0),
+            lambda acc, f: acc + F.coalesce(wmap[f], F.lit(0.0)),
+        )
+    else:
+        z = F.lit(0.0)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + z)))
+    return docs.withColumn(score_col, F.round(score, 6)).withColumn(
+        flag_col, score > threshold
+    )

@@ -106,6 +106,9 @@ def streaming_curate(
     min_stopword_ratio: float = 0.05,
     allowed_langs: tuple[str, ...] = ("en",),
     watermark: str = "1 hour",
+    model_weights: dict[str, float] | None = None,
+    model_bias: float = 0.0,
+    model_threshold: float = 0.5,
 ) -> DataFrame:
     """Streaming ingest curation: the stateless curation signals
     (quality + language — the same expressions batch ``curate_corpus``
@@ -113,12 +116,22 @@ def streaming_curate(
     dedup within the watermark horizon. → the KEPT stream with a
     ``drop_reason``-free contract (dropped rows never emit).
 
+    ``model_weights`` (+ ``model_bias``/``model_threshold``) optionally
+    adds the MODEL-BASED quality gate to the ingest stream: the
+    trained NB log-odds classifier scored per row by
+    ``quality_model.score_quality_inline`` — a constant-folded literal
+    map and an ``F.aggregate`` fold, NO groupBy, so it drops into the
+    stream as a stateless stage (the grouped batch scorer would be a
+    stateful streaming aggregation). Train batch-side on a labeled
+    sample, ship ``weights_as_dict(weights)`` here.
+
     State shape: the only state is the dedup hash set, bounded by the
-    watermark exactly as in ``streaming_exact_dedup``; quality/lang are
-    pure column expressions. Benchmark decontamination is deliberately
-    NOT here — it needs the corpus-vs-benchmark join, which belongs to
-    the batch compaction pass (streams curate what CAN be decided per
-    row + bounded state; the nightly batch decontaminates)."""
+    watermark exactly as in ``streaming_exact_dedup``; quality/lang/
+    model score are pure column expressions. Benchmark decontamination
+    is deliberately NOT here — it needs the corpus-vs-benchmark join,
+    which belongs to the batch compaction pass (streams curate what CAN
+    be decided per row + bounded state; the nightly batch
+    decontaminates)."""
     from sifr_project_java_ontology_processing_spark.operators.curation import (
         STOPWORDS,
     )
@@ -134,10 +147,19 @@ def streaming_curate(
     quality_ok = (n_tok >= min_tokens) & (stop_ratio >= min_stopword_ratio)
     pred_lang, _hits = lang_pred_cols(F.col(text_col))
 
+    out = docs_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")).where(
+        quality_ok & pred_lang.isin(*allowed_langs)
+    )
+    if model_weights is not None:
+        from sifr_project_java_ontology_processing_spark.operators.quality_model import (
+            score_quality_inline,
+        )
+
+        out = score_quality_inline(
+            out, model_weights, model_bias, text_col, model_threshold
+        ).where(F.col("is_good")).drop("is_good")
     return (
-        docs_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-        .where(quality_ok & pred_lang.isin(*allowed_langs))
-        .withColumn("text_hash", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+        out.withColumn("text_hash", F.md5(F.coalesce(F.col(text_col), F.lit(""))))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["text_hash"])
     )

@@ -125,3 +125,42 @@ def test_evaluate_empty_golden_reports_zero_not_crash(spark):
     golden = spark.createDataFrame([(999, 1)], "doc_id long, label int")
     m = evaluate_quality_model(scored, golden)
     assert m == {"accuracy": 0.0, "precision": 0.0, "recall": 0.0, "n": 0.0}
+
+
+def test_inline_scorer_matches_grouped_scorer(spark):
+    """score_quality_inline (constant-folded map literal + F.aggregate
+    fold, zero shuffle) must produce the SAME scores as the grouped
+    broadcast-join scorer — same model, two physical shapes."""
+    from sifr_project_java_ontology_processing_spark.operators.quality_model import (
+        score_quality_inline,
+        weights_as_dict,
+    )
+
+    train = _labeled(spark, GOOD[:4], BAD[:4])
+    weights, bias = train_quality_weights(train)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(GOOD + BAD)] + [(99, None), (98, "")],
+        "doc_id long, text string",
+    )
+    grouped = {
+        r["doc_id"]: (r["model_quality"], r["is_good"])
+        for r in score_quality_model(docs, weights, bias).collect()
+    }
+    wd = weights_as_dict(weights)
+    inline = {
+        r["doc_id"]: (r["model_quality"], r["is_good"])
+        for r in score_quality_inline(docs, wd, bias).select(
+            "doc_id", "model_quality", "is_good"
+        ).collect()
+    }
+    assert set(inline) == set(grouped)
+    for k in grouped:
+        assert inline[k][0] == pytest.approx(grouped[k][0], abs=2e-6), k
+        assert inline[k][1] == grouped[k][1], k
+    # empty weights dict: score == sigmoid(bias), nothing passes strict
+    none_scored = score_quality_inline(docs, {}, 0.0).collect()
+    assert all(not r["is_good"] for r in none_scored)
+    # inline scoring is shuffle-free (streamable): no Exchange at all
+    plan = score_quality_inline(docs, wd, bias)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan, plan

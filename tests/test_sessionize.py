@@ -256,3 +256,60 @@ def test_streaming_curate_restart_exactly_once(spark, tmp_path):
     got = [r["doc_id"] for r in spark.read.parquet(out).collect()]
     assert sorted(got) == [0, 3, 5], got
     assert len(got) == len(set(got)), f"row emitted twice: {got}"
+
+
+def test_streaming_curate_with_model_gate(spark, tmp_path):
+    """The trained quality model rides INTO the ingest stream as a
+    stateless per-row stage: gibberish that passes the heuristic
+    token-count/stopword checks is still dropped by the classifier."""
+    import datetime as dt
+
+    from sifr_project_java_ontology_processing_spark.operators.quality_model import (
+        train_quality_weights,
+        weights_as_dict,
+    )
+    from sifr_project_java_ontology_processing_spark.streaming.jobs import (
+        streaming_curate,
+    )
+
+    good = "the patient shows a stable result and the exam of the findings was good"
+    # known-bad vocabulary padded with stopwords so the HEURISTIC
+    # token-count/stopword-ratio checks pass it — only the classifier
+    # (negative weights on the spam tokens and their trigrams) drops it
+    tricky = ("zzq wvu ttk ssj rrh qqg ppf ooe zzq wvu ttk ssj "
+              "aa1 bb2 cc3 dd4 the a of and to the a of and to")
+    labeled = spark.createDataFrame(
+        [(1, good, 1), (2, "the quick brown fox jumps over the lazy dog today", 1),
+         (3, "zzq wvu ttk ssj rrh qqg ppf ooe", 0),
+         (4, "aa1 bb2 cc3 dd4 ee5 ff6 gg7 hh8", 0)],
+        "doc_id long, text string, label int",
+    )
+    weights, bias = train_quality_weights(labeled)
+    wd = weights_as_dict(weights)
+
+    base = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [(0, base, good), (1, base + dt.timedelta(minutes=1), tricky)]
+    src = str(tmp_path / "msrc")
+    spark.createDataFrame(rows, "doc_id long, ts timestamp, text string").write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).format(
+        "parquet"
+    ).load(src)
+
+    def build(s):
+        return streaming_curate(
+            s, min_tokens=10, allowed_langs=("en",),
+            model_weights=wd, model_bias=bias,
+        )
+
+    q = (
+        build(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "mout"))
+        .option("checkpointLocation", str(tmp_path / "mckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r["doc_id"] for r in spark.read.parquet(str(tmp_path / "mout")).collect()]
+    assert got == [0], got  # heuristics alone would have kept doc 1
