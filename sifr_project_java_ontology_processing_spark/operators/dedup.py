@@ -529,3 +529,72 @@ def fuzzy_decontaminate(
             ),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    out_sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-level (line-level) exact dedup across the corpus —
+    the RefinedWeb/CCNet pass that strips boilerplate paragraphs
+    repeated across pages while keeping each paragraph's FIRST global
+    occurrence (ordered by (id, position); O3 determinism).
+
+    → one row per input doc (no silent row loss — module philosophy):
+    (id, n_paras, n_kept, text_dedup). Docs whose every paragraph is
+    a repeat elsewhere come back with text_dedup = ''.
+
+    Scale: paragraphs explode map-side; the keeper is ONE partial-agg
+    min per normalized paragraph hash (skew-safe: hot boilerplate
+    keys combine map-side); the keep decision is a LEFT-SEMI join on
+    the full (hash, id, pos) triple — unique per row, so the shuffle
+    key is NOT the hot paragraph hash; reassembly is one groupBy(id)
+    with sort_array (order restored without a window). ``sep`` is a
+    Java regex (F.split semantics).
+    """
+    para = F.col("_para")
+    key = F.md5(F.lower(F.trim(para)))
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+        )
+        .where(F.trim(para) != "")
+        .select(F.col(id_col), "_pos", "_para", key.alias("_pkey"))
+    )
+    paras = materialize_once(paras)
+    keepers = (
+        paras.groupBy("_pkey")
+        .agg(F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_k"))
+        .select(
+            "_pkey",
+            F.col(f"_k.{id_col}").alias(id_col),
+            F.col("_k._pos").alias("_pos"),
+        )
+    )
+    kept = paras.join(keepers, ["_pkey", id_col, "_pos"], "left_semi")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"],
+            ),
+            out_sep,
+        ).alias("text_dedup"),
+    )
+    n_paras = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        docs.select(id_col)
+        .join(n_paras, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )

@@ -1,0 +1,135 @@
+"""Graph analytics over the constructed KG edge list.
+
+The north-star pipeline materializes nodes/edges tables
+(sources/graph_sink.py); downstream KG consumers want salience and
+degree diagnostics over them. Reference analog: the reference's Jena
+models support graph traversal; its metrics CSVs report per-class
+counts (MetricsWriter usage in OntologyCUIProcessor.java) — degree
+stats are the distributed twin. PageRank is the classic entity-
+salience score for canonical-IRI ranking.
+
+Scale design:
+
+* ``pagerank`` is the iterative-DataFrame-joins shape the north star
+  names for CC: edges are hash-REPARTITIONED ON ``src`` ONCE and
+  persisted, so every iteration's contribution join shuffles only the
+  (node, rank) frame — the big edge relation stays put (on a real
+  cluster, write the edge table bucketed by src and even that one-time
+  shuffle disappears). Out-degrees are folded into the persisted edge
+  frame so each iteration is scan→join→partial-agg→union, nothing
+  else.
+* Each iteration ends with ``localCheckpoint(eager=True)`` — lineage
+  is cut exactly like canonicalize.connected_components, so 20
+  iterations do not build a 20-deep plan (Catalyst analysis time and
+  task binary size stay O(1) per iteration).
+* Dangling nodes (no out-edges) follow the classic Spark-example
+  formulation: their mass is not redistributed; every node keeps the
+  (1-d) teleport floor via the left join. This keeps the iteration a
+  pure equi-join + partial agg (no global sum barrier per iteration)
+  and is the standard large-scale approximation.
+* ``degree_stats`` / ``degree_histogram`` are single partial-agg
+  passes (map-side combine), skew-safe by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns (node, rank). rank_0 = 1.0 for every node;
+    rank_{t+1}(n) = (1-d) + d * sum_{m->n} rank_t(m) / outdeg(m).
+    Deterministic: no sampling, no float order-dependence beyond
+    Spark's partial-agg sum (commutative over doubles produced from
+    identical partitioning — the registry oracle rounds).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if partitions:
+        e = e.repartition(partitions, "src")
+    else:
+        e = e.repartition("src")
+    # fold out-degree into the resident edge frame: one wide edge
+    # relation, shuffled once, reused every iteration
+    out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    e = e.join(out_deg, "src").persist()
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def degree_stats(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node (node, out_degree, in_degree, degree). One shuffle:
+    the union is exploded map-side into (node, is_out) and partially
+    aggregated before exchange."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    tagged = e.select(
+        F.col("src").alias("node"), F.lit(1).alias("_o"), F.lit(0).alias("_i")
+    ).unionByName(
+        e.select(F.col("dst").alias("node"), F.lit(0).alias("_o"), F.lit(1).alias("_i"))
+    )
+    return tagged.groupBy("node").agg(
+        F.sum("_o").alias("out_degree"),
+        F.sum("_i").alias("in_degree"),
+        (F.sum("_o") + F.sum("_i")).alias("degree"),
+    )
+
+
+def degree_histogram(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(degree, n_nodes) distribution — the KG-quality diagnostic
+    (power-law head = hub entities needing salt; see
+    canonicalize.salted_count)."""
+    return (
+        degree_stats(edges, src=src, dst=dst)
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
+def triples_to_edges(triples: DataFrame, *, preds: list[str] | None = None) -> DataFrame:
+    """Project a triples frame (schemas.TRIPLES) to a (src, dst) edge
+    list: IRI→IRI statements only (literals are node attributes, not
+    edges), optionally restricted to a predicate whitelist — the
+    pushdown-friendly shape graph_sink partitions by."""
+    e = triples.where(~F.col("obj_is_literal"))
+    if preds is not None:
+        e = e.where(F.col("pred").isin(preds))
+    return e.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))

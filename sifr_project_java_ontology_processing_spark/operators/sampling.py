@@ -232,3 +232,48 @@ def pack_sequences(
         (F.col("_s") % budget).alias("start_offset"),
         F.expr(f"_e div {budget}").alias("end_seq"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into token-window chunks of ``max_tokens``
+    whitespace tokens with ``overlap`` tokens of left context — the
+    long-document shaping pass before embedding / context-window-bound
+    training (pack_sequences' complement: that concatenates short docs,
+    this splits long ones).
+
+    → (id, chunk_id, n_chunk_tokens, chunk_text); chunk_id is 0-based,
+    deterministic, and chunks preserve token order. Empty docs yield
+    one empty chunk (no silent row loss).
+
+    Scale: pure Catalyst — tokenize once, ONE posexplode of a
+    sequence() of window starts, slice + concat_ws per chunk. Map-only
+    (zero shuffle); output row count is input tokens / stride, so the
+    explode amplification is bounded by the data itself. No UDF, no
+    window function, no driver loop.
+    """
+    if not (0 <= overlap < max_tokens):
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # window starts: 1, 1+stride, ... (1-based slice); ceil via div
+    n_chunks = F.greatest(
+        F.expr(f"(size(_toks) - {overlap} + {stride} - 1) div {stride}"), F.lit(1)
+    )
+    base = docs.select(F.col(id_col), toks.alias("_toks")).select(
+        F.col(id_col),
+        "_toks",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_c"),
+    )
+    chunk_toks = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, max_tokens)
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk_toks).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk_toks).alias("chunk_text"),
+    )

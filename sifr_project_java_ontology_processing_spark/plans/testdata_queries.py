@@ -2735,3 +2735,290 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.concat_ws(",", F.col("token_ids"))).alias("ids_md5"),
     )
+
+
+# ===========================================================================
+# Round 4 (cont.): SPARQL BGP, graph analytics, paragraph dedup, chunking
+# ===========================================================================
+
+_BGP_SPARQL = """
+PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+PREFIX ex: <http://ex/p/>
+SELECT ?n ?nl ?rl WHERE {
+  ?n a skos:Concept .
+  ?n skos:prefLabel ?nl .
+  ?n ex:region ?r .
+  ?r skos:prefLabel ?rl .
+  FILTER(regex(?nl, "A"))
+}
+"""
+
+
+@register(
+    "sparql_bgp",
+    """
+    SELECT 'http://ex/n/' || n_name AS n,
+           n_name AS nl,
+           r_name AS rl
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE regexp_matches(n_name, 'A')
+    """,
+)
+def q_sparql_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BGP subset executor (plans/bgp.py — the Jena-ARQ query
+    capability the reference gets for free): a 4-pattern star+chain
+    query with a FILTER, parsed from SPARQL text and compiled to
+    constant-pushed scans + shared-variable equi-joins in greedy
+    connectivity order. The triples frame is built declaratively from
+    nation/region; the oracle replays the query relationally."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    SKOS = "http://www.w3.org/2004/02/skos/core#"
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    n_iri = F.concat(F.lit("http://ex/n/"), F.col("n_name"))
+    r_iri = F.concat(F.lit("http://ex/r/"), F.col("n_regionkey").cast("string"))
+    rr_iri = F.concat(F.lit("http://ex/r/"), F.col("r_regionkey").cast("string"))
+
+    def trip(subj, pred, obj, lit: bool, lang=None):
+        return F.struct(
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+            (F.lit(lang) if lang else F.lit(None).cast("string")).alias("obj_lang"),
+            F.lit(lit).alias("obj_is_literal"),
+        )
+
+    nt = n.select(
+        F.explode(
+            F.array(
+                trip(n_iri, f"{RDF}type", F.lit(f"{SKOS}Concept"), False),
+                trip(n_iri, f"{SKOS}prefLabel", F.col("n_name"), True, "en"),
+                trip(n_iri, "http://ex/p/region", r_iri, False),
+            )
+        ).alias("t")
+    ).select("t.*")
+    rt = r.select(
+        trip(rr_iri, f"{SKOS}prefLabel", F.col("r_name"), True, "en").alias("t")
+    ).select("t.*")
+    triples = nt.unionByName(rt)
+    return execute_bgp(triples, _BGP_SPARQL)
+
+
+# deterministic KG-shaped edge list over lineitem: supplier→part
+# (bipartite bulk), part→group hub (skewed in-degree), hub→supplier
+# (closes cycles). Disjoint node namespaces by prefix.
+_PR_EDGES_SQL = """
+      SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                      'p:' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR),
+                      'g:' || CAST(l_partkey % 50 AS VARCHAR)
+      FROM lineitem
+      UNION
+      SELECT DISTINCT 'g:' || CAST(l_partkey % 50 AS VARCHAR),
+                      's:' || CAST((l_partkey % 50) * 2 % 100 AS VARCHAR)
+      FROM lineitem
+"""
+
+
+def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    p = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+    g = F.concat(F.lit("g:"), (F.col("l_partkey") % 50).cast("string"))
+    s2 = F.concat(
+        F.lit("s:"), ((F.col("l_partkey") % 50) * 2 % 100).cast("string")
+    )
+    return (
+        li.select(s.alias("src"), p.alias("dst"))
+        .unionByName(li.select(p.alias("src"), g.alias("dst")))
+        .unionByName(li.select(g.alias("src"), s2.alias("dst")))
+        .distinct()
+    )
+
+
+@register(
+    "graph_pagerank",
+    f"""
+    WITH e AS ({_PR_EDGES_SQL}),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+    c1 AS (SELECT e.dst AS node, sum(r0.rank / deg.d) AS m
+           FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r1 AS (SELECT n.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * coalesce(c1.m, 0)
+                    AS rank
+           FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+    c2 AS (SELECT e.dst AS node, sum(r1.rank / deg.d) AS m
+           FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r2 AS (SELECT n.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * coalesce(c2.m, 0)
+                    AS rank
+           FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
+    c3 AS (SELECT e.dst AS node, sum(r2.rank / deg.d) AS m
+           FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r3 AS (SELECT n.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * coalesce(c3.m, 0)
+                    AS rank
+           FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
+    SELECT node, round(rank, 6) AS rank FROM r3
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-salience PageRank over a KG-shaped edge list (north-star
+    'iterative DataFrame self-joins with checkpointing', the CC
+    sibling): 3 fixed iterations, damping 0.85, dangling mass not
+    redistributed (classic Spark formulation). Edges are repartitioned
+    on src ONCE and persisted with out-degree folded in; each
+    iteration shuffles only the rank frame and cuts lineage via
+    localCheckpoint. The oracle unrolls the same 3 iterations as CTEs."""
+    from sifr_project_java_ontology_processing_spark.operators.graph import pagerank
+
+    ranks = pagerank(_pr_edges(spark, sf_dir), iterations=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "graph_degree_stats",
+    f"""
+    WITH e AS ({_PR_EDGES_SQL}),
+    tagged AS (
+      SELECT src AS node, 1 AS o, 0 AS i FROM e
+      UNION ALL
+      SELECT dst, 0, 1 FROM e
+    ),
+    ds AS (SELECT node, CAST(sum(o) + sum(i) AS BIGINT) AS degree
+           FROM tagged GROUP BY node)
+    SELECT degree, count(*) AS n_nodes FROM ds GROUP BY degree
+    """,
+)
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram over the same KG edge list — the hub/power-law
+    diagnostic that decides where salting is needed. One partial-agg
+    pass for per-node degrees, one for the histogram."""
+    from sifr_project_java_ontology_processing_spark.operators.graph import (
+        degree_histogram,
+    )
+
+    h = degree_histogram(_pr_edges(spark, sf_dir))
+    return h.select(
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+    )
+
+
+@register(
+    "paragraph_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT)),
+                            i -> array_to_string(t[i*10+1:i*10+10], ' ')) AS gs
+      FROM toks
+    ),
+    flat0 AS (
+      SELECT doc_id, unnest(list_transform(gs, (g, i) -> {'pos': i - 1, 'para': g})) AS u
+      FROM segs
+    ),
+    flat AS (
+      SELECT doc_id, u.pos AS pos, u.para AS para,
+             md5(lower(trim(u.para))) AS k
+      FROM flat0 WHERE trim(u.para) <> ''
+    ),
+    kept AS (
+      SELECT doc_id, pos, para FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+        FROM flat
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(para, chr(10) ORDER BY pos) AS txt
+      FROM kept GROUP BY doc_id
+    ),
+    np AS (SELECT doc_id, count(*) AS n_paras FROM flat GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(np.n_paras, 0) AS n_paras,
+           coalesce(agg.n_kept, 0) AS n_kept,
+           md5(coalesce(agg.txt, '')) AS dedup_hash
+    FROM documents d
+    LEFT JOIN np USING (doc_id) LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level keep-first-occurrence dedup (RefinedWeb/CCNet
+    line dedup): documents are re-segmented into 10-token paragraphs
+    (synthetic docs are single-line), then ``dedup.paragraph_dedup``
+    keeps each normalized paragraph's first global (doc_id, pos)
+    occurrence and reassembles the doc. Every input doc survives
+    (possibly empty); compare is md5(text_dedup)."""
+    from sifr_project_java_ontology_processing_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    nseg = F.expr("CAST(ceil(size(_t) / 10.0) AS INT)")
+    segs = docs.select(F.col("doc_id"), toks.alias("_t")).select(
+        "doc_id",
+        F.when(
+            F.size("_t") > 0,
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i * 10 + 1, 10)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_gs"),
+    )
+    view = segs.select("doc_id", F.array_join("_gs", "\n").alias("text"))
+    out = paragraph_dedup(view, id_col="doc_id", text_col="text", sep="\n")
+    return out.select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5("text_dedup").alias("dedup_hash"),
+    )
+
+
+@register(
+    "doc_chunks",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, t,
+             unnest(range(0, greatest((len(t) - 8 + 23) // 24, 1))) AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id, chunk_id,
+           len(t[chunk_id*24+1:chunk_id*24+32]) AS n_chunk_tokens,
+           array_to_string(t[chunk_id*24+1:chunk_id*24+32], ' ') AS chunk_text
+    FROM ch
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking (sampling.chunk_documents):
+    32-token chunks with 8 tokens of overlap (stride 24) — the
+    long-document shaping pass before embedding. Pure Catalyst
+    map-only plan; the oracle replays the same slicing (Spark slice
+    is (start, LENGTH) 1-based; DuckDB t[a:b] is end-inclusive)."""
+    from sifr_project_java_ontology_processing_spark.operators.sampling import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=32, overlap=8)

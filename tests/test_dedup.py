@@ -167,3 +167,41 @@ def test_fuzzy_decontaminate_semantics(spark):
     assert got[1] == (1.0, True)
     assert got[2][1] and 0.5 <= got[2][0] < 1.0
     assert got[3] == (0.0, False)
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from sifr_project_java_ontology_processing_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\nshared para\nbeta two"),
+            (2, "shared para\ngamma three"),
+            (3, "SHARED PARA  \nalpha one"),  # normalized dup of doc 1's paras
+            (4, ""),  # empty doc must survive
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["text_dedup"] == "alpha one\nshared para\nbeta two"
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (3, 3)
+    assert out[2]["text_dedup"] == "gamma three"
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (2, 1)
+    assert out[3]["text_dedup"] == ""  # both paras are normalized repeats
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (2, 0)
+    assert (out[4]["n_paras"], out[4]["n_kept"], out[4]["text_dedup"]) == (0, 0, "")
+
+
+def test_paragraph_dedup_order_restored_within_doc(spark):
+    from sifr_project_java_ontology_processing_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "z last\na first\nm mid")], "doc_id long, text string"
+    )
+    out = paragraph_dedup(docs).collect()[0]
+    assert out["text_dedup"] == "z last\na first\nm mid"

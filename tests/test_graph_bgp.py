@@ -1,0 +1,232 @@
+"""Graph analytics (operators/graph.py) + SPARQL BGP executor
+(plans/bgp.py) tests: pagerank vs a pure-Python reference, degree
+stats, parser unit coverage, executor semantics, and plan shape
+(no cartesian for connected BGPs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sifr_project_java_ontology_processing_spark.operators.graph import (
+    degree_histogram,
+    degree_stats,
+    pagerank,
+    triples_to_edges,
+)
+from sifr_project_java_ontology_processing_spark.plans.bgp import (
+    Term,
+    execute_bgp,
+    parse_sparql,
+)
+
+EDGES = [
+    ("a", "b"),
+    ("a", "c"),
+    ("b", "c"),
+    ("c", "a"),
+    ("d", "c"),  # d dangling-in only; no in-edges
+]
+
+
+def _py_pagerank(edges, iters=3, d=0.85):
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        contrib = {n: 0.0 for n in nodes}
+        for s, t in edges:
+            contrib[t] += rank[s] / out[s]
+        rank = {n: (1.0 - d) + d * contrib[n] for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_reference(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=3).collect()}
+    want = _py_pagerank(EDGES)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+
+
+def test_pagerank_dangling_node_keeps_teleport_floor(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=5).collect()}
+    # d has no in-edges: rank must be exactly the teleport floor
+    assert got["d"] == pytest.approx(1.0 - 0.85, abs=1e-12)
+
+
+def test_degree_stats_and_histogram(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    ds = {r["node"]: (r["out_degree"], r["in_degree"]) for r in degree_stats(df).collect()}
+    assert ds == {
+        "a": (2, 1),
+        "b": (1, 1),
+        "c": (1, 3),
+        "d": (1, 0),
+    }
+    hist = {r["degree"]: r["n_nodes"] for r in degree_histogram(df).collect()}
+    assert hist == {3: 1, 2: 1, 4: 1, 1: 1}
+
+
+def test_triples_to_edges_drops_literals_and_filters_preds(spark):
+    t = spark.createDataFrame(
+        [
+            ("s1", "p1", "o1", None, False),
+            ("s2", "p1", "lit", None, True),
+            ("s3", "p2", "o3", None, False),
+        ],
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+    assert triples_to_edges(t).count() == 2
+    only_p1 = triples_to_edges(t, preds=["p1"]).collect()
+    assert [(r["src"], r["dst"]) for r in only_p1] == [("s1", "o1")]
+
+
+# ---------------------------------------------------------------------------
+# BGP parser
+# ---------------------------------------------------------------------------
+
+
+def test_parse_basic_patterns_and_modifiers():
+    q = parse_sparql(
+        """
+        PREFIX ex: <http://ex/>
+        SELECT DISTINCT ?s ?o WHERE {
+          ?s a ex:Thing .
+          ?s ex:p ?o .
+          FILTER(regex(?o, "^x"))
+        } ORDER BY ?s LIMIT 7
+        """
+    )
+    assert q.select == ["s", "o"]
+    assert q.distinct and q.limit == 7 and q.order_by == [("s", True)]
+    assert len(q.patterns) == 2
+    s0, p0, o0 = q.patterns[0]
+    assert s0 == Term("var", "s")
+    assert p0.value.endswith("#type")
+    assert o0 == Term("iri", "http://ex/Thing")
+    assert q.filters == ["(`o` RLIKE '^x')"]
+
+
+def test_parse_semicolon_comma_continuations_and_literals():
+    q = parse_sparql(
+        """
+        SELECT * WHERE {
+          <http://a> <http://p> "v"@en ; <http://q> ?x , 5 .
+        }
+        """
+    )
+    assert len(q.patterns) == 3
+    assert q.patterns[0][2] == Term("literal", "v", "en")
+    assert q.patterns[1][1] == Term("iri", "http://q")
+    assert q.patterns[2][2] == Term("literal", "5")
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?x WHERE { }")
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?x WHERE { ?x unknownpfx:y ?z . }")
+
+
+# ---------------------------------------------------------------------------
+# BGP executor
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_triples(spark):
+    SKOS = "http://www.w3.org/2004/02/skos/core#"
+    RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        ("n1", RDF_T, f"{SKOS}Concept", None, False),
+        ("n1", f"{SKOS}prefLabel", "alpha", "en", True),
+        ("n1", "http://ex/region", "r1", None, False),
+        ("n2", RDF_T, f"{SKOS}Concept", None, False),
+        ("n2", f"{SKOS}prefLabel", "beta", "en", True),
+        ("n2", "http://ex/region", "r2", None, False),
+        ("n3", RDF_T, f"{SKOS}Concept", None, False),  # no label, no region
+        ("r1", f"{SKOS}prefLabel", "west", "en", True),
+        ("r2", f"{SKOS}prefLabel", "east", "en", True),
+        ("r2", f"{SKOS}prefLabel", "est", "fr", True),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+
+
+def test_bgp_star_chain_join(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n ?nl ?rl WHERE {
+          ?n a skos:Concept .
+          ?n skos:prefLabel ?nl .
+          ?n <http://ex/region> ?r .
+          ?r skos:prefLabel ?rl .
+        } ORDER BY ?n
+        """,
+    ).collect()
+    got = [(r["n"], r["nl"], r["rl"]) for r in out]
+    assert got == [
+        ("n1", "alpha", "west"),
+        ("n2", "beta", "east"),
+        ("n2", "beta", "est"),
+    ]
+
+
+def test_bgp_literal_lang_constant_and_filter(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?r WHERE { ?r skos:prefLabel "est"@fr . }
+        """,
+    ).collect()
+    assert [r["r"] for r in out] == ["r2"]
+    out2 = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n WHERE {
+          ?n skos:prefLabel ?l . FILTER(regex(?l, "a$") && ?l != "beta")
+        }
+        """,
+    ).collect()
+    assert [r["n"] for r in out2] == ["n1"]
+
+
+def test_bgp_connected_plan_has_no_cartesian(tiny_triples):
+    df = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n ?nl ?rl WHERE {
+          ?n skos:prefLabel ?nl .
+          ?n <http://ex/region> ?r .
+          ?r skos:prefLabel ?rl .
+        }
+        """,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_bgp_repeated_var_in_pattern(spark):
+    t = spark.createDataFrame(
+        [("x", "p", "x", None, False), ("x", "p", "y", None, False)],
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+    out = execute_bgp(t, "SELECT ?s WHERE { ?s <p> ?s . }").collect()
+    assert [r["s"] for r in out] == ["x"]
+
+
+def test_bgp_unbound_select_var_raises(tiny_triples):
+    with pytest.raises(ValueError, match="not bound"):
+        execute_bgp(tiny_triples, "SELECT ?zzz WHERE { ?s <http://ex/region> ?r . }")

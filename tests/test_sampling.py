@@ -154,3 +154,80 @@ def test_pack_sequences_null_text_is_zero_tokens(spark):
     }
     assert got[2] == (0, 0, 2, 0)
     assert got[3] == (3, 0, 2, 1)  # NOT shifted by a phantom -1
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from sifr_project_java_ontology_processing_spark.operators.sampling import (
+        chunk_documents,
+    )
+
+    toks = [f"t{i}" for i in range(10)]
+    docs = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(docs, max_tokens=4, overlap=1).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # stride 3: starts 0,3,6 -> ceil((10-1)/3)=3 chunks
+    assert [r["chunk_text"] for r in out] == [
+        "t0 t1 t2 t3",
+        "t3 t4 t5 t6",
+        "t6 t7 t8 t9",
+    ]
+    assert [r["n_chunk_tokens"] for r in out] == [4, 4, 4]
+
+
+def test_chunk_documents_tail_and_empty(spark):
+    from sifr_project_java_ontology_processing_spark.operators.sampling import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, max_tokens=3, overlap=0)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert rows[(1, 0)]["chunk_text"] == "a b c"
+    assert rows[(1, 1)]["chunk_text"] == "d e"
+    assert rows[(1, 1)]["n_chunk_tokens"] == 2
+    # empty doc -> exactly one empty chunk (no silent row loss)
+    assert rows[(2, 0)]["chunk_text"] == "" and rows[(2, 0)]["n_chunk_tokens"] == 0
+    assert len(rows) == 3
+
+
+def test_chunk_documents_coverage_identity(spark):
+    """Concatenating stride-window heads reconstructs the doc: chunks
+    cover every token exactly once at overlap=0."""
+    from sifr_project_java_ontology_processing_spark.operators.sampling import (
+        chunk_documents,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(i))) for i in range(1, 30)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=7, overlap=0)
+    rebuilt = (
+        out.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_id", "chunk_text"))
+                        ),
+                        lambda s: F.split(s["chunk_text"], " "),
+                    )
+                ),
+                " ",
+            ).alias("re")
+        )
+    )
+    joined = docs.join(rebuilt, "doc_id")
+    bad = joined.where(F.col("re") != F.col("text")).count()
+    assert bad == 0
