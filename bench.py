@@ -44,6 +44,8 @@ HEADLINE = [
     "fuzzy_decontaminate",  # round 4: candidate-pruned shingle verify
     "model_quality_score",  # round 4: NB log-odds subword classifier
     "ann_ivf_kmeans_topk",  # round 4: trained-codebook IVF search
+    "graph_pagerank",       # round 4: iterative-join entity salience
+    "paragraph_dedup",      # round 4: keep-first paragraph dedup
 ]
 
 
