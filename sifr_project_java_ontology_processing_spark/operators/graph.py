@@ -45,6 +45,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     partitions: int | None = None,
+    eager_checkpoint: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -53,16 +54,34 @@ def pagerank(
     Deterministic: no sampling, no float order-dependence beyond
     Spark's partial-agg sum (commutative over doubles produced from
     identical partitioning — the registry oracle rounds).
+
+    The resident edge frame pays exactly ONE exchange: repartition on
+    src, then out-degree via a whole-partition window (a local sort,
+    no groupBy+join-back), persisted. Each iteration shuffles only the
+    rank frame onto that partitioning. localCheckpoint per iteration
+    cuts lineage; it is LAZY by default (checkpoints materialize
+    bottom-up on the first action — one job instead of one per
+    iteration). Set ``eager_checkpoint=True`` for very deep iteration
+    counts where logical-plan depth itself becomes a cost.
     """
+    from pyspark.sql import Window
+
+    # pin ONE partition count for the whole loop: the cached edge frame
+    # and the per-iteration rank exchange must agree, or EnsureRequirements
+    # re-shuffles the (big) cached side every iteration — the exact
+    # mismatch AQE's high initialPartitionNum would otherwise create
+    n_part = partitions or int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    if partitions:
-        e = e.repartition(partitions, "src")
-    else:
-        e = e.repartition("src")
-    # fold out-degree into the resident edge frame: one wide edge
-    # relation, shuffled once, reused every iteration
-    out_deg = e.groupBy("src").agg(F.count("*").alias("_deg"))
-    e = e.join(out_deg, "src").persist()
+    # out-degree folded in with a window over the partitioning we just
+    # created: no extra exchange, one wide edge relation reused every
+    # iteration
+    e = (
+        e.repartition(n_part, "src")
+        .withColumn("_deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .persist()
+    )
 
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -73,7 +92,10 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iterations):
         contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            e.join(
+                ranks.withColumnRenamed("node", "src").repartition(n_part, "src"),
+                "src",
+            )
             .select("dst", (F.col("rank") / F.col("_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("_in"))
@@ -87,7 +109,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=eager_checkpoint)
         )
     return ranks
 
