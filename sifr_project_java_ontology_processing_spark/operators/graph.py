@@ -155,3 +155,64 @@ def triples_to_edges(triples: DataFrame, *, preds: list[str] | None = None) -> D
     if preds is not None:
         e = e.where(F.col("pred").isin(preds))
     return e.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+
+
+def transitive_closure(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Reachability pairs (src, dst, depth) with BFS-minimal depth —
+    the SKOS ``broader+`` / ontology-ancestor expansion (the reference
+    hand-writes exactly the 2-hop case as chained joins,
+    OntologyCUIProcessor mapping stage / cascade J3; this is the
+    general fixed-point twin).
+
+    Frontier BFS over iterative self-joins: each level joins the
+    previous frontier to the (cached, src-partitioned) edge relation,
+    anti-joins already-seen pairs (so diamonds don't re-expand and the
+    first-seen depth is the minimum), and localCheckpoints to cut
+    lineage — the CC/pagerank scale shape. With ``max_depth`` set the
+    loop is depth-bounded and runs with NO driver fixpoint probes
+    (lazy checkpoints, one materialization); with ``max_depth=None``
+    it runs to fixpoint with an O(1) isEmpty probe per level (DAG
+    input required — a cycle never reaches fixpoint, so a 1000-level
+    safety cap raises).
+    """
+    n_part = partitions or int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    e = (
+        edges.select(F.col(src).alias("_mid"), F.col(dst).alias("dst"))
+        .repartition(n_part, "_mid")
+        .persist()
+    )
+    paths = (
+        e.select(F.col("_mid").alias("src"), "dst")
+        .withColumn("depth", F.lit(1))
+        .localCheckpoint(eager=max_depth is None)
+    )
+    frontier, depth = paths, 1
+    cap = max_depth if max_depth is not None else 1000
+    while depth < cap:
+        nxt = (
+            frontier.withColumnRenamed("dst", "_mid")
+            .repartition(n_part, "_mid")
+            .join(e, "_mid")
+            .select("src", "dst", (F.col("depth") + 1).alias("depth"))
+            .dropDuplicates(["src", "dst"])
+            .join(paths, ["src", "dst"], "left_anti")
+            .localCheckpoint(eager=max_depth is None)
+        )
+        if max_depth is None and nxt.isEmpty():
+            break
+        paths = paths.unionByName(nxt).localCheckpoint(eager=max_depth is None)
+        frontier = nxt
+        depth += 1
+    else:
+        if max_depth is None:
+            raise ValueError("transitive_closure: no fixpoint in 1000 levels (cycle?)")
+    return paths

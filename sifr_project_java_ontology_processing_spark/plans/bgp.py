@@ -31,8 +31,11 @@ Execution model — why this scales:
 Scope (documented subset): SELECT [DISTINCT] ?v ... | * , WHERE with
 triple patterns ('a' keyword, prefixed names, <IRIs>, "literals"
 with optional @lang, integers, variables), FILTER(expr) with
-regex/str/comparisons/&&/||/!, ORDER BY ?v [ASC|DESC], LIMIT n.
-No OPTIONAL/UNION/property paths — those are documented out of scope.
+regex/str/comparisons/&&/||/!, OPTIONAL { patterns } (one level,
+LEFT join on shared vars), { group } UNION { group } (top level,
+null-filled variable alignment), ORDER BY ?v [ASC|DESC], LIMIT n.
+Property paths and nested groups are documented out of scope; for
+transitive paths use operators/graph.py::transitive_closure.
 """
 
 from __future__ import annotations
@@ -67,14 +70,36 @@ class Term:
     lang: str | None = None
 
 
+Pattern = tuple[Term, Term, Term]
+
+
+@dataclass
+class Branch:
+    """One UNION alternative: required patterns, OPTIONAL groups
+    (each LEFT-joined on its shared variables), and branch-scoped
+    FILTER expressions."""
+
+    patterns: list[Pattern] = field(default_factory=list)
+    optionals: list[list[Pattern]] = field(default_factory=list)
+    filters: list[str] = field(default_factory=list)  # Spark SQL exprs
+
+
 @dataclass
 class BGPQuery:
     select: list[str]  # variable names, [] = SELECT *
-    patterns: list[tuple[Term, Term, Term]]
-    filters: list[str] = field(default_factory=list)  # Spark SQL exprs
+    branches: list[Branch]  # >1 = UNION of alternatives
     distinct: bool = False
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
+
+    # single-branch conveniences (the common case)
+    @property
+    def patterns(self) -> list[Pattern]:
+        return self.branches[0].patterns
+
+    @property
+    def filters(self) -> list[str]:
+        return self.branches[0].filters
 
 
 # ---------------------------------------------------------------------------
@@ -208,6 +233,62 @@ def _filter_to_sql(p: _P) -> str:
     return " ".join(out)
 
 
+def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
+    """Parse group contents up to (and consuming) the closing '}'.
+    Fills ``branch``; OPTIONAL sub-groups collect into
+    ``branch.optionals`` (one level — nested OPTIONAL is out of scope)."""
+    patterns = branch.patterns if not in_optional else branch.optionals[-1]
+    subj: Term | None = None
+    pred: Term | None = None
+    while True:
+        t = p.peek()
+        if t is None:
+            raise ValueError("BGP parse error: unterminated { block")
+        if t == "}":
+            p.next()
+            return
+        if t.lower() == "filter":
+            if in_optional:
+                raise ValueError("BGP: FILTER inside OPTIONAL is not supported")
+            p.next()
+            branch.filters.append(_filter_to_sql(p))
+            if p.peek() == ".":
+                p.next()
+            continue
+        if t.lower() == "optional":
+            if in_optional:
+                raise ValueError("BGP: nested OPTIONAL is not supported")
+            p.next()
+            p.expect("{")
+            branch.optionals.append([])
+            _parse_group(p, branch, in_optional=True)
+            if not branch.optionals[-1]:
+                raise ValueError("BGP: empty OPTIONAL group")
+            if p.peek() == ".":
+                p.next()
+            continue
+        if t == ";":  # predicate list continuation: same subject
+            p.next()
+            if subj is None:
+                raise ValueError("BGP parse error: ';' without a subject")
+            pred = p.term()
+            patterns.append((subj, pred, p.term()))
+            continue
+        if t == ",":  # object list continuation: same subject+predicate
+            p.next()
+            if subj is None or pred is None:
+                raise ValueError("BGP parse error: ',' without a pattern")
+            patterns.append((subj, pred, p.term()))
+            continue
+        if t == ".":
+            p.next()
+            subj = pred = None
+            continue
+        subj = p.term()
+        pred = p.term()
+        patterns.append((subj, pred, p.term()))
+
+
 def parse_sparql(text: str) -> BGPQuery:
     """Parse the supported SPARQL SELECT subset into a BGPQuery."""
     prefixes = dict(_STD_PREFIXES)
@@ -221,7 +302,7 @@ def parse_sparql(text: str) -> BGPQuery:
 
     p = _P(_tokenize(body), prefixes)
     p.expect("SELECT")
-    q = BGPQuery(select=[], patterns=[])
+    q = BGPQuery(select=[], branches=[])
     if p.peek() and p.peek().lower() == "distinct":
         p.next()
         q.distinct = True
@@ -236,41 +317,21 @@ def parse_sparql(text: str) -> BGPQuery:
     if p.peek() and p.peek().lower() == "where":
         p.next()
     p.expect("{")
-    subj: Term | None = None
-    pred: Term | None = None
-    while True:
-        t = p.peek()
-        if t is None:
-            raise ValueError("BGP parse error: unterminated { block")
-        if t == "}":
-            p.next()
-            break
-        if t.lower() == "filter":
-            p.next()
-            q.filters.append(_filter_to_sql(p))
-            if p.peek() == ".":
+    if p.peek() == "{":
+        # UNION form: { group } UNION { group } [ UNION { group } ]*
+        while True:
+            p.expect("{")
+            q.branches.append(Branch())
+            _parse_group(p, q.branches[-1])
+            t = p.peek()
+            if t is not None and t.lower() == "union":
                 p.next()
-            continue
-        if t == ";":  # predicate list continuation: same subject
-            p.next()
-            if subj is None:
-                raise ValueError("BGP parse error: ';' without a subject")
-            pred = p.term()
-            q.patterns.append((subj, pred, p.term()))
-            continue
-        if t == ",":  # object list continuation: same subject+predicate
-            p.next()
-            if subj is None or pred is None:
-                raise ValueError("BGP parse error: ',' without a pattern")
-            q.patterns.append((subj, pred, p.term()))
-            continue
-        if t == ".":
-            p.next()
-            subj = pred = None
-            continue
-        subj = p.term()
-        pred = p.term()
-        q.patterns.append((subj, pred, p.term()))
+                continue
+            break
+        p.expect("}")
+    else:
+        q.branches.append(Branch())
+        _parse_group(p, q.branches[0])
     # solution modifiers
     while p.peek() is not None:
         t = p.next().lower()
@@ -291,8 +352,9 @@ def parse_sparql(text: str) -> BGPQuery:
             q.limit = int(p.next())
         else:
             raise ValueError(f"BGP: unsupported solution modifier {t!r}")
-    if not q.patterns:
-        raise ValueError("BGP: empty graph pattern")
+    for b in q.branches:
+        if not b.patterns:
+            raise ValueError("BGP: empty graph pattern")
     return q
 
 
@@ -357,14 +419,14 @@ def _greedy_order(patterns: list[tuple[Term, Term, Term]]) -> list[int]:
     return order
 
 
-def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
-    """Run a BGP SELECT over a triples DataFrame (schemas.TRIPLES
-    shape). Accepts a parsed BGPQuery or SPARQL text."""
-    q = parse_sparql(query) if isinstance(query, str) else query
-    order = _greedy_order(q.patterns)
-    acc, bound = _pattern_frame(triples, q.patterns[order[0]])
+def _join_patterns(
+    triples: DataFrame, patterns: list[Pattern]
+) -> tuple[DataFrame, set[str]]:
+    """Join a pattern list in greedy connectivity order."""
+    order = _greedy_order(patterns)
+    acc, bound = _pattern_frame(triples, patterns[order[0]])
     for i in order[1:]:
-        nxt, nvars = _pattern_frame(triples, q.patterns[i])
+        nxt, nvars = _pattern_frame(triples, patterns[i])
         shared = sorted(bound & nvars)
         if shared:
             acc = acc.join(nxt, on=shared, how="inner")
@@ -374,12 +436,54 @@ def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
             # when no connected pattern remains)
             acc = acc.crossJoin(nxt)
         bound |= nvars
-    for f in q.filters:
+    return acc, bound
+
+
+def _exec_branch(
+    triples: DataFrame, b: Branch
+) -> tuple[DataFrame, set[str]]:
+    acc, bound = _join_patterns(triples, b.patterns)
+    for f in b.filters:
         acc = acc.where(F.expr(f))
+    for opt in b.optionals:
+        odf, ovars = _join_patterns(triples, opt)
+        shared = sorted(bound & ovars)
+        if not shared:
+            raise ValueError(
+                "BGP: OPTIONAL group shares no variable with the required patterns"
+            )
+        acc = acc.join(odf, on=shared, how="left")
+        bound |= ovars
+    return acc, bound
+
+
+def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
+    """Run a BGP SELECT over a triples DataFrame (schemas.TRIPLES
+    shape). Accepts a parsed BGPQuery or SPARQL text.
+
+    UNION branches execute independently and union by name with
+    missing variables null-filled (SPARQL union semantics); OPTIONAL
+    groups LEFT-join on their shared variables, new variables coming
+    back null where the group has no match."""
+    q = parse_sparql(query) if isinstance(query, str) else query
+    frames = [_exec_branch(triples, b) for b in q.branches]
+    bound: set[str] = set().union(*(v for _, v in frames))
+    aligned = []
+    for df, dvars in frames:
+        missing = sorted(bound - dvars)
+        aligned.append(
+            df.select(
+                *sorted(dvars),
+                *(F.lit(None).cast("string").alias(v) for v in missing),
+            )
+        )
+    acc = aligned[0]
+    for df in aligned[1:]:
+        acc = acc.unionByName(df)
     if q.select:
-        missing = [v for v in q.select if v not in bound]
-        if missing:
-            raise ValueError(f"BGP: SELECT variables not bound: {missing}")
+        missing_sel = [v for v in q.select if v not in bound]
+        if missing_sel:
+            raise ValueError(f"BGP: SELECT variables not bound: {missing_sel}")
         acc = acc.select(*q.select)
     else:
         acc = acc.select(*sorted(bound))

@@ -3022,3 +3022,42 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return chunk_documents(docs, max_tokens=32, overlap=8)
+
+
+@register(
+    "transitive_closure",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'n:' || CAST(p_partkey AS VARCHAR) AS src,
+                      'n:' || CAST(p_partkey // 10 AS VARCHAR) AS dst
+      FROM part WHERE p_partkey > 0
+    ),
+    d1 AS (SELECT src, dst, 1 AS depth FROM e),
+    d2 AS (SELECT d1.src, e.dst, 2 AS depth FROM d1 JOIN e ON d1.dst = e.src),
+    d3 AS (SELECT d2.src, e.dst, 3 AS depth FROM d2 JOIN e ON d2.dst = e.src),
+    d4 AS (SELECT d3.src, e.dst, 4 AS depth FROM d3 JOIN e ON d3.dst = e.src)
+    SELECT src, dst, depth FROM d1
+    UNION ALL SELECT src, dst, depth FROM d2
+    UNION ALL SELECT src, dst, depth FROM d3
+    UNION ALL SELECT src, dst, depth FROM d4
+    """,
+)
+def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKOS broader+ ancestor expansion (graph.transitive_closure):
+    the part keys form a decimal tree (k → k div 10, root n:0), depth
+    ≤ 4; the operator's frontier BFS with per-level anti-join must
+    reproduce the unrolled 4-level join chain exactly (a tree has
+    unique paths, so depths and pair sets match 1:1)."""
+    from sifr_project_java_ontology_processing_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") > 0)
+    e = part.select(
+        F.concat(F.lit("n:"), F.col("p_partkey").cast("string")).alias("src"),
+        F.concat(
+            F.lit("n:"), F.expr("p_partkey div 10").cast("string")
+        ).alias("dst"),
+    ).distinct()
+    out = transitive_closure(e, max_depth=4)
+    return out.select("src", "dst", F.col("depth").cast("int").alias("depth"))

@@ -230,3 +230,104 @@ def test_bgp_repeated_var_in_pattern(spark):
 def test_bgp_unbound_select_var_raises(tiny_triples):
     with pytest.raises(ValueError, match="not bound"):
         execute_bgp(tiny_triples, "SELECT ?zzz WHERE { ?s <http://ex/region> ?r . }")
+
+
+# ---------------------------------------------------------------------------
+# transitive closure
+# ---------------------------------------------------------------------------
+
+
+def test_transitive_closure_chain_and_diamond(spark):
+    from sifr_project_java_ontology_processing_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    # chain a->b->c->d plus diamond x->{l,r}->y (two length-2 paths)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "l"), ("x", "r"), ("l", "y"), ("r", "y")],
+        "src string, dst string",
+    )
+    got = {(r["src"], r["dst"]): r["depth"] for r in transitive_closure(edges).collect()}
+    assert got[("a", "b")] == 1 and got[("a", "c")] == 2 and got[("a", "d")] == 3
+    assert got[("b", "d")] == 2 and got[("c", "d")] == 1
+    # diamond: (x,y) appears ONCE with min depth 2
+    assert got[("x", "y")] == 2
+    assert len([k for k in got if k[0] == "x"]) == 3  # l, r, y
+    # chain: 6 pairs; diamond: x->{l,r,y}, l->y, r->y = 5 pairs
+    assert len(got) == 11
+
+
+def test_transitive_closure_depth_bound_and_cycle_guard(spark):
+    from sifr_project_java_ontology_processing_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    bounded = transitive_closure(chain, max_depth=2)
+    assert {(r["src"], r["dst"], r["depth"]) for r in bounded.collect()} == {
+        ("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("a", "c", 2), ("b", "d", 2),
+    }
+    # cycle with fixpoint mode terminates (reachability saturates)
+    cyc = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    got = {(r["src"], r["dst"]): r["depth"] for r in transitive_closure(cyc).collect()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 2, ("b", "b"): 2}
+
+
+# ---------------------------------------------------------------------------
+# OPTIONAL / UNION
+# ---------------------------------------------------------------------------
+
+
+def test_bgp_optional_left_join(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n ?rl WHERE {
+          ?n a skos:Concept .
+          OPTIONAL { ?n <http://ex/region> ?r . ?r skos:prefLabel ?rl . }
+        } ORDER BY ?n
+        """,
+    ).collect()
+    got = [(r["n"], r["rl"]) for r in out]
+    # n3 has no region: survives with NULL rl
+    assert ("n3", None) in got
+    assert ("n1", "west") in got and ("n2", "east") in got and ("n2", "est") in got
+    assert len(got) == 4
+
+
+def test_bgp_union_branches_null_fill(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n ?l ?r WHERE {
+          { ?n skos:prefLabel ?l . }
+          UNION
+          { ?n <http://ex/region> ?r . }
+        }
+        """,
+    ).collect()
+    got = {(r["n"], r["l"], r["r"]) for r in out}
+    assert ("n1", "alpha", None) in got
+    assert ("n1", None, "r1") in got
+    assert len(got) == 5 + 2  # 5 prefLabels + 2 region edges
+
+
+def test_bgp_optional_errors():
+    with pytest.raises(ValueError, match="nested OPTIONAL"):
+        parse_sparql(
+            "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { OPTIONAL { ?s <q> ?x . } } }"
+        )
+    with pytest.raises(ValueError, match="empty OPTIONAL"):
+        parse_sparql("SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { } }")
+
+
+def test_bgp_optional_disjoint_raises(tiny_triples):
+    with pytest.raises(ValueError, match="shares no variable"):
+        execute_bgp(
+            tiny_triples,
+            "SELECT ?s WHERE { ?s <http://ex/region> ?r . OPTIONAL { ?x <q> ?y . } }",
+        )
