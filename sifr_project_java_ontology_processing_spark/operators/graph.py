@@ -18,10 +18,10 @@ Scale design:
   shuffle disappears). Out-degrees are folded into the persisted edge
   frame so each iteration is scan→join→partial-agg→union, nothing
   else.
-* Each iteration ends with ``localCheckpoint(eager=True)`` — lineage
-  is cut exactly like canonicalize.connected_components, so 20
-  iterations do not build a 20-deep plan (Catalyst analysis time and
-  task binary size stay O(1) per iteration).
+* Each iteration ends with ``localCheckpoint`` — lineage is cut
+  exactly like canonicalize.connected_components, so 20 iterations do
+  not build a 20-deep physical lineage; the loop caches are released
+  once the checkpointed result materializes.
 * Dangling nodes (no out-edges) follow the classic Spark-example
   formulation: their mass is not redistributed; every node keeps the
   (1-d) teleport floor via the left join. This keeps the iteration a
@@ -111,6 +111,12 @@ def pagerank(
             )
             .localCheckpoint(eager=eager_checkpoint)
         )
+    if not eager_checkpoint:
+        ranks.count()  # materialize the lazy checkpoint chain (one job)
+    # the result is checkpointed — release the loop caches instead of
+    # pinning executor storage for the session lifetime
+    e.unpersist()
+    nodes.unpersist()
     return ranks
 
 
@@ -215,4 +221,7 @@ def transitive_closure(
     else:
         if max_depth is None:
             raise ValueError("transitive_closure: no fixpoint in 1000 levels (cycle?)")
+    if max_depth is not None:
+        paths.count()  # materialize the lazy checkpoint chain (one job)
+    e.unpersist()  # result is checkpointed; don't pin the edge cache
     return paths

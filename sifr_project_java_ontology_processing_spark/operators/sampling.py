@@ -260,7 +260,12 @@ def chunk_documents(
     if not (0 <= overlap < max_tokens):
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # coalesce: NULL text must behave as empty (one 0-token chunk),
+    # not poison n_chunk_tokens with NULL/-1 — same hazard
+    # pack_sequences clamps for
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda x: x != ""
+    )
     # window starts: 1, 1+stride, ... (1-based slice); ceil via div
     n_chunks = F.greatest(
         F.expr(f"(size(_toks) - {overlap} + {stride} - 1) div {stride}"), F.lit(1)
@@ -268,7 +273,7 @@ def chunk_documents(
     base = docs.select(F.col(id_col), toks.alias("_toks")).select(
         F.col(id_col),
         "_toks",
-        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_c"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
     )
     chunk_toks = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, max_tokens)
     return base.select(

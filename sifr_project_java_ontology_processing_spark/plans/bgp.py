@@ -106,11 +106,37 @@ class BGPQuery:
 # Parser (SPARQL SELECT subset)
 # ---------------------------------------------------------------------------
 
+_ESCAPE_RE = re.compile(r"\\(?:u([0-9a-fA-F]{4})|U([0-9a-fA-F]{8})|(.))")
+_ESCAPE_MAP = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}
+
+
+def _unescape(s: str) -> str:
+    """SPARQL string-literal escapes: \\uXXXX, \\UXXXXXXXX, \\n \\t \\r
+    \\b \\f, pass-through for escaped quote/backslash. Unicode-safe
+    (unlike unicode_escape, which mojibakes non-ASCII text)."""
+
+    def rep(m: re.Match) -> str:
+        if m.group(1):
+            return chr(int(m.group(1), 16))
+        if m.group(2):
+            return chr(int(m.group(2), 16))
+        c = m.group(3)
+        return _ESCAPE_MAP.get(c, c)
+
+    return _ESCAPE_RE.sub(rep, s)
+
+
+def _sql_str(s: str) -> str:
+    """Embed a python string as a Spark SQL single-quoted literal
+    (backslashes are escape chars in Spark SQL string literals)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
 _TOKEN = re.compile(
     r"""\s*(?:
         (?P<comment>\#[^\n]*) |
         (?P<str>"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*)?) |
-        (?P<iri><[^>]*>) |
+        (?P<iri><[^<>\s]*>) |
         (?P<var>\?[A-Za-z_][A-Za-z0-9_]*) |
         (?P<num>[+-]?\d+(?:\.\d+)?) |
         (?P<punct>&&|\|\||[!<>]=|[=<>]|[{}().,;!*]) |
@@ -166,7 +192,7 @@ class _P:
             at = t.rfind('"@')
             if at > 0:
                 lang, body = t[at + 2 :], t[: at + 1]
-            lex = body[1:-1].encode().decode("unicode_escape")
+            lex = _unescape(body[1:-1])
             return Term("literal", lex, lang)
         if t == "a":
             return Term("iri", RDF_TYPE)
@@ -215,8 +241,7 @@ def _filter_to_sql(p: _P) -> str:
             p.expect(")")
             if v.kind != "var" or pat.kind != "literal":
                 raise ValueError("BGP: regex() needs (?var, \"pattern\")")
-            esc = pat.value.replace("'", "''")
-            out.append(f"(`{v.value}` RLIKE '{esc}')")
+            out.append(f"(`{v.value}` RLIKE {_sql_str(pat.value)})")
         elif t.lower() == "str":
             p.expect("(")
             v = p.term()
@@ -225,7 +250,13 @@ def _filter_to_sql(p: _P) -> str:
         elif t.startswith("?"):
             out.append(f"`{t[1:]}`")
         elif t.startswith('"'):
-            out.append("'" + t[1:-1].replace("'", "''") + "'")
+            # strip an @lang tag (compared on the lexical form) and
+            # unescape before embedding as a SQL literal
+            body = t
+            at = t.rfind('"@')
+            if at > 0:
+                body = t[: at + 1]
+            out.append(_sql_str(_unescape(body[1:-1])))
         elif re.fullmatch(r"[+-]?\d+(?:\.\d+)?|[<>]=?|!=", t):
             out.append(t)
         else:
@@ -373,6 +404,8 @@ def _pattern_frame(
     """One scan per pattern: constants filtered (pushdown-eligible),
     variables projected under their names."""
     s, p, o = pat
+    if s.kind == "literal" or p.kind == "literal":
+        raise ValueError("BGP: literal subjects/predicates are not valid RDF")
     df = triples
     if s.kind == "iri":
         df = df.where(F.col("subj") == s.value)
@@ -382,8 +415,12 @@ def _pattern_frame(
         df = df.where((F.col("obj") == o.value) & (~F.col("obj_is_literal")))
     elif o.kind == "literal":
         df = df.where((F.col("obj") == o.value) & F.col("obj_is_literal"))
+        # SPARQL term equality: "x"@fr only matches that lang;
+        # a plain "x" only matches an UNtagged literal
         if o.lang is not None:
             df = df.where(F.col("obj_lang") == o.lang)
+        else:
+            df = df.where(F.col("obj_lang").isNull())
     cols: dict[str, str] = {}
     for term, src in ((s, "subj"), (p, "pred"), (o, "obj")):
         if term.kind == "var":
@@ -443,8 +480,6 @@ def _exec_branch(
     triples: DataFrame, b: Branch
 ) -> tuple[DataFrame, set[str]]:
     acc, bound = _join_patterns(triples, b.patterns)
-    for f in b.filters:
-        acc = acc.where(F.expr(f))
     for opt in b.optionals:
         odf, ovars = _join_patterns(triples, opt)
         shared = sorted(bound & ovars)
@@ -454,6 +489,10 @@ def _exec_branch(
             )
         acc = acc.join(odf, on=shared, how="left")
         bound |= ovars
+    # SPARQL group scope: FILTERs apply after OPTIONALs have bound
+    # their variables (a filter on an OPTIONAL var is legal)
+    for f in b.filters:
+        acc = acc.where(F.expr(f))
     return acc, bound
 
 

@@ -331,3 +331,77 @@ def test_bgp_optional_disjoint_raises(tiny_triples):
             tiny_triples,
             "SELECT ?s WHERE { ?s <http://ex/region> ?r . OPTIONAL { ?x <q> ?y . } }",
         )
+
+
+# ---------------------------------------------------------------------------
+# review regressions: tokenizer/escaping/term-equality/filter scope
+# ---------------------------------------------------------------------------
+
+
+def test_filter_less_than_with_later_iri(tiny_triples):
+    # '<' comparison must not be eaten as an IRI even though IRIs appear
+    # later in the query text
+    out = execute_bgp(
+        tiny_triples,
+        """
+        SELECT ?n WHERE {
+          ?n <http://ex/region> ?r .
+          FILTER(?n < "n2" && ?n != "n0")
+        }
+        """,
+    ).collect()
+    assert [r["n"] for r in out] == ["n1"]
+
+
+def test_literal_unicode_and_regex_escapes(spark):
+    t = spark.createDataFrame(
+        [("s1", "p", "café", None, True), ("s2", "p", "cafe9", None, True)],
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+    out = execute_bgp(t, 'SELECT ?s WHERE { ?s <p> "caf\\u00e9" . }').collect()
+    assert [r["s"] for r in out] == ["s1"]
+    # \d in a regex must stay a digit class through the SQL literal
+    out2 = execute_bgp(
+        t, 'SELECT ?s WHERE { ?s <p> ?o . FILTER(regex(?o, "e\\\\d")) }'
+    ).collect()
+    assert [r["s"] for r in out2] == ["s2"]
+
+
+def test_plain_literal_does_not_match_lang_tagged(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        'PREFIX skos: <http://www.w3.org/2004/02/skos/core#> '
+        'SELECT ?r WHERE { ?r skos:prefLabel "est" . }',
+    ).collect()
+    assert out == []  # only "est"@fr exists
+
+
+def test_filter_on_optional_var(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n WHERE {
+          ?n a skos:Concept .
+          OPTIONAL { ?n skos:prefLabel ?l . }
+          FILTER(regex(?l, "^a"))
+        }
+        """,
+    ).collect()
+    assert [r["n"] for r in out] == ["n1"]
+
+
+def test_literal_subject_raises(tiny_triples):
+    with pytest.raises(ValueError, match="literal subject"):
+        execute_bgp(tiny_triples, "SELECT ?o WHERE { 5 <http://p> ?o . }").collect()
+
+
+def test_chunk_documents_null_text_zero_tokens(spark):
+    from sifr_project_java_ontology_processing_spark.operators.sampling import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    rows = chunk_documents(docs, max_tokens=4).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_chunk_tokens"] == 0 and rows[0]["chunk_text"] == ""
