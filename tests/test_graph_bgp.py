@@ -405,3 +405,26 @@ def test_chunk_documents_null_text_zero_tokens(spark):
     rows = chunk_documents(docs, max_tokens=4).collect()
     assert len(rows) == 1
     assert rows[0]["n_chunk_tokens"] == 0 and rows[0]["chunk_text"] == ""
+
+
+def test_bgp_pattern_filters_push_to_parquet_scan(spark, tmp_path, tiny_triples):
+    """The scale claim in bgp.py's docstring: a constant predicate in a
+    triple pattern must reach the parquet scan as a pushed filter (and
+    prune pred_kind partitions when reading graph_sink output)."""
+    from sifr_project_java_ontology_processing_spark.sources.graph_sink import (
+        write_triples,
+    )
+
+    path = str(tmp_path / "gt")
+    write_triples(tiny_triples.withColumn("src_url", F.lit(None).cast("string")), path)
+    back = spark.read.parquet(path)
+    df = execute_bgp(
+        back,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n ?l WHERE { ?n skos:prefLabel ?l . }
+        """,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "prefLabel" in plan.split("PushedFilters")[1][:400]
