@@ -115,6 +115,7 @@ def run_kg_pipeline(
     disambiguate_cuis: bool = True,
     match_cuis: bool = False,
     score_links: bool = False,
+    score_salience: bool = False,
     broadcast_labels: bool = True,
 ) -> PipelineResult:
     """Compose the full pipeline. With a ``store``, each stage snapshot
@@ -123,7 +124,12 @@ def run_kg_pipeline(
     ``broadcast_labels=False`` switches mention detection to the
     no-broadcast inverted-index join (``detect_mentions_joined``) for
     label dimensions too large to hold on every executor; rows emitted
-    are identical, only the physical plan changes."""
+    are identical, only the physical plan changes.
+
+    ``score_salience=True`` adds a ``salience`` column to the nodes
+    table: 3-iteration PageRank over the edges table (operators/
+    graph.py), nodes outside the edge graph at the teleport floor 0.0
+    via the left join."""
     resumed: list[str] = []
 
     def stage(name: str, thunk, partition_by=None) -> DataFrame:
@@ -415,6 +421,20 @@ def run_kg_pipeline(
 
     nodes = stage("nodes", _nodes)
     edges = stage("edges", _edges)
+
+    # -- optional: entity-salience PageRank over the edge table ---------------
+    if score_salience:
+        from sifr_project_java_ontology_processing_spark.operators.graph import (
+            pagerank,
+        )
+
+        def _salient_nodes() -> DataFrame:
+            pr = pagerank(edges, iterations=3)
+            return nodes.join(
+                pr.withColumnRenamed("node", "iri"), "iri", "left"
+            ).withColumn("salience", F.coalesce(F.col("rank"), F.lit(0.0))).drop("rank")
+
+        nodes = stage("nodes_salient", _salient_nodes)
 
     # -- metrics / lineage -----------------------------------------------------
     def _metrics() -> DataFrame:

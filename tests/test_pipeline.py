@@ -366,3 +366,21 @@ def test_incremental_commits_sig_before_snapshots(spark, kg_fixture, kg_tables,
     assert crashed.exists("labels_sig"), (
         "labels_sig must commit before extracted/mentions"
     )
+
+
+def test_pipeline_salience_nodes(spark, kg_fixture, kg_tables):
+    """score_salience adds a PageRank salience column to nodes; ranks
+    must match pagerank() run standalone on the emitted edges, and
+    every node row survives (left join, 0.0 floor for isolates)."""
+    from sifr_project_java_ontology_processing_spark.operators.graph import pagerank
+
+    res = _run(spark, kg_fixture, kg_tables, score_salience=True)
+    base = _run(spark, kg_fixture, kg_tables)
+    assert "salience" in res.nodes.columns
+    assert res.nodes.count() == base.nodes.count()
+    want = {
+        r["node"]: r["rank"] for r in pagerank(base.edges, iterations=3).collect()
+    }
+    got = {r["iri"]: r["salience"] for r in res.nodes.collect()}
+    for iri, sal in got.items():
+        assert sal == pytest.approx(want.get(iri, 0.0), abs=1e-9)
