@@ -34,8 +34,27 @@ with optional @lang, integers, variables), FILTER(expr) with
 regex/str/comparisons/&&/||/!, OPTIONAL { patterns } (one level,
 LEFT join on shared vars), { group } UNION { group } (top level,
 null-filled variable alignment), ORDER BY ?v [ASC|DESC], LIMIT n.
-Property paths and nested groups are documented out of scope; for
-transitive paths use operators/graph.py::transitive_closure.
+
+Aggregates: SELECT may mix plain variables with
+``(COUNT(?v) AS ?alias)`` / ``(COUNT(*) ...)`` / ``COUNT(DISTINCT
+?v)`` / SUM / AVG / MIN / MAX, with GROUP BY ?v... and HAVING(expr
+over aliases). SUM/AVG cast the lexical form to double; MIN/MAX
+compare the lexical form (the triples frame is untyped strings, so
+ordering is lexicographic — same as the relational oracle on
+varchar columns). Selected plain variables must appear in GROUP BY
+(SPARQL's own rule).
+
+Property paths (predicate position): ``^iri`` inverse, ``a/b/c``
+sequences (desugared to fresh internal join variables), ``a|b|c``
+alternation of plain IRIs (compiled to one pushdown-eligible IN
+scan), and ``iri+`` / ``iri*`` closures (compiled to
+operators/graph.py::transitive_closure — iterative frontier BFS
+with per-level checkpointing, the CC/pagerank scale shape; ``*``
+adds the zero-length identity over every term in the graph, per
+SPARQL). Modifiers compose per element, so ``^a+/b`` works.
+Closure endpoints compare on the lexical form (lang tags do not
+discriminate path ends). Nested groups, parenthesized paths and
+alternation of non-trivial paths stay out of scope.
 """
 
 from __future__ import annotations
@@ -62,12 +81,16 @@ class Term:
     """One position of a triple pattern.
 
     kind: 'var' (name without '?'), 'iri' (absolute IRI), or
-    'literal' (lexical form, optional lang tag).
+    'literal' (lexical form, optional lang tag). Predicate positions
+    additionally allow 'iri_alt' (``alts`` = alternation of plain
+    IRIs, one IN-filtered scan) and 'path_plus' / 'path_star'
+    (one-or-more / zero-or-more closure of the IRI in ``value``).
     """
 
     kind: str
     value: str
     lang: str | None = None
+    alts: tuple[str, ...] | None = None
 
 
 Pattern = tuple[Term, Term, Term]
@@ -86,11 +109,17 @@ class Branch:
 
 @dataclass
 class BGPQuery:
-    select: list[str]  # variable names, [] = SELECT *
+    select: list[str]  # output names (vars + agg aliases), [] = SELECT *
     branches: list[Branch]  # >1 = UNION of alternatives
     distinct: bool = False
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
+    # aggregation: (func, var-or-None-for-*, distinct, alias)
+    aggregates: list[tuple[str, str | None, bool, str]] = field(
+        default_factory=list
+    )
+    group_by: list[str] = field(default_factory=list)
+    having: str | None = None  # Spark SQL expr over aliases
 
     # single-branch conveniences (the common case)
     @property
@@ -139,7 +168,7 @@ _TOKEN = re.compile(
         (?P<iri><[^<>\s]*>) |
         (?P<var>\?[A-Za-z_][A-Za-z0-9_]*) |
         (?P<num>[+-]?\d+(?:\.\d+)?) |
-        (?P<punct>&&|\|\||[!<>]=|[=<>]|[{}().,;!*]) |
+        (?P<punct>&&|\|\||[!<>]=|[=<>]|[{}().,;!*+/^|]) |
         (?P<word>[A-Za-z_][A-Za-z0-9_-]*(?::[A-Za-z_][A-Za-z0-9_.-]*)?|:[A-Za-z_][A-Za-z0-9_.-]*)
     )""",
     re.VERBOSE,
@@ -161,9 +190,20 @@ def _tokenize(text: str) -> list[str]:
     return toks
 
 
+# one path element: (inverse?, term, modifier '+'/'*'/None)
+PathElt = tuple[bool, Term, "str | None"]
+
+
 class _P:
     def __init__(self, toks: list[str], prefixes: dict[str, str]):
         self.toks, self.i, self.prefixes = toks, 0, dict(prefixes)
+        self._n_fresh = 0
+
+    def fresh(self) -> str:
+        """Internal join variable for desugared path sequences; the
+        '__p' prefix is reserved and stripped from every output."""
+        self._n_fresh += 1
+        return f"__p{self._n_fresh}"
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -183,6 +223,11 @@ class _P:
     def term(self) -> Term:
         t = self.next()
         if t.startswith("?"):
+            if t.startswith("?__p"):
+                raise ValueError(
+                    "BGP: variable names starting with '__p' are reserved "
+                    "for internal path-join variables"
+                )
             return Term("var", t[1:])
         if t.startswith("<"):
             return Term("iri", t[1:-1])
@@ -264,13 +309,76 @@ def _filter_to_sql(p: _P) -> str:
     return " ".join(out)
 
 
+def _parse_path(p: _P) -> list[PathElt]:
+    """Parse a predicate position: a plain variable, or a property
+    path of '/'-separated elements, each ``[^]iri[+|*]`` or an
+    alternation ``iri|iri|...`` of plain IRIs."""
+    elts: list[PathElt] = []
+    while True:
+        inv = False
+        if p.peek() == "^":
+            p.next()
+            inv = True
+        t = p.term()
+        if t.kind == "var":
+            if inv or elts or p.peek() in ("/", "|", "+"):
+                raise ValueError(
+                    "BGP: property-path elements must be IRIs, not variables"
+                )
+            return [(False, t, None)]
+        if t.kind != "iri":
+            raise ValueError("BGP: literal predicates are not valid RDF")
+        if p.peek() == "|":
+            alts = [t.value]
+            while p.peek() == "|":
+                p.next()
+                t2 = p.term()
+                if t2.kind != "iri":
+                    raise ValueError("BGP: path alternation needs plain IRIs")
+                alts.append(t2.value)
+            if p.peek() in ("+", "*"):
+                raise ValueError(
+                    "BGP: closure of an alternation is not supported"
+                )
+            elts.append((inv, Term("iri_alt", alts[0], alts=tuple(alts)), None))
+        else:
+            mod = None
+            if p.peek() in ("+", "*"):
+                mod = p.next()
+            elts.append((inv, t, mod))
+        if p.peek() == "/":
+            p.next()
+            continue
+        return elts
+
+
+def _emit_path(
+    p: _P, patterns: list[Pattern], subj: Term, elts: list[PathElt], obj: Term
+) -> None:
+    """Desugar one (subject, path, object) statement into triple
+    patterns, threading fresh internal join variables between
+    sequence elements. Inverse elements swap endpoint roles; '+'/'*'
+    become closure predicates the executor expands."""
+    cur = subj
+    for k, (inv, term, mod) in enumerate(elts):
+        nxt = obj if k == len(elts) - 1 else Term("var", p.fresh())
+        if mod == "+":
+            pred = Term("path_plus", term.value)
+        elif mod == "*":
+            pred = Term("path_star", term.value)
+        else:
+            pred = term
+        patterns.append((nxt, pred, cur) if inv else (cur, pred, nxt))
+        cur = nxt
+
+
 def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
     """Parse group contents up to (and consuming) the closing '}'.
     Fills ``branch``; OPTIONAL sub-groups collect into
     ``branch.optionals`` (one level — nested OPTIONAL is out of scope)."""
     patterns = branch.patterns if not in_optional else branch.optionals[-1]
     subj: Term | None = None
-    pred: Term | None = None
+    pred_path: list[PathElt] | None = None
     while True:
         t = p.peek()
         if t is None:
@@ -302,22 +410,22 @@ def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
             p.next()
             if subj is None:
                 raise ValueError("BGP parse error: ';' without a subject")
-            pred = p.term()
-            patterns.append((subj, pred, p.term()))
+            pred_path = _parse_path(p)
+            _emit_path(p, patterns, subj, pred_path, p.term())
             continue
         if t == ",":  # object list continuation: same subject+predicate
             p.next()
-            if subj is None or pred is None:
+            if subj is None or pred_path is None:
                 raise ValueError("BGP parse error: ',' without a pattern")
-            patterns.append((subj, pred, p.term()))
+            _emit_path(p, patterns, subj, pred_path, p.term())
             continue
         if t == ".":
             p.next()
-            subj = pred = None
+            subj = pred_path = None
             continue
         subj = p.term()
-        pred = p.term()
-        patterns.append((subj, pred, p.term()))
+        pred_path = _parse_path(p)
+        _emit_path(p, patterns, subj, pred_path, p.term())
 
 
 def parse_sparql(text: str) -> BGPQuery:
@@ -337,11 +445,58 @@ def parse_sparql(text: str) -> BGPQuery:
     if p.peek() and p.peek().lower() == "distinct":
         p.next()
         q.distinct = True
+    _AGG_FUNCS = ("count", "sum", "avg", "min", "max")
+
+    def _parse_agg(func: str) -> tuple[str, str | None, bool]:
+        """After the function name: '(' [DISTINCT] ?v|'*' ')'."""
+        p.expect("(")
+        distinct = False
+        var: str | None = None
+        if p.peek() == "*":
+            p.next()
+            if func != "count":
+                raise ValueError(f"BGP: {func.upper()}(*) is not valid SPARQL")
+        else:
+            if p.peek() and p.peek().lower() == "distinct":
+                p.next()
+                distinct = True
+                if func != "count":
+                    raise ValueError(
+                        "BGP: DISTINCT is only supported inside COUNT()"
+                    )
+            v = p.term()
+            if v.kind != "var":
+                raise ValueError("BGP: aggregate argument must be a variable")
+            var = v.value
+        p.expect(")")
+        return func, var, distinct
+
     while p.peek() and p.peek() != "{" and p.peek().lower() != "where":
         t = p.next()
         if t == "*":
             q.select = []
             break
+        if t == "(":
+            # (AGG(...) AS ?alias)
+            func = p.next().lower()
+            if func not in _AGG_FUNCS:
+                raise ValueError(f"BGP: unsupported aggregate {func!r}")
+            func, var, distinct = _parse_agg(func)
+            p.expect("AS")
+            a = p.term()
+            if a.kind != "var":
+                raise ValueError("BGP: aggregate alias must be a ?variable")
+            p.expect(")")
+            q.aggregates.append((func, var, distinct, a.value))
+            q.select.append(a.value)
+            continue
+        if t.lower() in _AGG_FUNCS and p.peek() == "(":
+            # bare COUNT(?v) — alias generated as func_var / func_all
+            func, var, distinct = _parse_agg(t.lower())
+            alias = f"{func}_{var or 'all'}"
+            q.aggregates.append((func, var, distinct, alias))
+            q.select.append(alias)
+            continue
         if not t.startswith("?"):
             raise ValueError(f"BGP: SELECT expects variables or *, got {t!r}")
         q.select.append(t[1:])
@@ -381,11 +536,29 @@ def parse_sparql(text: str) -> BGPQuery:
                     q.order_by.append((tok[1:], True))
         elif t == "limit":
             q.limit = int(p.next())
+        elif t == "group":
+            p.expect("BY")
+            while p.peek() and p.peek().startswith("?"):
+                v = p.term()
+                q.group_by.append(v.value)
+            if not q.group_by:
+                raise ValueError("BGP: GROUP BY needs at least one variable")
+        elif t == "having":
+            q.having = _filter_to_sql(p)
         else:
             raise ValueError(f"BGP: unsupported solution modifier {t!r}")
     for b in q.branches:
         if not b.patterns:
             raise ValueError("BGP: empty graph pattern")
+    if q.aggregates or q.group_by:
+        agg_aliases = {a for *_, a in q.aggregates}
+        stray = [v for v in q.select if v not in agg_aliases and v not in q.group_by]
+        if stray:
+            raise ValueError(
+                f"BGP: selected variables must appear in GROUP BY: {stray}"
+            )
+    elif q.having is not None:
+        raise ValueError("BGP: HAVING requires GROUP BY or aggregates")
     return q
 
 
@@ -406,11 +579,17 @@ def _pattern_frame(
     s, p, o = pat
     if s.kind == "literal" or p.kind == "literal":
         raise ValueError("BGP: literal subjects/predicates are not valid RDF")
+    if p.kind in ("path_plus", "path_star"):
+        return _closure_frame(triples, pat)
     df = triples
     if s.kind == "iri":
         df = df.where(F.col("subj") == s.value)
     if p.kind == "iri":
         df = df.where(F.col("pred") == p.value)
+    elif p.kind == "iri_alt":
+        # alternation: ONE scan with an IN filter (pushdown-eligible,
+        # prunes multiple predicate partitions in one pass)
+        df = df.where(F.col("pred").isin(*p.alts))
     if o.kind == "iri":
         df = df.where((F.col("obj") == o.value) & (~F.col("obj_is_literal")))
     elif o.kind == "literal":
@@ -426,6 +605,49 @@ def _pattern_frame(
         if term.kind == "var":
             if term.value in cols:
                 # repeated variable inside one pattern: equality filter
+                df = df.where(F.col(cols[term.value]) == F.col(src))
+            else:
+                cols[term.value] = src
+    out = df.select(*(F.col(src).alias(var) for var, src in cols.items()))
+    return out, set(cols)
+
+
+def _closure_frame(
+    triples: DataFrame, pat: tuple[Term, Term, Term]
+) -> tuple[DataFrame, set[str]]:
+    """One closure pattern: reachability over the single-predicate
+    edge relation via operators/graph.py::transitive_closure (frontier
+    BFS with per-level anti-join + localCheckpoint — the scale shape
+    that survives deep hierarchies). '*' unions the zero-length
+    identity over every term of the graph, per SPARQL. Endpoints
+    compare on the lexical form."""
+    from sifr_project_java_ontology_processing_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    s, p, o = pat
+    edges = triples.where(F.col("pred") == p.value).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    reach = transitive_closure(edges).select("src", "dst")
+    if p.kind == "path_star":
+        nodes = (
+            triples.select(F.col("subj").alias("n"))
+            .unionByName(triples.select(F.col("obj").alias("n")))
+            .distinct()
+        )
+        reach = reach.unionByName(
+            nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+        ).distinct()
+    df = reach
+    if s.kind == "iri":
+        df = df.where(F.col("src") == s.value)
+    if o.kind in ("iri", "literal"):
+        df = df.where(F.col("dst") == o.value)
+    cols: dict[str, str] = {}
+    for term, src in ((s, "src"), (o, "dst")):
+        if term.kind == "var":
+            if term.value in cols:
                 df = df.where(F.col(cols[term.value]) == F.col(src))
             else:
                 cols[term.value] = src
@@ -493,7 +715,12 @@ def _exec_branch(
     # their variables (a filter on an OPTIONAL var is legal)
     for f in b.filters:
         acc = acc.where(F.expr(f))
-    return acc, bound
+    # internal path-sequence join variables are branch-local; project
+    # them away before branches align for UNION
+    visible = {v for v in bound if not v.startswith("__p")}
+    if visible != bound:
+        acc = acc.select(*sorted(visible))
+    return acc, visible
 
 
 def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
@@ -519,6 +746,37 @@ def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
     acc = aligned[0]
     for df in aligned[1:]:
         acc = acc.unionByName(df)
+    if q.aggregates or q.group_by:
+        missing_g = [g for g in q.group_by if g not in bound]
+        missing_a = [v for _, v, _, _ in q.aggregates if v and v not in bound]
+        if missing_g or missing_a:
+            raise ValueError(
+                f"BGP: aggregate/GROUP BY variables not bound: "
+                f"{missing_g + missing_a}"
+            )
+        aggs = []
+        for func, var, distinct, alias in q.aggregates:
+            if func == "count" and var is None:
+                e = F.count(F.lit(1))
+            elif func == "count":
+                e = (
+                    F.count_distinct(F.col(var))
+                    if distinct
+                    else F.count(F.col(var))
+                )
+            elif func in ("sum", "avg"):
+                c = F.col(var).cast("double")
+                e = F.sum(c) if func == "sum" else F.avg(c)
+            else:  # min / max on the lexical form
+                e = F.min(F.col(var)) if func == "min" else F.max(F.col(var))
+            aggs.append(e.alias(alias))
+        if aggs:
+            acc = acc.groupBy(*q.group_by).agg(*aggs)
+        else:  # GROUP BY with no aggregates: one row per group
+            acc = acc.select(*q.group_by).distinct()
+        if q.having:
+            acc = acc.where(F.expr(q.having))
+        bound = set(q.group_by) | {a for *_, a in q.aggregates}
     if q.select:
         missing_sel = [v for v in q.select if v not in bound]
         if missing_sel:

@@ -3061,3 +3061,160 @@ def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     out = transitive_closure(e, max_depth=4)
     return out.select("src", "dst", F.col("depth").cast("int").alias("depth"))
+
+
+# ===========================================================================
+# Round 4 (cont. 2): SPARQL property paths + aggregates (plans/bgp.py)
+# ===========================================================================
+
+
+def _nation_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KG over nation/region for the SPARQL path/agg
+    gates: nation nodes typed ex:Nation with a name literal, a
+    ``within`` edge to their region, region label + alt-label
+    literals, and a ``prev`` chain n_nationkey → n_nationkey-1 (a
+    25-deep path for closure depth coverage)."""
+    RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    n_iri = F.concat(F.lit("n:"), F.col("n_nationkey").cast("string"))
+    r_iri = F.concat(F.lit("r:"), F.col("n_regionkey").cast("string"))
+    rr_iri = F.concat(F.lit("r:"), F.col("r_regionkey").cast("string"))
+
+    def trip(subj, pred, obj, lit: bool):
+        return F.struct(
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(lit).alias("obj_is_literal"),
+        )
+
+    nt = n.select(
+        F.explode(
+            F.array(
+                trip(n_iri, RDF_T, F.lit("http://ex/Nation"), False),
+                trip(n_iri, "http://ex/name", F.col("n_name"), True),
+                trip(n_iri, "http://ex/within", r_iri, False),
+            )
+        ).alias("t")
+    ).select("t.*")
+    prev = (
+        n.where(F.col("n_nationkey") > 0)
+        .select(
+            trip(
+                n_iri,
+                "http://ex/prev",
+                F.concat(F.lit("n:"), (F.col("n_nationkey") - 1).cast("string")),
+                False,
+            ).alias("t")
+        )
+        .select("t.*")
+    )
+    rt = r.select(
+        F.explode(
+            F.array(
+                trip(rr_iri, "http://ex/label", F.col("r_name"), True),
+                trip(
+                    rr_iri,
+                    "http://ex/alt",
+                    F.concat(F.lit("alt-"), F.col("r_name")),
+                    True,
+                ),
+            )
+        ).alias("t")
+    ).select("t.*")
+    return nt.unionByName(prev).unionByName(rt)
+
+
+@register(
+    "sparql_path_closure",
+    """
+    WITH RECURSIVE reach(a, b) AS (
+      SELECT 'n:' || CAST(n_nationkey AS VARCHAR),
+             'n:' || CAST(n_nationkey - 1 AS VARCHAR)
+      FROM nation WHERE n_nationkey > 0
+      UNION
+      SELECT r.a, 'n:' || CAST(n.n_nationkey - 1 AS VARCHAR)
+      FROM reach r
+      JOIN nation n ON r.b = 'n:' || CAST(n.n_nationkey AS VARCHAR)
+      WHERE n.n_nationkey > 0
+    )
+    SELECT a, b FROM reach ORDER BY a, b
+    """,
+)
+def q_sparql_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``+`` closure path (plans/bgp.py → graph.transitive_
+    closure): the 25-deep ``prev`` chain over nation keys expands to
+    all 300 ordered ancestor pairs; the oracle replays it with a
+    recursive CTE. Exercises the BFS frontier loop at depth 24 —
+    the shape that must survive deep SKOS hierarchies at scale."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?a ?b WHERE { ?a ex:prev+ ?b } ORDER BY ?a ?b""",
+    )
+
+
+@register(
+    "sparql_path_seq_alt",
+    """
+    SELECT n_name AS nl, l
+    FROM nation
+    JOIN (
+      SELECT r_regionkey, r_name AS l FROM region
+      UNION ALL
+      SELECT r_regionkey, 'alt-' || r_name FROM region
+    ) labels ON n_regionkey = labels.r_regionkey
+    ORDER BY nl, l
+    """,
+)
+def q_sparql_path_seq_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL sequence + inverse + alternation paths in one BGP:
+    ``?r ^ex:within/ex:name ?nl`` walks region→nation backwards then
+    to the name literal (desugared to internal join variables), and
+    ``ex:label|ex:alt`` compiles to ONE IN-filtered scan (pushdown-
+    eligible) instead of a UNION of two scans."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?nl ?l WHERE {
+             ?r ^ex:within/ex:name ?nl .
+             ?r ex:label|ex:alt ?l .
+           } ORDER BY ?nl ?l""",
+    )
+
+
+@register(
+    "sparql_agg",
+    """
+    SELECT 'r:' || CAST(n_regionkey AS VARCHAR) AS r,
+           count(*) AS n_nations,
+           min(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    HAVING count(*) >= 5
+    ORDER BY r
+    """,
+)
+def q_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregates (COUNT + MIN with GROUP BY/HAVING/ORDER BY)
+    compiled to a partial-aggregating groupBy over the joined BGP —
+    map-side combine keeps the shuffle to one row per (region,
+    aggregate), the same relational shape the oracle runs."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?r (COUNT(?n) AS ?n_nations) (MIN(?nl) AS ?first_name)
+           WHERE { ?n ex:within ?r . ?n ex:name ?nl }
+           GROUP BY ?r HAVING(?n_nations >= 5) ORDER BY ?r""",
+    )

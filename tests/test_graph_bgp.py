@@ -428,3 +428,163 @@ def test_bgp_pattern_filters_push_to_parquet_scan(spark, tmp_path, tiny_triples)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "prefLabel" in plan.split("PushedFilters")[1][:400]
+
+
+# ---------------------------------------------------------------------------
+# Property paths + aggregates (round 4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def chain_triples(spark):
+    """a -broader-> b -broader-> c -broader-> d, labels on every node,
+    plus an altLabel on a and a rel edge b->a."""
+    rows = [
+        ("a", "http://ex/broader", "b", None, False),
+        ("b", "http://ex/broader", "c", None, False),
+        ("c", "http://ex/broader", "d", None, False),
+        ("a", "http://ex/label", "A", None, True),
+        ("b", "http://ex/label", "B", None, True),
+        ("c", "http://ex/label", "C", None, True),
+        ("d", "http://ex/label", "D", None, True),
+        ("a", "http://ex/alt", "A2", None, True),
+        ("b", "http://ex/rel", "a", None, False),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+
+
+def test_parse_path_sequence_desugars_with_internal_vars():
+    q = parse_sparql(
+        "PREFIX ex: <http://ex/> SELECT ?l WHERE { <a> ex:b/ex:c ?l }"
+    )
+    assert len(q.patterns) == 2
+    (s1, p1, o1), (s2, p2, o2) = q.patterns
+    assert (s1.value, p1.value) == ("a", "http://ex/b")
+    assert o1.kind == "var" and o1.value.startswith("__p")
+    assert s2 == o1 and p2.value == "http://ex/c" and o2.value == "l"
+
+
+def test_parse_path_object_list_reemits_fresh_vars():
+    q = parse_sparql(
+        "PREFIX ex: <http://ex/> SELECT ?s WHERE { ?s ex:b/ex:c <x>, <y> }"
+    )
+    assert len(q.patterns) == 4
+    mids = {p[2].value for p in q.patterns if p[2].kind == "var" and p[2].value.startswith("__p")}
+    assert len(mids) == 2  # each object gets its own path instance
+
+
+def test_parse_path_and_aggregate_errors():
+    with pytest.raises(ValueError, match="reserved"):
+        parse_sparql("SELECT ?__p1 WHERE { ?__p1 <p> ?o }")
+    with pytest.raises(ValueError, match="IRIs, not variables"):
+        parse_sparql("SELECT ?s WHERE { ?s ?p/<q> ?o }")
+    with pytest.raises(ValueError, match="alternation"):
+        parse_sparql("PREFIX ex: <http://ex/> SELECT ?s WHERE { ?s ex:a|ex:b+ ?o }")
+    with pytest.raises(ValueError, match="DISTINCT"):
+        parse_sparql("SELECT (SUM(DISTINCT ?v) AS ?s) WHERE { ?a <p> ?v }")
+    with pytest.raises(ValueError, match="not valid SPARQL"):
+        parse_sparql("SELECT (MIN(*) AS ?m) WHERE { ?a <p> ?v }")
+    with pytest.raises(ValueError, match="GROUP BY"):
+        parse_sparql("SELECT ?a (COUNT(?v) AS ?n) WHERE { ?a <p> ?v }")
+    with pytest.raises(ValueError, match="HAVING"):
+        parse_sparql("SELECT ?a WHERE { ?a <p> ?v } HAVING(?a > 1)")
+
+
+def test_path_closure_plus_and_star(chain_triples):
+    got = execute_bgp(
+        chain_triples,
+        "PREFIX ex: <http://ex/> SELECT ?x WHERE { <a> ex:broader+ ?x } ORDER BY ?x",
+    ).collect()
+    assert [r["x"] for r in got] == ["b", "c", "d"]
+    got = execute_bgp(
+        chain_triples,
+        "PREFIX ex: <http://ex/> SELECT ?x WHERE { <b> ex:broader* ?x } ORDER BY ?x",
+    ).collect()
+    assert [r["x"] for r in got] == ["b", "c", "d"]  # * includes b itself
+
+
+def test_path_closure_on_cycle_terminates(spark):
+    rows = [
+        ("a", "p", "b", None, False),
+        ("b", "p", "a", None, False),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+    got = execute_bgp(t, "SELECT ?x WHERE { <a> <p>+ ?x } ORDER BY ?x").collect()
+    assert [r["x"] for r in got] == ["a", "b"]
+
+
+def test_path_inverse_sequence_alternation(chain_triples):
+    got = execute_bgp(
+        chain_triples,
+        "PREFIX ex: <http://ex/> SELECT ?s WHERE { <b> ^ex:broader ?s }",
+    ).collect()
+    assert [r["s"] for r in got] == ["a"]
+    got = execute_bgp(
+        chain_triples,
+        "PREFIX ex: <http://ex/> SELECT ?v WHERE { <a> ex:label|ex:alt ?v } ORDER BY ?v",
+    ).collect()
+    assert [r["v"] for r in got] == ["A", "A2"]
+    # composed: rel then 1+ broader hops then label
+    got = execute_bgp(
+        chain_triples,
+        "PREFIX ex: <http://ex/> SELECT ?l WHERE { ?s ex:rel/ex:broader+/ex:label ?l } ORDER BY ?l",
+    ).collect()
+    assert [r["l"] for r in got] == ["B", "C", "D"]
+
+
+def test_path_internal_vars_hidden_from_select_star(chain_triples):
+    df = execute_bgp(
+        chain_triples,
+        "PREFIX ex: <http://ex/> SELECT * WHERE { <a> ex:broader/ex:label ?l }",
+    )
+    assert df.columns == ["l"]
+
+
+def test_aggregate_group_having_order(chain_triples):
+    got = execute_bgp(
+        chain_triples,
+        """SELECT ?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
+           GROUP BY ?p HAVING(?n >= 2) ORDER BY ?p""",
+    ).collect()
+    assert [(r["p"], r["n"]) for r in got] == [
+        ("http://ex/broader", 3),
+        ("http://ex/label", 4),
+    ]
+
+
+def test_aggregate_global_count_distinct_and_bare(chain_triples):
+    got = execute_bgp(
+        chain_triples,
+        "SELECT (COUNT(DISTINCT ?s) AS ?ns) WHERE { ?s ?p ?o }",
+    ).collect()
+    assert got[0]["ns"] == 4
+    df = execute_bgp(chain_triples, "SELECT COUNT(*) WHERE { ?s ?p ?o }")
+    assert df.columns == ["count_all"]
+    assert df.collect()[0]["count_all"] == 9
+
+
+def test_aggregate_sum_avg_min_max(spark):
+    rows = [
+        ("a", "v", "10", None, True),
+        ("a", "v", "2.5", None, True),
+        ("b", "v", "4", None, True),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+    got = execute_bgp(
+        t,
+        """SELECT ?s (SUM(?o) AS ?tot) (AVG(?o) AS ?mean)
+                  (MIN(?o) AS ?lo) (MAX(?o) AS ?hi)
+           WHERE { ?s <v> ?o } GROUP BY ?s ORDER BY ?s""",
+    ).collect()
+    assert got[0]["s"] == "a" and got[0]["tot"] == 12.5 and got[0]["mean"] == 6.25
+    assert got[0]["lo"] == "10" and got[0]["hi"] == "2.5"  # lexical min/max
+    assert got[1]["s"] == "b" and got[1]["tot"] == 4.0
