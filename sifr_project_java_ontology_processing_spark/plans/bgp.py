@@ -55,6 +55,17 @@ SPARQL). Modifiers compose per element, so ``^a+/b`` works.
 Closure endpoints compare on the lexical form (lang tags do not
 discriminate path ends). Nested groups, parenthesized paths and
 alternation of non-trivial paths stay out of scope.
+
+Query forms beyond SELECT: ``CONSTRUCT { template } WHERE {...}``
+returns a schemas.TRIPLES-shaped frame (object variables carry
+their lang/literal term metadata through companion columns;
+solutions with an unbound template slot emit no triple; the result
+is set-deduped, a graph). ``ASK WHERE {...}`` returns one boolean
+row. ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (...) }`` blocks
+join inline constant bindings (lexical comparison), and
+``BIND(expr AS ?v)`` computes new columns with the FILTER
+expression subset plus CONCAT/UCASE/LCASE/STRLEN/STRSTARTS/
+STRENDS/CONTAINS/SUBSTR/REPLACE/BOUND.
 """
 
 from __future__ import annotations
@@ -105,12 +116,19 @@ class Branch:
     patterns: list[Pattern] = field(default_factory=list)
     optionals: list[list[Pattern]] = field(default_factory=list)
     filters: list[str] = field(default_factory=list)  # Spark SQL exprs
+    binds: list[tuple[str, str]] = field(default_factory=list)  # (sql, var)
+    # VALUES blocks: (var names, rows of Terms compared on lexical form)
+    values: list[tuple[list[str], list[list[Term]]]] = field(
+        default_factory=list
+    )
 
 
 @dataclass
 class BGPQuery:
-    select: list[str]  # output names (vars + agg aliases), [] = SELECT *
-    branches: list[Branch]  # >1 = UNION of alternatives
+    form: str = "select"  # 'select' | 'construct' | 'ask'
+    template: list[Pattern] | None = None  # CONSTRUCT template
+    select: list[str] = field(default_factory=list)  # [] = SELECT *
+    branches: list[Branch] = field(default_factory=list)  # >1 = UNION
     distinct: bool = False
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
@@ -223,10 +241,10 @@ class _P:
     def term(self) -> Term:
         t = self.next()
         if t.startswith("?"):
-            if t.startswith("?__p"):
+            if t.startswith("?__"):
                 raise ValueError(
-                    "BGP: variable names starting with '__p' are reserved "
-                    "for internal path-join variables"
+                    "BGP: variable names starting with '__' are reserved "
+                    "for internal path-join / term-metadata columns"
                 )
             return Term("var", t[1:])
         if t.startswith("<"):
@@ -251,17 +269,41 @@ class _P:
         raise ValueError(f"BGP parse error: cannot read term {t!r}")
 
 
-def _filter_to_sql(p: _P) -> str:
-    """Translate one FILTER(...) body to a Spark SQL expression.
+# SPARQL builtin -> Spark SQL function (both sides agree with the
+# DuckDB oracle's function of the same SQL name)
+_SQL_FUNCS = {
+    "concat": "concat",
+    "ucase": "upper",
+    "lcase": "lower",
+    "strlen": "length",
+    "strstarts": "startswith",
+    "strends": "endswith",
+    "contains": "contains",
+    "substr": "substring",
+    "replace": "replace",
+}
 
-    Supported: regex(?v, "pat"), str(?v), comparisons, && || !,
-    parentheses, string/number literals, variables.
+
+def _filter_to_sql(p: _P, *, bind: bool = False) -> str | tuple[str, str]:
+    """Translate one FILTER(...) body — or, with ``bind=True``, a
+    BIND(expr AS ?v) body, returning (sql, var) — to a Spark SQL
+    expression.
+
+    Supported: regex(?v, "pat"), str(?v), bound(?v), the _SQL_FUNCS
+    string builtins, comparisons, && || !, parentheses,
+    string/number literals, variables.
     """
     p.expect("(")
     out: list[str] = []
     depth = 1
     while depth > 0:
         t = p.next()
+        if bind and depth == 1 and t.lower() == "as":
+            v = p.term()
+            if v.kind != "var":
+                raise ValueError("BGP: BIND alias must be a ?variable")
+            p.expect(")")
+            return " ".join(out), v.value
         if t == "(":
             depth += 1
             out.append("(")
@@ -277,6 +319,17 @@ def _filter_to_sql(p: _P) -> str:
             out.append("NOT")
         elif t == "=":
             out.append("=")
+        elif t == ",":
+            out.append(",")
+        elif t.lower() in _SQL_FUNCS and p.peek() == "(":
+            out.append(_SQL_FUNCS[t.lower()])
+        elif t.lower() == "bound":
+            p.expect("(")
+            v = p.term()
+            p.expect(")")
+            if v.kind != "var":
+                raise ValueError("BGP: bound() needs a ?variable")
+            out.append(f"(`{v.value}` IS NOT NULL)")
         elif t.lower() == "regex":
             # regex(?v, "pat") -> (v RLIKE 'pat')
             p.expect("(")
@@ -306,6 +359,8 @@ def _filter_to_sql(p: _P) -> str:
             out.append(t)
         else:
             raise ValueError(f"BGP: unsupported token in FILTER: {t!r}")
+    if bind:
+        raise ValueError("BGP: BIND needs '... AS ?var'")
     return " ".join(out)
 
 
@@ -394,6 +449,55 @@ def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
             if p.peek() == ".":
                 p.next()
             continue
+        if t.lower() == "bind":
+            if in_optional:
+                raise ValueError("BGP: BIND inside OPTIONAL is not supported")
+            p.next()
+            sql, var = _filter_to_sql(p, bind=True)
+            branch.binds.append((sql, var))
+            if p.peek() == ".":
+                p.next()
+            continue
+        if t.lower() == "values":
+            if in_optional:
+                raise ValueError("BGP: VALUES inside OPTIONAL is not supported")
+            p.next()
+            vnames: list[str] = []
+            grouped = p.peek() == "("
+            if grouped:
+                p.next()
+                while p.peek() != ")":
+                    v = p.term()
+                    if v.kind != "var":
+                        raise ValueError("BGP: VALUES needs ?variables")
+                    vnames.append(v.value)
+                p.next()
+            else:
+                v = p.term()
+                if v.kind != "var":
+                    raise ValueError("BGP: VALUES needs ?variables")
+                vnames.append(v.value)
+            p.expect("{")
+            rows: list[list[Term]] = []
+            while p.peek() != "}":
+                if grouped:
+                    p.expect("(")
+                    row = []
+                    while p.peek() != ")":
+                        row.append(p.term())
+                    p.next()
+                else:
+                    row = [p.term()]
+                if len(row) != len(vnames):
+                    raise ValueError("BGP: VALUES row width mismatch")
+                if any(x.kind == "var" for x in row):
+                    raise ValueError("BGP: VALUES rows must be constants")
+                rows.append(row)
+            p.next()
+            branch.values.append((vnames, rows))
+            if p.peek() == ".":
+                p.next()
+            continue
         if t.lower() == "optional":
             if in_optional:
                 raise ValueError("BGP: nested OPTIONAL is not supported")
@@ -440,9 +544,26 @@ def parse_sparql(text: str) -> BGPQuery:
     body = re.sub(r"(?i)\bPREFIX\s+(?:[A-Za-z_][A-Za-z0-9_-]*)?:\s*<[^>]*>", "", body)
 
     p = _P(_tokenize(body), prefixes)
-    p.expect("SELECT")
-    q = BGPQuery(select=[], branches=[])
-    if p.peek() and p.peek().lower() == "distinct":
+    form = p.next().lower()
+    if form not in ("select", "construct", "ask"):
+        raise ValueError(f"BGP: unsupported query form {form!r}")
+    q = BGPQuery(form=form, select=[], branches=[])
+    if form == "construct":
+        # CONSTRUCT { template } WHERE { patterns }
+        p.expect("{")
+        tb = Branch()
+        _parse_group(p, tb)
+        if tb.filters or tb.optionals or tb.binds or tb.values:
+            raise ValueError("BGP: CONSTRUCT template must be plain triples")
+        for s, pr, o in tb.patterns:
+            if pr.kind not in ("iri", "var"):
+                raise ValueError(
+                    "BGP: CONSTRUCT template predicates must be IRIs or vars"
+                )
+        if not tb.patterns:
+            raise ValueError("BGP: empty CONSTRUCT template")
+        q.template = tb.patterns
+    if form == "select" and p.peek() and p.peek().lower() == "distinct":
         p.next()
         q.distinct = True
     _AGG_FUNCS = ("count", "sum", "avg", "min", "max")
@@ -471,7 +592,12 @@ def parse_sparql(text: str) -> BGPQuery:
         p.expect(")")
         return func, var, distinct
 
-    while p.peek() and p.peek() != "{" and p.peek().lower() != "where":
+    while (
+        q.form == "select"
+        and p.peek()
+        and p.peek() != "{"
+        and p.peek().lower() != "where"
+    ):
         t = p.next()
         if t == "*":
             q.select = []
@@ -572,10 +698,18 @@ def _pattern_vars(pat: tuple[Term, Term, Term]) -> set[str]:
 
 
 def _pattern_frame(
-    triples: DataFrame, pat: tuple[Term, Term, Term]
+    triples: DataFrame,
+    pat: tuple[Term, Term, Term],
+    want_meta: frozenset[str] = frozenset(),
 ) -> tuple[DataFrame, set[str]]:
     """One scan per pattern: constants filtered (pushdown-eligible),
-    variables projected under their names."""
+    variables projected under their names.
+
+    ``want_meta`` lists variables whose RDF-term metadata (lang tag,
+    literal flag) a CONSTRUCT template needs; for those, companion
+    columns ``__m_lang_<v>`` / ``__m_lit_<v>`` ride along — from the
+    object position's real metadata, or the IRI constants
+    (null/false) when the variable binds a subject/predicate slot."""
     s, p, o = pat
     if s.kind == "literal" or p.kind == "literal":
         raise ValueError("BGP: literal subjects/predicates are not valid RDF")
@@ -608,7 +742,18 @@ def _pattern_frame(
                 df = df.where(F.col(cols[term.value]) == F.col(src))
             else:
                 cols[term.value] = src
-    out = df.select(*(F.col(src).alias(var) for var, src in cols.items()))
+    proj = [F.col(src).alias(var) for var, src in cols.items()]
+    for var, src in cols.items():
+        if var in want_meta:
+            if src == "obj":
+                proj.append(F.col("obj_lang").alias(f"__m_lang_{var}"))
+                proj.append(F.col("obj_is_literal").alias(f"__m_lit_{var}"))
+            else:  # subject/predicate position: always an IRI/bnode
+                proj.append(
+                    F.lit(None).cast("string").alias(f"__m_lang_{var}")
+                )
+                proj.append(F.lit(False).alias(f"__m_lit_{var}"))
+    out = df.select(*proj)
     return out, set(cols)
 
 
@@ -679,13 +824,22 @@ def _greedy_order(patterns: list[tuple[Term, Term, Term]]) -> list[int]:
 
 
 def _join_patterns(
-    triples: DataFrame, patterns: list[Pattern]
+    triples: DataFrame,
+    patterns: list[Pattern],
+    want_meta: frozenset[str] = frozenset(),
 ) -> tuple[DataFrame, set[str]]:
     """Join a pattern list in greedy connectivity order."""
     order = _greedy_order(patterns)
-    acc, bound = _pattern_frame(triples, patterns[order[0]])
+    acc, bound = _pattern_frame(triples, patterns[order[0]], want_meta)
     for i in order[1:]:
-        nxt, nvars = _pattern_frame(triples, patterns[i])
+        nxt, nvars = _pattern_frame(triples, patterns[i], want_meta)
+        # a shared variable denotes ONE term, so duplicate companion
+        # metadata from the right side is redundant — drop it
+        dup_meta = [
+            c for c in nxt.columns if c.startswith("__m_") and c in acc.columns
+        ]
+        if dup_meta:
+            nxt = nxt.drop(*dup_meta)
         shared = sorted(bound & nvars)
         if shared:
             acc = acc.join(nxt, on=shared, how="inner")
@@ -699,11 +853,18 @@ def _join_patterns(
 
 
 def _exec_branch(
-    triples: DataFrame, b: Branch
+    triples: DataFrame,
+    b: Branch,
+    want_meta: frozenset[str] = frozenset(),
 ) -> tuple[DataFrame, set[str]]:
-    acc, bound = _join_patterns(triples, b.patterns)
+    acc, bound = _join_patterns(triples, b.patterns, want_meta)
     for opt in b.optionals:
-        odf, ovars = _join_patterns(triples, opt)
+        odf, ovars = _join_patterns(triples, opt, want_meta)
+        dup_meta = [
+            c for c in odf.columns if c.startswith("__m_") and c in acc.columns
+        ]
+        if dup_meta:
+            odf = odf.drop(*dup_meta)
         shared = sorted(bound & ovars)
         if not shared:
             raise ValueError(
@@ -711,16 +872,95 @@ def _exec_branch(
             )
         acc = acc.join(odf, on=shared, how="left")
         bound |= ovars
+    # VALUES: inline constant bindings, joined on the shared variables
+    # (lexical-form comparison); a VALUES block with no shared variable
+    # extends each solution with every row (cross product, per SPARQL)
+    for vnames, rows in b.values:
+        spark = triples.sparkSession
+        vdf = spark.createDataFrame(
+            [[t.value for t in row] for row in rows],
+            ", ".join(f"`{v}` string" for v in vnames),
+        )
+        shared = sorted(bound & set(vnames))
+        acc = acc.join(vdf, on=shared, how="inner") if shared else acc.crossJoin(vdf)
+        bound |= set(vnames)
+    # BIND: computed columns, in order, each visible to later binds
+    # and to the group's FILTERs
+    for sql, var in b.binds:
+        if var in bound:
+            raise ValueError(f"BGP: BIND would rebind ?{var}")
+        acc = acc.withColumn(var, F.expr(sql))
+        bound.add(var)
     # SPARQL group scope: FILTERs apply after OPTIONALs have bound
     # their variables (a filter on an OPTIONAL var is legal)
     for f in b.filters:
         acc = acc.where(F.expr(f))
     # internal path-sequence join variables are branch-local; project
-    # them away before branches align for UNION
+    # them away before branches align for UNION (companion __m_ term
+    # metadata stays in the frame for CONSTRUCT emission)
     visible = {v for v in bound if not v.startswith("__p")}
     if visible != bound:
-        acc = acc.select(*sorted(visible))
+        meta_cols = [c for c in acc.columns if c.startswith("__m_")]
+        acc = acc.select(*sorted(visible), *meta_cols)
     return acc, visible
+
+
+def _emit_construct(
+    acc: DataFrame, template: list[Pattern], bound: set[str]
+) -> DataFrame:
+    """Instantiate a CONSTRUCT template over the solution frame: one
+    narrow projection per template triple, unioned and set-deduped
+    (a CONSTRUCT result is a graph). Solutions leaving any template
+    slot unbound (OPTIONAL) produce no triple, per SPARQL. Object
+    variables carry their lang/literal metadata via the __m_ columns;
+    closure-bound endpoints (no metadata) default to IRI."""
+    parts = []
+    for s, pr, o in template:
+        for t in (s, pr):
+            if t.kind == "var" and t.value not in bound:
+                raise ValueError(f"BGP: template variable ?{t.value} not bound")
+        if o.kind == "var" and o.value not in bound:
+            raise ValueError(f"BGP: template variable ?{o.value} not bound")
+
+        def slot(t: Term) -> F.Column:
+            return F.col(t.value) if t.kind == "var" else F.lit(t.value)
+
+        if o.kind == "var":
+            lang_c = f"__m_lang_{o.value}"
+            lit_c = f"__m_lit_{o.value}"
+            lang = (
+                F.col(lang_c)
+                if lang_c in acc.columns
+                else F.lit(None).cast("string")
+            )
+            lit = (
+                F.coalesce(F.col(lit_c), F.lit(False))
+                if lit_c in acc.columns
+                else F.lit(False)
+            )
+        elif o.kind == "literal":
+            lang = (
+                F.lit(o.lang) if o.lang else F.lit(None).cast("string")
+            )
+            lit = F.lit(True)
+        else:
+            lang, lit = F.lit(None).cast("string"), F.lit(False)
+        part = acc.select(
+            slot(s).alias("subj"),
+            slot(pr).alias("pred"),
+            slot(o).alias("obj"),
+            lang.alias("obj_lang"),
+            lit.alias("obj_is_literal"),
+        ).where(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+        )
+        parts.append(part)
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.distinct()
 
 
 def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
@@ -732,20 +972,45 @@ def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
     groups LEFT-join on their shared variables, new variables coming
     back null where the group has no match."""
     q = parse_sparql(query) if isinstance(query, str) else query
-    frames = [_exec_branch(triples, b) for b in q.branches]
+    want_meta = frozenset(
+        t.value
+        for pat in (q.template or [])
+        for t in (pat[2],)
+        if t.kind == "var"
+    )
+    frames = [_exec_branch(triples, b, want_meta) for b in q.branches]
     bound: set[str] = set().union(*(v for _, v in frames))
+    all_meta = sorted(
+        {c for df, _ in frames for c in df.columns if c.startswith("__m_")}
+    )
     aligned = []
     for df, dvars in frames:
         missing = sorted(bound - dvars)
+        meta_sel = [
+            F.col(c)
+            if c in df.columns
+            else (
+                F.lit(None).cast("string").alias(c)
+                if c.startswith("__m_lang_")
+                else F.lit(False).alias(c)
+            )
+            for c in all_meta
+        ]
         aligned.append(
             df.select(
                 *sorted(dvars),
                 *(F.lit(None).cast("string").alias(v) for v in missing),
+                *meta_sel,
             )
         )
     acc = aligned[0]
     for df in aligned[1:]:
         acc = acc.unionByName(df)
+    if q.form == "ask":
+        # always exactly one boolean row — SPARQL ASK semantics
+        return acc.agg((F.count(F.lit(1)) > 0).alias("ask"))
+    if q.form == "construct":
+        return _emit_construct(acc, q.template or [], bound)
     if q.aggregates or q.group_by:
         missing_g = [g for g in q.group_by if g not in bound]
         missing_a = [v for _, v, _, _ in q.aggregates if v and v not in bound]

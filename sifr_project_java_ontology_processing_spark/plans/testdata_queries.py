@@ -3218,3 +3218,108 @@ def q_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHERE { ?n ex:within ?r . ?n ex:name ?nl }
            GROUP BY ?r HAVING(?n_nations >= 5) ORDER BY ?r""",
     )
+
+
+@register(
+    "sparql_construct",
+    """
+    WITH base AS (
+      SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS n,
+             'r:' || CAST(n_regionkey AS VARCHAR) AS r,
+             r_name AS l
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT DISTINCT * FROM (
+      SELECT n AS subj, 'http://ex/locatedIn' AS pred, r AS obj,
+             CAST(NULL AS VARCHAR) AS obj_lang, FALSE AS obj_is_literal
+      FROM base
+      UNION ALL
+      SELECT r, 'http://ex/regionName', l, NULL, TRUE FROM base
+    )
+    """,
+)
+def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (plans/bgp.py::_emit_construct): a two-triple
+    template instantiated over the nation⋈region BGP, returning a
+    schemas.TRIPLES-shaped graph. Object variables carry their RDF
+    term metadata (lang tag, literal flag) through companion columns
+    riding the solution frame — ?r stays an IRI, ?l a literal — and
+    the result is set-deduped (each region's name triple emits once
+    though ~5 nations instantiate it). One narrow projection per
+    template triple, union, distinct: no per-solution Python."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           CONSTRUCT {
+             ?n <http://ex/locatedIn> ?r .
+             ?r <http://ex/regionName> ?l .
+           }
+           WHERE { ?n ex:within ?r . ?r ex:label ?l . }""",
+    )
+
+
+@register(
+    "sparql_values_bind",
+    """
+    SELECT n_name AS nl, r_name AS rl,
+           lower(r_name) || ':' || n_name AS tag
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND (starts_with(n_name, 'I') OR contains(n_name, 'A'))
+    ORDER BY nl
+    """,
+)
+def q_sparql_values_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES + BIND (plans/bgp.py): an inline two-row VALUES
+    block joins constant bindings onto the BGP solution (a broadcast
+    hash join of a literal local relation — never a shuffle), BIND
+    computes a derived column with the CONCAT/LCASE builtin subset
+    inside whole-stage codegen, and the FILTER uses STRSTARTS/
+    CONTAINS. The oracle replays the same expressions relationally
+    (both sides share DuckDB/Spark-common SQL function semantics)."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?nl ?rl ?tag WHERE {
+             ?n ex:within ?r .
+             ?n ex:name ?nl .
+             ?r ex:label ?rl .
+             VALUES ?rl { "ASIA" "EUROPE" }
+             BIND(CONCAT(LCASE(?rl), ":", ?nl) AS ?tag)
+             FILTER(STRSTARTS(?nl, "I") || CONTAINS(?nl, "A"))
+           } ORDER BY ?nl""",
+    )
+
+
+@register(
+    "sparql_ask",
+    """
+    SELECT count(*) > 0 AS ask
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND starts_with(n_name, 'J')
+    """,
+)
+def q_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK (plans/bgp.py): existence of a JAPAN-like nation in
+    ASIA, compiled to the BGP join plus ONE global boolean aggregate —
+    exactly one output row whether or not solutions exist (per SPARQL
+    ASK semantics; count(*)>0 keeps the empty-input case true-typed)."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           ASK WHERE {
+             ?n ex:within ?r .
+             ?r ex:label "ASIA" .
+             ?n ex:name ?nl .
+             FILTER(STRSTARTS(?nl, "J"))
+           }""",
+    )

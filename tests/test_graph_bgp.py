@@ -569,6 +569,182 @@ def test_aggregate_global_count_distinct_and_bare(chain_triples):
     assert df.collect()[0]["count_all"] == 9
 
 
+def test_construct_rewrites_predicates_and_keeps_term_metadata(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        CONSTRUCT { ?r <http://ex/name> ?rl . }
+        WHERE { ?n <http://ex/region> ?r . ?r skos:prefLabel ?rl . }
+        """,
+    )
+    assert out.columns == ["subj", "pred", "obj", "obj_lang", "obj_is_literal"]
+    got = {(r["subj"], r["pred"], r["obj"], r["obj_lang"], r["obj_is_literal"])
+           for r in out.collect()}
+    assert got == {
+        ("r1", "http://ex/name", "west", "en", True),
+        ("r2", "http://ex/name", "east", "en", True),
+        ("r2", "http://ex/name", "est", "fr", True),
+    }
+
+
+def test_construct_iri_object_and_constant_literal(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        CONSTRUCT {
+          ?n <http://ex/in> ?r .
+          ?n <http://ex/kind> "node"@en .
+        }
+        WHERE { ?n <http://ex/region> ?r . }
+        """,
+    ).collect()
+    got = {(r["subj"], r["pred"], r["obj"], r["obj_lang"], r["obj_is_literal"])
+           for r in out}
+    # variable bound in a non-object position stays an IRI term
+    assert ("n1", "http://ex/in", "r1", None, False) in got
+    assert ("n1", "http://ex/kind", "node", "en", True) in got
+    assert len(got) == 4
+
+
+def test_construct_is_set_semantics_and_optional_skips_unbound(tiny_triples):
+    # two region edges instantiate the same constant triple once
+    out = execute_bgp(
+        tiny_triples,
+        "CONSTRUCT { <g> <http://ex/has> <regions> . } "
+        "WHERE { ?n <http://ex/region> ?r . }",
+    ).collect()
+    assert len(out) == 1
+    # OPTIONAL leaves ?rl unbound for r1-less nodes: no triple emitted
+    out2 = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        CONSTRUCT { ?n <http://ex/lbl> ?l . }
+        WHERE { ?n a skos:Concept . OPTIONAL { ?n skos:prefLabel ?l . } }
+        """,
+    ).collect()
+    assert {r["subj"] for r in out2} == {"n1", "n2"}  # n3 drops out
+
+
+def test_ask_true_false(tiny_triples):
+    df = execute_bgp(
+        tiny_triples,
+        'PREFIX skos: <http://www.w3.org/2004/02/skos/core#> '
+        'ASK WHERE { ?r skos:prefLabel "est"@fr . }',
+    )
+    assert df.columns == ["ask"]
+    assert df.collect()[0]["ask"] is True
+    df2 = execute_bgp(tiny_triples, "ASK WHERE { ?s <http://ex/nope> ?o . }")
+    assert df2.collect() == [(False,)] or df2.collect()[0]["ask"] is False
+
+
+def test_values_single_and_grouped(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        SELECT ?n ?r WHERE {
+          ?n <http://ex/region> ?r .
+          VALUES ?r { <r1> }
+        }
+        """,
+    ).collect()
+    assert [(r["n"], r["r"]) for r in out] == [("n1", "r1")]
+    # grouped form joins on the shared var and binds the new one
+    out2 = execute_bgp(
+        tiny_triples,
+        """
+        SELECT ?n ?code WHERE {
+          ?n <http://ex/region> ?r .
+          VALUES (?r ?code) { (<r1> "W") (<r2> "E") }
+        } ORDER BY ?n
+        """,
+    ).collect()
+    assert [(r["n"], r["code"]) for r in out2] == [("n1", "W"), ("n2", "E")]
+
+
+def test_values_no_shared_var_cross_product(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        SELECT ?n ?tag WHERE {
+          ?n <http://ex/region> ?r .
+          VALUES ?tag { "x" "y" }
+        }
+        """,
+    ).collect()
+    assert len(out) == 4  # 2 region edges x 2 tags
+
+
+def test_bind_expressions_and_chaining(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n ?u ?lab WHERE {
+          ?n skos:prefLabel ?l .
+          BIND(UCASE(?l) AS ?u)
+          BIND(CONCAT(?n, ":", ?u) AS ?lab)
+          FILTER(STRSTARTS(?u, "A"))
+        }
+        """,
+    ).collect()
+    assert [(r["n"], r["u"], r["lab"]) for r in out] == [("n1", "ALPHA", "n1:ALPHA")]
+
+
+def test_bind_bound_on_optional_var(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n ?has WHERE {
+          ?n a skos:Concept .
+          OPTIONAL { ?n <http://ex/region> ?r . }
+          BIND(BOUND(?r) AS ?has)
+        } ORDER BY ?n
+        """,
+    ).collect()
+    assert [(r["n"], r["has"]) for r in out] == [
+        ("n1", True), ("n2", True), ("n3", False),
+    ]
+
+
+def test_construct_ask_values_bind_parse_errors():
+    with pytest.raises(ValueError, match="plain triples"):
+        parse_sparql(
+            "CONSTRUCT { ?s <p> ?o . FILTER(?o > 1) } WHERE { ?s <p> ?o }"
+        )
+    with pytest.raises(ValueError, match="empty CONSTRUCT"):
+        parse_sparql("CONSTRUCT { } WHERE { ?s <p> ?o }")
+    with pytest.raises(ValueError, match="row width"):
+        parse_sparql(
+            'SELECT ?a WHERE { ?a <p> ?b . VALUES (?a ?b) { (<x>) } }'
+        )
+    with pytest.raises(ValueError, match="constants"):
+        parse_sparql("SELECT ?a WHERE { ?a <p> ?b . VALUES ?a { ?c } }")
+    with pytest.raises(ValueError, match="AS"):
+        parse_sparql("SELECT ?a WHERE { ?a <p> ?b . BIND(UCASE(?b)) }")
+    with pytest.raises(ValueError, match="unsupported query form"):
+        parse_sparql("DESCRIBE <x>")
+
+
+def test_bind_rebind_raises(tiny_triples):
+    with pytest.raises(ValueError, match="rebind"):
+        execute_bgp(
+            tiny_triples,
+            "SELECT ?n WHERE { ?n <http://ex/region> ?r . BIND(UCASE(?r) AS ?n) }",
+        )
+
+
+def test_construct_template_var_not_bound_raises(tiny_triples):
+    with pytest.raises(ValueError, match="not bound"):
+        execute_bgp(
+            tiny_triples,
+            "CONSTRUCT { ?z <p> ?r . } WHERE { ?n <http://ex/region> ?r . }",
+        )
+
+
 def test_aggregate_sum_avg_min_max(spark):
     rows = [
         ("a", "v", "10", None, True),
