@@ -66,6 +66,21 @@ join inline constant bindings (lexical comparison), and
 ``BIND(expr AS ?v)`` computes new columns with the FILTER
 expression subset plus CONCAT/UCASE/LCASE/STRLEN/STRSTARTS/
 STRENDS/CONTAINS/SUBSTR/REPLACE/BOUND.
+
+Negation: ``FILTER EXISTS { patterns }`` / ``FILTER NOT EXISTS
+{ patterns }`` compile to a left-semi / left-anti join of the
+solution frame against the inner group on the shared variables —
+the Spark-native shape for both (no subquery re-evaluation per
+row). ``MINUS { patterns }`` is also a left-anti join but keeps
+SPARQL's disjoint-domain rule: sharing no variable removes
+nothing (while a variable-disjoint NOT EXISTS removes everything
+when the inner group has any solution). Caveat (documented
+subset): solutions with an UNBOUND shared variable (from
+OPTIONAL) use join-NULL semantics — they never match the inner
+group — where full SPARQL would treat the unbound variable as
+compatible-with-anything. ``OFFSET n`` composes with LIMIT, and
+the ``?`` path modifier (zero-or-one) unions the single edge
+with the zero-length identity, without the closure loop.
 """
 
 from __future__ import annotations
@@ -94,8 +109,9 @@ class Term:
     kind: 'var' (name without '?'), 'iri' (absolute IRI), or
     'literal' (lexical form, optional lang tag). Predicate positions
     additionally allow 'iri_alt' (``alts`` = alternation of plain
-    IRIs, one IN-filtered scan) and 'path_plus' / 'path_star'
-    (one-or-more / zero-or-more closure of the IRI in ``value``).
+    IRIs, one IN-filtered scan) and 'path_plus' / 'path_star' /
+    'path_opt' (one-or-more / zero-or-more / zero-or-one over the
+    IRI in ``value``).
     """
 
     kind: str
@@ -121,6 +137,10 @@ class Branch:
     values: list[tuple[list[str], list[list[Term]]]] = field(
         default_factory=list
     )
+    # FILTER [NOT] EXISTS groups: (positive?, patterns)
+    exists: list[tuple[bool, list[Pattern]]] = field(default_factory=list)
+    # MINUS groups
+    minus: list[list[Pattern]] = field(default_factory=list)
 
 
 @dataclass
@@ -132,6 +152,7 @@ class BGPQuery:
     distinct: bool = False
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
+    offset: int | None = None
     # aggregation: (func, var-or-None-for-*, distinct, alias)
     aggregates: list[tuple[str, str | None, bool, str]] = field(
         default_factory=list
@@ -186,7 +207,7 @@ _TOKEN = re.compile(
         (?P<iri><[^<>\s]*>) |
         (?P<var>\?[A-Za-z_][A-Za-z0-9_]*) |
         (?P<num>[+-]?\d+(?:\.\d+)?) |
-        (?P<punct>&&|\|\||[!<>]=|[=<>]|[{}().,;!*+/^|]) |
+        (?P<punct>&&|\|\||[!<>]=|[=<>]|[{}().,;!*+/^|?]) |
         (?P<word>[A-Za-z_][A-Za-z0-9_-]*(?::[A-Za-z_][A-Za-z0-9_.-]*)?|:[A-Za-z_][A-Za-z0-9_.-]*)
     )""",
     re.VERBOSE,
@@ -391,14 +412,14 @@ def _parse_path(p: _P) -> list[PathElt]:
                 if t2.kind != "iri":
                     raise ValueError("BGP: path alternation needs plain IRIs")
                 alts.append(t2.value)
-            if p.peek() in ("+", "*"):
+            if p.peek() in ("+", "*", "?"):
                 raise ValueError(
                     "BGP: closure of an alternation is not supported"
                 )
             elts.append((inv, Term("iri_alt", alts[0], alts=tuple(alts)), None))
         else:
             mod = None
-            if p.peek() in ("+", "*"):
+            if p.peek() in ("+", "*", "?"):
                 mod = p.next()
             elts.append((inv, t, mod))
         if p.peek() == "/":
@@ -421,10 +442,25 @@ def _emit_path(
             pred = Term("path_plus", term.value)
         elif mod == "*":
             pred = Term("path_star", term.value)
+        elif mod == "?":
+            pred = Term("path_opt", term.value)
         else:
             pred = term
         patterns.append((nxt, pred, cur) if inv else (cur, pred, nxt))
         cur = nxt
+
+
+def _parse_plain_group(p: _P, ctx: str) -> list[Pattern]:
+    """Parse an inner ``{ patterns }`` group (EXISTS / NOT EXISTS /
+    MINUS bodies): triple patterns only, non-empty."""
+    p.expect("{")
+    gb = Branch()
+    _parse_group(p, gb)
+    if gb.filters or gb.optionals or gb.binds or gb.values or gb.exists or gb.minus:
+        raise ValueError(f"BGP: {ctx} group must contain only triple patterns")
+    if not gb.patterns:
+        raise ValueError(f"BGP: empty {ctx} group")
+    return gb.patterns
 
 
 def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
@@ -445,7 +481,23 @@ def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
             if in_optional:
                 raise ValueError("BGP: FILTER inside OPTIONAL is not supported")
             p.next()
-            branch.filters.append(_filter_to_sql(p))
+            nxt = p.peek()
+            if nxt is not None and nxt.lower() in ("exists", "not"):
+                positive = nxt.lower() == "exists"
+                p.next()
+                if not positive:
+                    p.expect("EXISTS")
+                branch.exists.append((positive, _parse_plain_group(p, "EXISTS")))
+            else:
+                branch.filters.append(_filter_to_sql(p))
+            if p.peek() == ".":
+                p.next()
+            continue
+        if t.lower() == "minus":
+            if in_optional:
+                raise ValueError("BGP: MINUS inside OPTIONAL is not supported")
+            p.next()
+            branch.minus.append(_parse_plain_group(p, "MINUS"))
             if p.peek() == ".":
                 p.next()
             continue
@@ -553,7 +605,10 @@ def parse_sparql(text: str) -> BGPQuery:
         p.expect("{")
         tb = Branch()
         _parse_group(p, tb)
-        if tb.filters or tb.optionals or tb.binds or tb.values:
+        if (
+            tb.filters or tb.optionals or tb.binds or tb.values
+            or tb.exists or tb.minus
+        ):
             raise ValueError("BGP: CONSTRUCT template must be plain triples")
         for s, pr, o in tb.patterns:
             if pr.kind not in ("iri", "var"):
@@ -662,6 +717,8 @@ def parse_sparql(text: str) -> BGPQuery:
                     q.order_by.append((tok[1:], True))
         elif t == "limit":
             q.limit = int(p.next())
+        elif t == "offset":
+            q.offset = int(p.next())
         elif t == "group":
             p.expect("BY")
             while p.peek() and p.peek().startswith("?"):
@@ -713,7 +770,7 @@ def _pattern_frame(
     s, p, o = pat
     if s.kind == "literal" or p.kind == "literal":
         raise ValueError("BGP: literal subjects/predicates are not valid RDF")
-    if p.kind in ("path_plus", "path_star"):
+    if p.kind in ("path_plus", "path_star", "path_opt"):
         return _closure_frame(triples, pat)
     df = triples
     if s.kind == "iri":
@@ -774,8 +831,12 @@ def _closure_frame(
     edges = triples.where(F.col("pred") == p.value).select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
-    reach = transitive_closure(edges).select("src", "dst")
-    if p.kind == "path_star":
+    if p.kind == "path_opt":
+        # zero-or-one: the single edge, no closure loop at all
+        reach = edges.distinct()
+    else:
+        reach = transitive_closure(edges).select("src", "dst")
+    if p.kind in ("path_star", "path_opt"):
         nodes = (
             triples.select(F.col("subj").alias("n"))
             .unionByName(triples.select(F.col("obj").alias("n")))
@@ -895,6 +956,31 @@ def _exec_branch(
     # their variables (a filter on an OPTIONAL var is legal)
     for f in b.filters:
         acc = acc.where(F.expr(f))
+    # FILTER [NOT] EXISTS: left-semi / left-anti join on the shared
+    # variables — Catalyst broadcasts the inner side when small, and
+    # neither join shape duplicates or widens the solution frame.
+    # A variable-disjoint EXISTS degenerates to "does the inner group
+    # have ANY solution": probe its first row only.
+    for positive, pats in b.exists:
+        idf, ivars = _join_patterns(triples, pats)
+        shared = sorted(bound & ivars)
+        if shared:
+            how = "left_semi" if positive else "left_anti"
+            acc = acc.join(idf, on=shared, how=how)
+        else:
+            probe = idf.limit(1).select(F.lit(1).alias("__exists_probe"))
+            if positive:
+                acc = acc.crossJoin(probe).drop("__exists_probe")
+            else:
+                acc = acc.join(probe, F.lit(True), "left_anti")
+    # MINUS: left-anti on shared variables; SPARQL's disjoint-domain
+    # rule makes a MINUS sharing no variable a no-op (unlike NOT
+    # EXISTS, which removes everything when the inner group matches)
+    for pats in b.minus:
+        mdf, mvars = _join_patterns(triples, pats)
+        shared = sorted(bound & mvars)
+        if shared:
+            acc = acc.join(mdf, on=shared, how="left_anti")
     # internal path-sequence join variables are branch-local; project
     # them away before branches align for UNION (companion __m_ term
     # metadata stays in the frame for CONSTRUCT emission)
@@ -1055,6 +1141,9 @@ def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
         acc = acc.orderBy(
             *(F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order_by)
         )
+    if q.offset is not None:
+        # SPARQL slice: skip OFFSET rows, then take LIMIT
+        acc = acc.offset(q.offset)
     if q.limit is not None:
         acc = acc.limit(q.limit)
     return acc

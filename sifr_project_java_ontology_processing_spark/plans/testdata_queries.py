@@ -3323,3 +3323,66 @@ def q_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
              FILTER(STRSTARTS(?nl, "J"))
            }""",
     )
+
+
+@register(
+    "sparql_negation",
+    """
+    SELECT n_name AS nl, r_name AS rl
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE EXISTS (SELECT 1 FROM nation m
+                  WHERE m.n_nationkey = n.n_nationkey + 1)
+      AND r_name <> 'ASIA'
+    ORDER BY nl
+    """,
+)
+def q_sparql_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL negation (plans/bgp.py): FILTER EXISTS compiles to a
+    left-SEMI join on the shared variable (?n must have an inbound
+    ``prev`` edge) and MINUS to a left-ANTI join (?r must not carry
+    the ASIA label) — both the Spark-native shapes, broadcast-eligible
+    under AQE, never widening the solution frame. The oracle replays
+    them as EXISTS / <> subqueries relationally."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?nl ?rl WHERE {
+             ?n ex:name ?nl .
+             ?n ex:within ?r .
+             ?r ex:label ?rl .
+             FILTER EXISTS { ?m ex:prev ?n }
+             MINUS { ?r ex:label "ASIA" . }
+           } ORDER BY ?nl""",
+    )
+
+
+@register(
+    "sparql_path_opt_offset",
+    """
+    SELECT nl, b FROM (
+      SELECT n_name AS nl, 'n:' || CAST(n_nationkey AS VARCHAR) AS b
+      FROM nation
+      UNION ALL
+      SELECT n_name, 'n:' || CAST(n_nationkey - 1 AS VARCHAR)
+      FROM nation WHERE n_nationkey > 0
+    ) ORDER BY nl, b OFFSET 3
+    """,
+)
+def q_sparql_path_opt_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ``?`` zero-or-one path + OFFSET (plans/bgp.py): for each
+    nation, itself (zero-length identity) plus its single ``prev``
+    neighbour — one edge scan unioned with the node identity, no
+    closure loop — then the total ORDER BY makes OFFSET deterministic.
+    The oracle replays identity+edge as a UNION ALL with OFFSET."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?nl ?b WHERE { ?a ex:name ?nl . ?a ex:prev? ?b }
+           ORDER BY ?nl ?b OFFSET 3""",
+    )

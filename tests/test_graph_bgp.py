@@ -745,6 +745,129 @@ def test_construct_template_var_not_bound_raises(tiny_triples):
         )
 
 
+def test_filter_not_exists_and_exists(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n WHERE {
+          ?n a skos:Concept .
+          FILTER NOT EXISTS { ?n <http://ex/region> ?r . }
+        }
+        """,
+    ).collect()
+    assert [r["n"] for r in out] == ["n3"]
+    out2 = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n WHERE {
+          ?n a skos:Concept .
+          FILTER EXISTS { ?n <http://ex/region> ?r . }
+        } ORDER BY ?n
+        """,
+    ).collect()
+    assert [r["n"] for r in out2] == ["n1", "n2"]
+
+
+def test_exists_disjoint_group_probes_any_solution(tiny_triples):
+    # variable-disjoint NOT EXISTS: inner group matches -> removes ALL
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n WHERE {
+          ?n a skos:Concept .
+          FILTER NOT EXISTS { ?x <http://ex/region> ?y . }
+        }
+        """,
+    ).collect()
+    assert out == []
+    # inner group empty -> EXISTS false removes all, NOT EXISTS keeps all
+    out2 = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n WHERE {
+          ?n a skos:Concept .
+          FILTER EXISTS { ?x <http://ex/nope> ?y . }
+        }
+        """,
+    ).collect()
+    assert out2 == []
+    out3 = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n WHERE {
+          ?n a skos:Concept .
+          FILTER NOT EXISTS { ?x <http://ex/nope> ?y . }
+        }
+        """,
+    ).collect()
+    assert len(out3) == 3
+
+
+def test_minus_shared_and_disjoint_domain(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n WHERE {
+          ?n a skos:Concept .
+          MINUS { ?n <http://ex/region> <r1> . }
+        } ORDER BY ?n
+        """,
+    ).collect()
+    assert [r["n"] for r in out] == ["n2", "n3"]
+    # disjoint-domain MINUS removes NOTHING (unlike NOT EXISTS)
+    out2 = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n WHERE {
+          ?n a skos:Concept .
+          MINUS { ?x <http://ex/region> ?y . }
+        }
+        """,
+    ).collect()
+    assert len(out2) == 3
+
+
+def test_path_zero_or_one(chain_triples):
+    got = execute_bgp(
+        chain_triples,
+        "PREFIX ex: <http://ex/> SELECT ?x WHERE { <a> ex:broader? ?x } ORDER BY ?x",
+    ).collect()
+    assert [r["x"] for r in got] == ["a", "b"]  # identity + one hop, no closure
+    # composed in a sequence: 0-or-1 broader hop then label
+    got2 = execute_bgp(
+        chain_triples,
+        "PREFIX ex: <http://ex/> SELECT ?l WHERE { <a> ex:broader?/ex:label ?l } ORDER BY ?l",
+    ).collect()
+    assert [r["l"] for r in got2] == ["A", "B"]
+
+
+def test_offset_composes_with_limit(chain_triples):
+    got = execute_bgp(
+        chain_triples,
+        "PREFIX ex: <http://ex/> SELECT ?x WHERE { ?s ex:broader ?x } "
+        "ORDER BY ?x OFFSET 1 LIMIT 1",
+    ).collect()
+    assert [r["x"] for r in got] == ["c"]
+
+
+def test_exists_minus_parse_errors():
+    with pytest.raises(ValueError, match="empty EXISTS"):
+        parse_sparql("SELECT ?s WHERE { ?s <p> ?o . FILTER NOT EXISTS { } }")
+    with pytest.raises(ValueError, match="only triple patterns"):
+        parse_sparql(
+            "SELECT ?s WHERE { ?s <p> ?o . MINUS { ?s <q> ?x . FILTER(?x > 1) } }"
+        )
+    with pytest.raises(ValueError, match="alternation"):
+        parse_sparql("PREFIX ex: <http://ex/> SELECT ?s WHERE { ?s ex:a|ex:b? ?o }")
+
+
 def test_aggregate_sum_avg_min_max(spark):
     rows = [
         ("a", "v", "10", None, True),
