@@ -67,6 +67,13 @@ join inline constant bindings (lexical comparison), and
 expression subset plus CONCAT/UCASE/LCASE/STRLEN/STRSTARTS/
 STRENDS/CONTAINS/SUBSTR/REPLACE/BOUND.
 
+``DESCRIBE <iri>...`` / ``DESCRIBE ?v... WHERE {...}`` returns the
+forward description — every triple whose SUBJECT is a described
+resource (the common Jena-style default, minus blank-node closure)
+— as a TRIPLES-shaped frame: described variables' bindings union
+with constant IRIs, then ONE left-semi join against the triples
+table (broadcast-eligible; never widens or re-scans per resource).
+
 Negation: ``FILTER EXISTS { patterns }`` / ``FILTER NOT EXISTS
 { patterns }`` compile to a left-semi / left-anti join of the
 solution frame against the inner group on the shared variables —
@@ -145,8 +152,9 @@ class Branch:
 
 @dataclass
 class BGPQuery:
-    form: str = "select"  # 'select' | 'construct' | 'ask'
+    form: str = "select"  # 'select' | 'construct' | 'ask' | 'describe'
     template: list[Pattern] | None = None  # CONSTRUCT template
+    describe: list[Term] = field(default_factory=list)  # vars + IRIs
     select: list[str] = field(default_factory=list)  # [] = SELECT *
     branches: list[Branch] = field(default_factory=list)  # >1 = UNION
     distinct: bool = False
@@ -597,9 +605,26 @@ def parse_sparql(text: str) -> BGPQuery:
 
     p = _P(_tokenize(body), prefixes)
     form = p.next().lower()
-    if form not in ("select", "construct", "ask"):
+    if form not in ("select", "construct", "ask", "describe"):
         raise ValueError(f"BGP: unsupported query form {form!r}")
     q = BGPQuery(form=form, select=[], branches=[])
+    if form == "describe":
+        while (
+            p.peek() is not None
+            and p.peek() != "{"
+            and p.peek().lower() != "where"
+        ):
+            t = p.term()
+            if t.kind not in ("var", "iri"):
+                raise ValueError("BGP: DESCRIBE takes ?variables or IRIs")
+            q.describe.append(t)
+        if not q.describe:
+            raise ValueError("BGP: DESCRIBE needs at least one ?variable or IRI")
+        if p.peek() is None:
+            # constants-only form: no WHERE group at all
+            if any(t.kind == "var" for t in q.describe):
+                raise ValueError("BGP: DESCRIBE ?var needs a WHERE group")
+            return q
     if form == "construct":
         # CONSTRUCT { template } WHERE { patterns }
         p.expect("{")
@@ -1058,6 +1083,11 @@ def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
     groups LEFT-join on their shared variables, new variables coming
     back null where the group has no match."""
     q = parse_sparql(query) if isinstance(query, str) else query
+    if q.form == "describe" and not q.branches:
+        # constants-only DESCRIBE: a plain IN filter on the subject —
+        # pushdown-eligible, no join at all
+        consts = [t.value for t in q.describe]
+        return triples.where(F.col("subj").isin(*consts))
     want_meta = frozenset(
         t.value
         for pat in (q.template or [])
@@ -1097,6 +1127,34 @@ def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
         return acc.agg((F.count(F.lit(1)) > 0).alias("ask"))
     if q.form == "construct":
         return _emit_construct(acc, q.template or [], bound)
+    if q.form == "describe":
+        missing_d = [
+            t.value for t in q.describe if t.kind == "var" and t.value not in bound
+        ]
+        if missing_d:
+            raise ValueError(f"BGP: DESCRIBE variables not bound: {missing_d}")
+        parts = [
+            acc.select(F.col(t.value).alias("__dr")).where(
+                F.col(t.value).isNotNull()
+            )
+            for t in q.describe
+            if t.kind == "var"
+        ]
+        consts = [t.value for t in q.describe if t.kind == "iri"]
+        if consts:
+            parts.append(
+                triples.sparkSession.createDataFrame(
+                    [[c] for c in consts], "`__dr` string"
+                )
+            )
+        res = parts[0]
+        for p_ in parts[1:]:
+            res = res.unionByName(p_)
+        # forward description: one semi-join of the triples table
+        # against the deduped resource set
+        return triples.join(
+            res.distinct(), F.col("subj") == F.col("__dr"), "left_semi"
+        )
     if q.aggregates or q.group_by:
         missing_g = [g for g in q.group_by if g not in bound]
         missing_a = [v for _, v, _, _ in q.aggregates if v and v not in bound]

@@ -3386,3 +3386,44 @@ def q_sparql_path_opt_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
            SELECT ?nl ?b WHERE { ?a ex:name ?nl . ?a ex:prev? ?b }
            ORDER BY ?nl ?b OFFSET 3""",
     )
+
+
+@register(
+    "sparql_describe",
+    """
+    WITH sel AS (
+      SELECT n_nationkey AS k, n_name, n_regionkey
+      FROM nation WHERE n_regionkey = 0
+    )
+    SELECT 'n:' || CAST(k AS VARCHAR) AS subj,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+           'http://ex/Nation' AS obj,
+           CAST(NULL AS VARCHAR) AS obj_lang, FALSE AS obj_is_literal
+    FROM sel
+    UNION ALL
+    SELECT 'n:' || CAST(k AS VARCHAR), 'http://ex/name', n_name, NULL, TRUE
+    FROM sel
+    UNION ALL
+    SELECT 'n:' || CAST(k AS VARCHAR), 'http://ex/within',
+           'r:' || CAST(n_regionkey AS VARCHAR), NULL, FALSE
+    FROM sel
+    UNION ALL
+    SELECT 'n:' || CAST(k AS VARCHAR), 'http://ex/prev',
+           'n:' || CAST(k - 1 AS VARCHAR), NULL, FALSE
+    FROM sel WHERE k > 0
+    """,
+)
+def q_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE (plans/bgp.py): the forward description of
+    every nation in region r:0 — the WHERE group binds ?n, then ONE
+    left-semi join pulls every triple whose subject is a described
+    resource (type, name, within, prev edges). The oracle replays
+    the per-subject triple groups as UNION ALL branches."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           DESCRIBE ?n WHERE { ?n ex:within <r:0> }""",
+    )

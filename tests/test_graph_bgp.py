@@ -726,7 +726,7 @@ def test_construct_ask_values_bind_parse_errors():
     with pytest.raises(ValueError, match="AS"):
         parse_sparql("SELECT ?a WHERE { ?a <p> ?b . BIND(UCASE(?b)) }")
     with pytest.raises(ValueError, match="unsupported query form"):
-        parse_sparql("DESCRIBE <x>")
+        parse_sparql("INSERT { ?s <p> ?o } WHERE { ?s <p> ?o }")
 
 
 def test_bind_rebind_raises(tiny_triples):
@@ -866,6 +866,45 @@ def test_exists_minus_parse_errors():
         )
     with pytest.raises(ValueError, match="alternation"):
         parse_sparql("PREFIX ex: <http://ex/> SELECT ?s WHERE { ?s ex:a|ex:b? ?o }")
+
+
+def test_describe_constants_only_is_pushdown_filter(tiny_triples):
+    out = execute_bgp(tiny_triples, "DESCRIBE <n1>")
+    assert out.columns == ["subj", "pred", "obj", "obj_lang", "obj_is_literal"]
+    got = {(r["pred"].rsplit("#")[-1].rsplit("/")[-1], r["obj"]) for r in out.collect()}
+    assert got == {
+        ("type", "http://www.w3.org/2004/02/skos/core#Concept"),
+        ("prefLabel", "alpha"),
+        ("region", "r1"),
+    }
+
+
+def test_describe_var_and_mixed(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        "DESCRIBE ?r WHERE { ?n <http://ex/region> ?r . }",
+    ).collect()
+    assert {(r["subj"], r["obj"]) for r in out} == {
+        ("r1", "west"), ("r2", "east"), ("r2", "est"),
+    }
+    # mixed: variable bindings union with a constant IRI
+    out2 = execute_bgp(
+        tiny_triples,
+        "DESCRIBE ?r <n3> WHERE { ?n <http://ex/region> ?r . }",
+    ).collect()
+    subjects = {r["subj"] for r in out2}
+    assert subjects == {"r1", "r2", "n3"}
+
+
+def test_describe_errors(tiny_triples):
+    with pytest.raises(ValueError, match="at least one"):
+        parse_sparql("DESCRIBE")
+    with pytest.raises(ValueError, match="needs a WHERE"):
+        parse_sparql("DESCRIBE ?v")
+    with pytest.raises(ValueError, match="not bound"):
+        execute_bgp(
+            tiny_triples, "DESCRIBE ?zz WHERE { ?n <http://ex/region> ?r . }"
+        )
 
 
 def test_aggregate_sum_avg_min_max(spark):
