@@ -265,6 +265,55 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sparql(args: argparse.Namespace) -> int:
+    """SPARQL over a materialized graph: the Jena-ARQ capability every
+    reference user has (any loaded Model is queryable) as a
+    spark-submit entry point. ``--triples`` takes either a parquet
+    triples table (graph_sink layout, predicate partition pruning
+    applies) or any RDF file ``load_model`` can read (N-Triples,
+    Turtle, RDF/XML, .gz/.bz2). SELECT/ASK results write parquet (or
+    show); CONSTRUCT/DESCRIBE graphs can also write N-Triples."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import load_model
+    from sifr_project_java_ontology_processing_spark.sources.rdf_sink import (
+        write_ntriples,
+    )
+
+    if bool(args.query) == bool(args.query_file):
+        print("exactly one of --query / --query-file is required", file=sys.stderr)
+        return 2
+    query = args.query
+    if args.query_file:
+        with open(args.query_file, encoding="utf-8") as fh:
+            query = fh.read()
+    spark = _spark("sifr-sparql")
+    path = args.triples
+    if path.rstrip("/").endswith(".parquet") or not _looks_like_rdf_file(path):
+        triples = spark.read.parquet(path)
+    else:
+        triples = load_model(spark, path)
+    out = execute_bgp(triples, query)
+    graph_shaped = out.columns[:3] == ["subj", "pred", "obj"]
+    if args.out is None:
+        out.show(args.show_rows, truncate=False)
+    elif args.format == "ntriples":
+        if not graph_shaped:
+            print("--format ntriples needs a CONSTRUCT/DESCRIBE result", file=sys.stderr)
+            return 2
+        write_ntriples(out, args.out)
+    else:
+        out.write.mode("overwrite").parquet(args.out)
+    return 0
+
+
+def _looks_like_rdf_file(path: str) -> bool:
+    p = path.lower()
+    for ext in (".gz", ".bz2"):
+        if p.endswith(ext):
+            p = p[: -len(ext)]
+    return p.endswith((".nt", ".ttl", ".rdf", ".owl", ".xml", ".n3"))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sifr-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -322,6 +371,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="inverted-index join mention detection (label dim "
                         "too large to broadcast)")
     k.set_defaults(fn=cmd_kg)
+
+    sp = sub.add_parser(
+        "sparql", help="SPARQL (SELECT/CONSTRUCT/ASK/DESCRIBE) over a graph"
+    )
+    sp.add_argument("--triples", required=True,
+                    help="parquet triples table or RDF file (.nt/.ttl/.rdf[.gz])")
+    sp.add_argument("--query", help="SPARQL query text")
+    sp.add_argument("--query-file", help="file containing the query")
+    sp.add_argument("--out", help="output path (default: show to stdout)")
+    sp.add_argument("--format", choices=["parquet", "ntriples"], default="parquet")
+    sp.add_argument("--show-rows", type=int, default=50)
+    sp.set_defaults(fn=cmd_sparql)
 
     cu = sub.add_parser("curate", help="corpus curation + optional mixture")
     cu.add_argument("--docs", required=True, help="parquet corpus (doc_id, text, lang, source)")

@@ -192,3 +192,40 @@ def test_cli_curate_end_to_end(spark, tmp_path):
     )
     assert n_src0 == 2 * base_src0
     assert kept.where("copy = 1").count() > 0
+
+
+def test_cli_sparql_end_to_end(spark, tmp_path):
+    from sifr_project_java_ontology_processing_spark.cli import main
+
+    # a tiny N-Triples graph file as --triples input
+    nt = tmp_path / "g.nt"
+    nt.write_text(
+        '<http://ex/a> <http://ex/p> "one" .\n'
+        '<http://ex/a> <http://ex/q> <http://ex/b> .\n'
+        '<http://ex/b> <http://ex/p> "two" .\n'
+    )
+    out = tmp_path / "res"
+    rc = main([
+        "sparql", "--triples", str(nt),
+        "--query", "SELECT ?s ?v WHERE { ?s <http://ex/p> ?v } ORDER BY ?s",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    got = {(r["s"], r["v"]) for r in spark.read.parquet(str(out)).collect()}
+    assert got == {("http://ex/a", "one"), ("http://ex/b", "two")}
+
+    # CONSTRUCT result round-trips through the N-Triples sink
+    out2 = tmp_path / "res2"
+    rc = main([
+        "sparql", "--triples", str(nt),
+        "--query", "CONSTRUCT { ?s <http://ex/r> ?v . } WHERE { ?s <http://ex/p> ?v }",
+        "--out", str(out2), "--format", "ntriples",
+    ])
+    assert rc == 0
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import load_model
+    back = load_model(spark, str(out2) + "/*")
+    assert back.count() == 2
+    assert {r["pred"] for r in back.collect()} == {"http://ex/r"}
+
+    # exactly-one-of --query/--query-file is enforced
+    assert main(["sparql", "--triples", str(nt)]) == 2
