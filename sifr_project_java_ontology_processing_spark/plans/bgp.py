@@ -37,7 +37,10 @@ null-filled variable alignment), ORDER BY ?v [ASC|DESC], LIMIT n.
 
 Aggregates: SELECT may mix plain variables with
 ``(COUNT(?v) AS ?alias)`` / ``(COUNT(*) ...)`` / ``COUNT(DISTINCT
-?v)`` / SUM / AVG / MIN / MAX, with GROUP BY ?v... and HAVING(expr
+?v)`` / SUM / AVG / MIN / MAX / ``GROUP_CONCAT(?v; SEPARATOR="...")``
+(order pinned to sorted lexical — SPARQL leaves it undefined, sorting
+makes it deterministic and relationally replayable) / ``SAMPLE(?v)``
+(deterministic: the lexical minimum), with GROUP BY ?v... and HAVING(expr
 over aliases). SUM/AVG cast the lexical form to double; MIN/MAX
 compare the lexical form (the triples frame is untyped strings, so
 ordering is lexicographic — same as the relational oracle on
@@ -161,8 +164,9 @@ class BGPQuery:
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
     offset: int | None = None
-    # aggregation: (func, var-or-None-for-*, distinct, alias)
-    aggregates: list[tuple[str, str | None, bool, str]] = field(
+    # aggregation: (func, var-or-None-for-*, distinct, separator, alias).
+    # separator is only meaningful for group_concat (SPARQL default " ")
+    aggregates: list[tuple[str, str | None, bool, str | None, str]] = field(
         default_factory=list
     )
     group_by: list[str] = field(default_factory=list)
@@ -646,13 +650,15 @@ def parse_sparql(text: str) -> BGPQuery:
     if form == "select" and p.peek() and p.peek().lower() == "distinct":
         p.next()
         q.distinct = True
-    _AGG_FUNCS = ("count", "sum", "avg", "min", "max")
+    _AGG_FUNCS = ("count", "sum", "avg", "min", "max", "group_concat", "sample")
 
-    def _parse_agg(func: str) -> tuple[str, str | None, bool]:
-        """After the function name: '(' [DISTINCT] ?v|'*' ')'."""
+    def _parse_agg(func: str) -> tuple[str, str | None, bool, str | None]:
+        """After the function name: '(' [DISTINCT] ?v|'*'
+        [; SEPARATOR="..."] ')'."""
         p.expect("(")
         distinct = False
         var: str | None = None
+        sep: str | None = " " if func == "group_concat" else None
         if p.peek() == "*":
             p.next()
             if func != "count":
@@ -669,8 +675,18 @@ def parse_sparql(text: str) -> BGPQuery:
             if v.kind != "var":
                 raise ValueError("BGP: aggregate argument must be a variable")
             var = v.value
+        if p.peek() == ";":
+            if func != "group_concat":
+                raise ValueError("BGP: SEPARATOR is only valid in GROUP_CONCAT")
+            p.next()
+            p.expect("SEPARATOR")
+            p.expect("=")
+            s = p.term()
+            if s.kind != "literal":
+                raise ValueError('BGP: SEPARATOR needs a "string"')
+            sep = s.value
         p.expect(")")
-        return func, var, distinct
+        return func, var, distinct, sep
 
     while (
         q.form == "select"
@@ -687,20 +703,20 @@ def parse_sparql(text: str) -> BGPQuery:
             func = p.next().lower()
             if func not in _AGG_FUNCS:
                 raise ValueError(f"BGP: unsupported aggregate {func!r}")
-            func, var, distinct = _parse_agg(func)
+            func, var, distinct, sep = _parse_agg(func)
             p.expect("AS")
             a = p.term()
             if a.kind != "var":
                 raise ValueError("BGP: aggregate alias must be a ?variable")
             p.expect(")")
-            q.aggregates.append((func, var, distinct, a.value))
+            q.aggregates.append((func, var, distinct, sep, a.value))
             q.select.append(a.value)
             continue
         if t.lower() in _AGG_FUNCS and p.peek() == "(":
             # bare COUNT(?v) — alias generated as func_var / func_all
-            func, var, distinct = _parse_agg(t.lower())
+            func, var, distinct, sep = _parse_agg(t.lower())
             alias = f"{func}_{var or 'all'}"
-            q.aggregates.append((func, var, distinct, alias))
+            q.aggregates.append((func, var, distinct, sep, alias))
             q.select.append(alias)
             continue
         if not t.startswith("?"):
@@ -1157,14 +1173,14 @@ def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
         )
     if q.aggregates or q.group_by:
         missing_g = [g for g in q.group_by if g not in bound]
-        missing_a = [v for _, v, _, _ in q.aggregates if v and v not in bound]
+        missing_a = [v for _, v, *_ in q.aggregates if v and v not in bound]
         if missing_g or missing_a:
             raise ValueError(
                 f"BGP: aggregate/GROUP BY variables not bound: "
                 f"{missing_g + missing_a}"
             )
         aggs = []
-        for func, var, distinct, alias in q.aggregates:
+        for func, var, distinct, sep, alias in q.aggregates:
             if func == "count" and var is None:
                 e = F.count(F.lit(1))
             elif func == "count":
@@ -1176,6 +1192,16 @@ def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
             elif func in ("sum", "avg"):
                 c = F.col(var).cast("double")
                 e = F.sum(c) if func == "sum" else F.avg(c)
+            elif func == "group_concat":
+                # SPARQL leaves the order undefined; pin it to sorted
+                # lexical order so results are deterministic (and
+                # relationally replayable: string_agg ... ORDER BY)
+                e = F.array_join(
+                    F.sort_array(F.collect_list(F.col(var))), sep or " "
+                )
+            elif func == "sample":
+                # deterministic SAMPLE: the lexical minimum
+                e = F.min(F.col(var))
             else:  # min / max on the lexical form
                 e = F.min(F.col(var)) if func == "min" else F.max(F.col(var))
             aggs.append(e.alias(alias))

@@ -3427,3 +3427,31 @@ def q_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
         """PREFIX ex: <http://ex/>
            DESCRIBE ?n WHERE { ?n ex:within <r:0> }""",
     )
+
+
+@register(
+    "sparql_group_concat",
+    """
+    SELECT 'r:' || CAST(n_regionkey AS VARCHAR) AS r,
+           string_agg(n_name, ', ' ORDER BY n_name) AS names,
+           min(n_name) AS one
+    FROM nation GROUP BY n_regionkey ORDER BY r
+    """,
+)
+def q_sparql_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP_CONCAT + SAMPLE (plans/bgp.py): per-region sorted
+    name concatenation (order pinned to lexical so both engines agree
+    — SPARQL leaves GROUP_CONCAT order undefined) and deterministic
+    SAMPLE (lexical min). collect_list+sort_array+array_join stays one
+    partial-aggregating groupBy; the oracle is string_agg ORDER BY."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?r (GROUP_CONCAT(?nl; SEPARATOR=", ") AS ?names)
+                  (SAMPLE(?nl) AS ?one)
+           WHERE { ?n ex:within ?r . ?n ex:name ?nl }
+           GROUP BY ?r ORDER BY ?r""",
+    )

@@ -868,6 +868,36 @@ def test_exists_minus_parse_errors():
         parse_sparql("PREFIX ex: <http://ex/> SELECT ?s WHERE { ?s ex:a|ex:b? ?o }")
 
 
+def test_group_concat_and_sample(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?r (GROUP_CONCAT(?l; SEPARATOR=", ") AS ?labels)
+               (SAMPLE(?l) AS ?one)
+        WHERE { ?r skos:prefLabel ?l . ?x <http://ex/region> ?r . }
+        GROUP BY ?r ORDER BY ?r
+        """,
+    ).collect()
+    assert [(r["r"], r["labels"], r["one"]) for r in out] == [
+        ("r1", "west", "west"),
+        ("r2", "east, est", "east"),
+    ]
+
+
+def test_group_concat_default_separator_and_errors(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        'PREFIX skos: <http://www.w3.org/2004/02/skos/core#> '
+        'SELECT (GROUP_CONCAT(?l) AS ?all) WHERE { <r2> skos:prefLabel ?l . }',
+    ).collect()
+    assert out[0]["all"] == "east est"  # SPARQL default separator " "
+    with pytest.raises(ValueError, match="SEPARATOR is only valid"):
+        parse_sparql('SELECT (SUM(?v; SEPARATOR=",") AS ?s) WHERE { ?a <p> ?v }')
+    with pytest.raises(ValueError, match='needs a "string"'):
+        parse_sparql('SELECT (GROUP_CONCAT(?v; SEPARATOR=?x) AS ?s) WHERE { ?a <p> ?v }')
+
+
 def test_describe_constants_only_is_pushdown_filter(tiny_triples):
     out = execute_bgp(tiny_triples, "DESCRIBE <n1>")
     assert out.columns == ["subj", "pred", "obj", "obj_lang", "obj_is_literal"]
