@@ -1,0 +1,270 @@
+"""SPARQL 1.1 UPDATE subset over the triples DataFrame.
+
+The reference's Jena models are mutable: every `model.add(...)` /
+`model.remove(...)` call in OntologyCUIProcessor.java (the batch-update
+stage E5, the reject-removal path, the static-RDF append S6) is an
+in-place graph update, and Jena exposes the same capability to users as
+SPARQL UPDATE (UpdateAction over any Model). This module supplies that
+surface Spark-first: updates are PURE — they take a triples DataFrame
+and return the updated triples DataFrame (immutable lineage, so the
+result can be written back via sources/graph_sink.py or rdf_sink.py,
+checkpointed, or diffed against the input).
+
+Supported forms (documented subset):
+
+* ``INSERT DATA { ground triples }``
+* ``DELETE DATA { ground triples }``
+* ``DELETE WHERE { patterns }`` (patterns are both the match group and
+  the delete template)
+* ``DELETE { template } INSERT { template } WHERE { group }`` with
+  either clause optional (but at least one), the WHERE group supporting
+  the full bgp.py group grammar (OPTIONAL / FILTER / BIND / VALUES /
+  EXISTS / MINUS / property paths).
+* ``op1 ; op2 ; ...`` — a sequence, applied left to right (SPARQL
+  update-request semantics: each operation sees the previous result).
+
+Scale design — why this is the 100 TB shape:
+
+* Deletions apply as ONE null-safe 5-column LEFT ANTI join. With the
+  default ``hint_broadcast=True`` the delete set is broadcast, so the
+  base graph is never shuffled — a map-side anti join over the full
+  scan. (Set it False when a DELETE WHERE template matches a large
+  fraction of the graph; Catalyst then picks a shuffled anti join.)
+* Insertions preserve SET semantics (a graph has no duplicate triples)
+  without a global ``distinct()`` over the whole graph: the inserted
+  frame is deduped locally (it is solution-bounded, orders of magnitude
+  smaller than the graph), the already-present subset is found with a
+  broadcast LEFT SEMI probe of the kept graph (output ≤ |inserts|),
+  and only genuinely-new triples union in. Total cost: two scans of
+  the base graph, ZERO exchanges of it.
+* A triple in base ∩ deletes ∩ inserts stays present (SPARQL applies
+  DELETE then INSERT per operation) — which is why the semi probe runs
+  against the post-delete graph, not the input.
+
+Null semantics: ``obj_lang`` is NULL for IRIs and plain literals, so
+the triple-identity join compares it with ``<=>`` (eqNullSafe) — the
+relational twin of RDF term equality used by the DuckDB oracle's set
+operators (which also treat NULLs as equal).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bgp import (
+    _STD_PREFIXES,
+    Branch,
+    Pattern,
+    Term,
+    _emit_construct,
+    _exec_branch,
+    _parse_group,
+    _tokenize,
+    _P,
+)
+import re
+
+_TRIPLE_COLS = ("subj", "pred", "obj", "obj_lang", "obj_is_literal")
+
+
+@dataclass
+class UpdateOp:
+    """One parsed update operation."""
+
+    # ground rows for the DATA forms: (subj, pred, obj, lang, is_literal)
+    insert_rows: list[tuple] = field(default_factory=list)
+    delete_rows: list[tuple] = field(default_factory=list)
+    # template+WHERE forms
+    delete_template: list[Pattern] | None = None
+    insert_template: list[Pattern] | None = None
+    where: Branch | None = None
+
+
+def _ground_rows(patterns: list[Pattern], ctx: str) -> list[tuple]:
+    rows = []
+    for s, p, o in patterns:
+        for t, pos in ((s, "subject"), (p, "predicate")):
+            if t.kind == "var":
+                raise ValueError(f"UPDATE: {ctx} DATA must be ground (?{t.value})")
+            if t.kind == "literal":
+                raise ValueError(f"UPDATE: literal {pos} in {ctx} DATA")
+        if o.kind == "var":
+            raise ValueError(f"UPDATE: {ctx} DATA must be ground (?{o.value})")
+        rows.append(
+            (
+                s.value,
+                p.value,
+                o.value,
+                o.lang if o.kind == "literal" else None,
+                o.kind == "literal",
+            )
+        )
+    # set-dedupe here (driver-side, the block is literal text) so the
+    # insert path needs no distinct() exchange at all
+    return list(dict.fromkeys(rows))
+
+
+def _parse_template(p: _P, ctx: str) -> list[Pattern]:
+    """A { template } group: plain triples only (no FILTER/OPTIONAL/...)."""
+    p.expect("{")
+    b = Branch()
+    _parse_group(p, b)
+    if b.filters or b.optionals or b.binds or b.values or b.exists or b.minus:
+        raise ValueError(f"UPDATE: {ctx} template must be plain triples")
+    for s, pr, o in b.patterns:
+        if pr.kind not in ("iri", "var"):
+            raise ValueError(f"UPDATE: {ctx} template predicates must be IRIs or vars")
+    if not b.patterns:
+        raise ValueError(f"UPDATE: empty {ctx} template")
+    return b.patterns
+
+
+def parse_update(text: str) -> list[UpdateOp]:
+    """Parse a SPARQL UPDATE request (one or more ';'-separated ops)."""
+    prefixes = dict(_STD_PREFIXES)
+    for m in re.finditer(
+        r"(?i)\bPREFIX\s+([A-Za-z_][A-Za-z0-9_-]*)?:\s*<([^>]*)>", text
+    ):
+        prefixes[m.group(1) or ""] = m.group(2)
+    body = re.sub(
+        r"(?i)\bPREFIX\s+(?:[A-Za-z_][A-Za-z0-9_-]*)?:\s*<[^>]*>", "", text
+    )
+    p = _P(_tokenize(body), prefixes)
+    ops: list[UpdateOp] = []
+    while p.peek() is not None:
+        tok = p.next().lower()
+        op = UpdateOp()
+        if tok in ("insert", "delete") and p.peek() and p.peek().lower() == "data":
+            p.next()
+            p.expect("{")
+            b = Branch()
+            _parse_group(p, b)
+            if b.filters or b.optionals or b.binds or b.values or b.exists or b.minus:
+                raise ValueError("UPDATE: DATA block must be plain triples")
+            rows = _ground_rows(b.patterns, tok.upper())
+            if tok == "insert":
+                op.insert_rows = rows
+            else:
+                op.delete_rows = rows
+        elif tok == "delete" and p.peek() and p.peek().lower() == "where":
+            # DELETE WHERE { patterns }: the group is its own template
+            p.next()
+            pats = _parse_template(p, "DELETE WHERE")
+            op.delete_template = pats
+            op.where = Branch(patterns=list(pats))
+        elif tok in ("insert", "delete"):
+            if tok == "delete":
+                op.delete_template = _parse_template(p, "DELETE")
+                if p.peek() and p.peek().lower() == "insert":
+                    p.next()
+                    op.insert_template = _parse_template(p, "INSERT")
+            else:
+                op.insert_template = _parse_template(p, "INSERT")
+            if p.peek() is None or p.peek().lower() != "where":
+                raise ValueError("UPDATE: expected WHERE after template(s)")
+            p.next()
+            p.expect("{")
+            b = Branch()
+            _parse_group(p, b)
+            op.where = b
+        else:
+            raise ValueError(f"UPDATE: unsupported operation {tok!r}")
+        ops.append(op)
+        if p.peek() == ";":
+            p.next()
+    if not ops:
+        raise ValueError("UPDATE: empty request")
+    return ops
+
+
+def _rows_frame(triples: DataFrame, rows: list[tuple]) -> DataFrame:
+    return triples.sparkSession.createDataFrame(
+        rows,
+        "`subj` string, `pred` string, `obj` string, "
+        "`obj_lang` string, `obj_is_literal` boolean",
+    )
+
+
+def _identity_cond(l: str, r: str):  # noqa: E741 - l/r read naturally here
+    c = F.col
+    return (
+        (c(f"{l}.subj") == c(f"{r}.subj"))
+        & (c(f"{l}.pred") == c(f"{r}.pred"))
+        & (c(f"{l}.obj") == c(f"{r}.obj"))
+        & c(f"{l}.obj_lang").eqNullSafe(c(f"{r}.obj_lang"))
+        & (c(f"{l}.obj_is_literal") == c(f"{r}.obj_is_literal"))
+    )
+
+
+def _apply_one(
+    triples: DataFrame, op: UpdateOp, *, hint_broadcast: bool
+) -> DataFrame:
+    deletes: DataFrame | None = None
+    inserts: DataFrame | None = None
+    if op.delete_rows:
+        deletes = _rows_frame(triples, op.delete_rows)
+    if op.insert_rows:
+        inserts = _rows_frame(triples, op.insert_rows)
+    if op.where is not None:
+        want_meta = frozenset(
+            t.value
+            for tmpl in (op.delete_template or [], op.insert_template or [])
+            for pat in tmpl
+            for t in (pat[2],)
+            if t.kind == "var"
+        )
+        acc, bound = _exec_branch(triples, op.where, want_meta)
+        if op.delete_template:
+            deletes = _emit_construct(acc, op.delete_template, bound)
+        if op.insert_template:
+            inserts = _emit_construct(acc, op.insert_template, bound)
+
+    kept = triples.select(*_TRIPLE_COLS)
+    if deletes is not None:
+        d = F.broadcast(deletes) if hint_broadcast else deletes
+        kept = kept.alias("l").join(
+            d.alias("r"), _identity_cond("l", "r"), "left_anti"
+        )
+    if inserts is not None:
+        # already set-deduped: DATA rows in the parser, template inserts
+        # by _emit_construct's distinct() (a CONSTRUCT result is a graph)
+        ins = inserts.select(*_TRIPLE_COLS)
+        ins_b = F.broadcast(ins) if hint_broadcast else ins
+        # which inserts already exist POST-delete (re-inserting a deleted
+        # triple must re-add it) — broadcast semi probe, small output
+        # (≤ |inserts| up to base-side duplicates, which the anti join
+        # below tolerates on its right side)
+        existing = kept.alias("l").join(
+            ins_b.alias("r"), _identity_cond("l", "r"), "left_semi"
+        )
+        new = ins.alias("l").join(
+            (F.broadcast(existing) if hint_broadcast else existing).alias("r"),
+            _identity_cond("l", "r"),
+            "left_anti",
+        )
+        kept = kept.unionByName(new)
+    return kept
+
+
+def apply_update(
+    triples: DataFrame,
+    update: str | list[UpdateOp],
+    *,
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Apply a SPARQL UPDATE request to a triples frame; returns the
+    updated frame (the input is untouched — write it back with
+    graph_sink/rdf_sink to persist).
+
+    ``hint_broadcast=True`` (default) broadcasts the delete/insert
+    sides so the base graph is never exchanged; set False when a
+    template is expected to match a large fraction of the graph.
+    """
+    ops = parse_update(update) if isinstance(update, str) else update
+    out = triples
+    for op in ops:
+        out = _apply_one(out, op, hint_broadcast=hint_broadcast)
+    return out

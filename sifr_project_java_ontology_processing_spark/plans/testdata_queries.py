@@ -3455,3 +3455,92 @@ def q_sparql_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHERE { ?n ex:within ?r . ?n ex:name ?nl }
            GROUP BY ?r ORDER BY ?r""",
     )
+
+
+# ===========================================================================
+# Round 4 (cont. 3): SPARQL UPDATE (plans/sparql_update.py)
+# ===========================================================================
+
+_NATION_TRIPLES_SQL = """
+      SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS subj,
+             'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+             'http://ex/Nation' AS obj,
+             CAST(NULL AS VARCHAR) AS obj_lang, false AS obj_is_literal
+      FROM nation
+      UNION ALL
+      SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'http://ex/name',
+             n_name, NULL, true
+      FROM nation
+      UNION ALL
+      SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'http://ex/within',
+             'r:' || CAST(n_regionkey AS VARCHAR), NULL, false
+      FROM nation
+      UNION ALL
+      SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'http://ex/prev',
+             'n:' || CAST(n_nationkey - 1 AS VARCHAR), NULL, false
+      FROM nation WHERE n_nationkey > 0
+      UNION ALL
+      SELECT 'r:' || CAST(r_regionkey AS VARCHAR), 'http://ex/label',
+             r_name, NULL, true
+      FROM region
+      UNION ALL
+      SELECT 'r:' || CAST(r_regionkey AS VARCHAR), 'http://ex/alt',
+             'alt-' || r_name, NULL, true
+      FROM region
+"""
+
+
+@register(
+    "sparql_update",
+    f"""
+    WITH base AS ({_NATION_TRIPLES_SQL}),
+    matched AS (
+      SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS n_iri,
+             'r:' || CAST(n_regionkey AS VARCHAR) AS r_iri
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE regexp_matches(r_name, 'A')
+    ),
+    deleted AS (
+      SELECT n_iri AS subj, 'http://ex/within' AS pred, r_iri AS obj,
+             CAST(NULL AS VARCHAR) AS obj_lang, false AS obj_is_literal
+      FROM matched
+    ),
+    inserted AS (
+      SELECT n_iri, 'http://ex/in', r_iri, CAST(NULL AS VARCHAR), false
+      FROM matched
+      UNION ALL
+      SELECT r_iri, 'http://ex/hasNation', n_iri, NULL, false FROM matched
+      UNION ALL
+      SELECT 'g:root', 'http://ex/label', 'Root', NULL, true
+    )
+    SELECT subj, pred, obj, obj_lang, obj_is_literal FROM (
+      SELECT * FROM (SELECT * FROM base EXCEPT SELECT * FROM deleted)
+      UNION
+      SELECT * FROM inserted
+    )
+    """,
+)
+def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UPDATE (plans/sparql_update.py — the Jena UpdateAction
+    capability behind the reference's model.add/model.remove batch
+    stages): a two-operation request — DELETE/INSERT WHERE rewiring
+    ``within`` edges of nations in 'A'-regions to ``in`` +
+    reverse ``hasNation`` edges, then an INSERT DATA op — applied as
+    broadcast anti/semi joins (the base graph is scanned, never
+    exchanged). The oracle replays it relationally as
+    (base EXCEPT deleted) UNION inserted — DuckDB set operators use
+    the same NULL-equal identity as the eqNullSafe join."""
+    from sifr_project_java_ontology_processing_spark.plans.sparql_update import (
+        apply_update,
+    )
+
+    triples = _nation_triples(spark, sf_dir)
+    return apply_update(
+        triples,
+        """PREFIX ex: <http://ex/>
+           DELETE { ?n ex:within ?r }
+           INSERT { ?n ex:in ?r . ?r ex:hasNation ?n }
+           WHERE { ?n ex:within ?r . ?r ex:label ?l
+                   FILTER(regex(?l, "A")) } ;
+           INSERT DATA { <g:root> ex:label "Root" }""",
+    )

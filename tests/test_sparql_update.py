@@ -1,0 +1,186 @@
+"""SPARQL UPDATE subset (plans/sparql_update.py): semantics on a tiny
+graph, parser rejections, and the zero-shuffle plan gate.
+
+Reference analog: Jena's UpdateAction over any Model — the mutable-graph
+capability behind the reference's model.add/model.remove batch-update
+stages (OntologyCUIProcessor.java E5/S6 paths)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sifr_project_java_ontology_processing_spark.plans.sparql_update import (
+    apply_update,
+    parse_update,
+)
+
+EX = "http://ex/p/"
+SKOS = "http://www.w3.org/2004/02/skos/core#"
+
+ROWS = [
+    ("http://ex/a", f"{EX}knows", "http://ex/b", None, False),
+    ("http://ex/b", f"{EX}knows", "http://ex/c", None, False),
+    ("http://ex/a", f"{SKOS}prefLabel", "Alpha", "en", True),
+    ("http://ex/b", f"{SKOS}prefLabel", "Beta", "en", True),
+    ("http://ex/c", f"{SKOS}prefLabel", "Gamma", None, True),
+]
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    return spark.createDataFrame(
+        ROWS,
+        "subj string, pred string, obj string, "
+        "obj_lang string, obj_is_literal boolean",
+    ).cache()
+
+
+def _set(df):
+    return {
+        (r.subj, r.pred, r.obj, r.obj_lang, r.obj_is_literal)
+        for r in df.collect()
+    }
+
+
+def test_insert_data_set_semantics(graph):
+    """Inserting an already-present triple is a no-op (graph = set);
+    a genuinely new triple appears once."""
+    out = apply_update(
+        graph,
+        """PREFIX ex: <http://ex/p/>
+        INSERT DATA { <http://ex/a> ex:knows <http://ex/b> .
+                      <http://ex/c> ex:knows <http://ex/a> .
+                      <http://ex/c> ex:knows <http://ex/a> }""",
+    )
+    s = _set(out)
+    assert len(s) == 6
+    assert ("http://ex/c", f"{EX}knows", "http://ex/a", None, False) in s
+
+
+def test_delete_data_lang_null_safe(graph):
+    """Deleting "Alpha"@en removes exactly the lang-tagged literal;
+    the plain-literal Gamma (obj_lang NULL) survives a NULL-lang
+    delete of a different row — eqNullSafe identity."""
+    out = apply_update(
+        graph,
+        """PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        DELETE DATA { <http://ex/a> skos:prefLabel "Alpha"@en .
+                      <http://ex/c> skos:prefLabel "Gamma" }""",
+    )
+    s = _set(out)
+    assert len(s) == 3
+    assert not any(o in ("Alpha", "Gamma") for _, _, o, _, _ in s)
+
+
+def test_delete_data_wrong_lang_is_noop(graph):
+    out = apply_update(
+        graph,
+        """PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        DELETE DATA { <http://ex/a> skos:prefLabel "Alpha"@fr .
+                      <http://ex/c> skos:prefLabel "Gamma"@en }""",
+    )
+    assert out.count() == 5
+
+
+def test_delete_where(graph):
+    out = apply_update(
+        graph,
+        "PREFIX ex: <http://ex/p/> DELETE WHERE { ?x ex:knows ?y }",
+    )
+    s = _set(out)
+    assert len(s) == 3
+    assert all(p == f"{SKOS}prefLabel" for _, p, *_ in s)
+
+
+def test_delete_insert_where_with_filter(graph):
+    """Predicate rename restricted by a FILTER; the INSERT template
+    also emits a constant literal per solution."""
+    out = apply_update(
+        graph,
+        """PREFIX ex: <http://ex/p/>
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        DELETE { ?x ex:knows ?y }
+        INSERT { ?x ex:met ?y . ?x ex:flag "seen" }
+        WHERE { ?x ex:knows ?y . ?x skos:prefLabel ?l
+                FILTER(regex(?l, "^A")) }""",
+    )
+    s = _set(out)
+    assert ("http://ex/a", f"{EX}met", "http://ex/b", None, False) in s
+    assert ("http://ex/a", f"{EX}flag", "seen", None, True) in s
+    # only a's edge matched the filter; b's edge untouched
+    assert ("http://ex/a", f"{EX}knows", "http://ex/b", None, False) not in s
+    assert ("http://ex/b", f"{EX}knows", "http://ex/c", None, False) in s
+    assert len(s) == 6
+
+
+def test_insert_where_carries_lang_metadata(graph):
+    """An object variable bound to a lang-tagged literal keeps its
+    tag through the INSERT template (__m_ metadata path)."""
+    out = apply_update(
+        graph,
+        """PREFIX ex: <http://ex/p/>
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        INSERT { ?x ex:alias ?l } WHERE { ?x skos:prefLabel ?l }""",
+    )
+    s = _set(out)
+    assert ("http://ex/a", f"{EX}alias", "Alpha", "en", True) in s
+    assert ("http://ex/c", f"{EX}alias", "Gamma", None, True) in s
+    assert len(s) == 8
+
+
+def test_sequence_delete_then_reinsert(graph):
+    out = apply_update(
+        graph,
+        """PREFIX ex: <http://ex/p/>
+        DELETE DATA { <http://ex/a> ex:knows <http://ex/b> } ;
+        INSERT DATA { <http://ex/a> ex:knows <http://ex/b> }""",
+    )
+    assert out.count() == 5
+    assert len(parse_update("INSERT DATA { <u:a> <u:p> <u:b> } ; "
+                            "DELETE DATA { <u:a> <u:p> <u:b> }")) == 2
+
+
+def test_single_op_delete_insert_same_triple(graph):
+    """Within ONE operation SPARQL applies DELETE then INSERT — a
+    triple in both templates ends up present."""
+    out = apply_update(
+        graph,
+        """PREFIX ex: <http://ex/p/>
+        DELETE { ?x ex:knows ?y } INSERT { ?x ex:knows ?y }
+        WHERE { ?x ex:knows ?y }""",
+    )
+    assert out.count() == 5
+
+
+def test_parser_rejections():
+    with pytest.raises(ValueError, match="must be ground"):
+        parse_update("INSERT DATA { ?x <u:p> <u:b> }")
+    with pytest.raises(ValueError, match="literal subject"):
+        parse_update('DELETE DATA { "lit" <u:p> <u:b> }')
+    with pytest.raises(ValueError, match="expected WHERE"):
+        parse_update("DELETE { <u:a> <u:p> <u:b> }")
+    with pytest.raises(ValueError, match="empty"):
+        parse_update("")
+    with pytest.raises(ValueError, match="unsupported operation"):
+        parse_update("LOAD <http://ex/graph>")
+    with pytest.raises(ValueError, match="plain triples"):
+        parse_update(
+            'DELETE { <u:a> <u:p> ?y FILTER(regex(?y, "x")) } '
+            "WHERE { <u:a> <u:p> ?y }"
+        )
+
+
+def test_plan_zero_shuffle_broadcast_apply(graph):
+    """The 100 TB gate: a DATA-form update must compile to broadcast
+    anti/semi joins only — the base graph is scanned, never exchanged."""
+    out = apply_update(
+        graph,
+        """PREFIX ex: <http://ex/p/>
+        DELETE DATA { <http://ex/a> ex:knows <http://ex/b> } ;
+        INSERT DATA { <http://ex/z> ex:knows <http://ex/a> }""",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan  # anti, semi, anti
