@@ -225,3 +225,205 @@ def transitive_closure(
         paths.count()  # materialize the lazy checkpoint chain (one job)
     e.unpersist()  # result is checkpointed; don't pin the edge cache
     return paths
+
+
+def triangle_count(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts (node, triangles) over the UNDIRECTED
+    simple graph induced by the edge list — the KG-density diagnostic
+    (clustering around hub entities; a canonicalization merge that
+    collapses distinct entities shows up as a triangle spike).
+
+    Scale shape — degree orientation, the standard subquadratic trick:
+    every edge is oriented from the (degree, node)-smaller endpoint to
+    the larger, so wedges are enumerated only at their lowest-degree
+    corner: the join fan-out per node is bounded by its ORIENTED
+    out-degree (≤ O(sqrt(m)) on any graph, vs the raw degree a naive
+    wedge join pays on hubs). The orientation changes enumeration
+    order only — the triangle SET is orientation-invariant, which is
+    what the relational oracle replays with plain lexical a<b<c
+    orientation. Wedge close is one self-equi-join against the
+    oriented edge set; per-node counts explode each triangle's three
+    corners and partially aggregate.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    # orient by (degree, node): lo -> hi, persisted once for its three
+    # consumers (wedge left, wedge right, closing probe)
+    oriented = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("_d", "_da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("_d", "_db"), "b")
+        .select(
+            F.when(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("e")
+        )
+        .select("e.lo", "e.hi")
+        .persist()
+    )
+    w1 = oriented.select(F.col("lo").alias("_c"), F.col("hi").alias("_x"))
+    w2 = oriented.select(F.col("lo").alias("_c"), F.col("hi").alias("_y"))
+    wedges = w1.join(w2, "_c").where(F.col("_x") < F.col("_y"))
+    closed = wedges.join(
+        oriented.select(
+            F.least("lo", "hi").alias("_x"), F.greatest("lo", "hi").alias("_y")
+        ),
+        ["_x", "_y"],
+        "left_semi",
+    )
+    corners = closed.select(
+        F.explode(F.array("_c", "_x", "_y")).alias("node")
+    )
+    out = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    # nodes in no triangle still report 0 (deg is the node universe)
+    result = (
+        deg.select("node")
+        .join(out, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
+        )
+    )
+    return result
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 20,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Multi-source directed BFS: (node, dist) with the MINIMUM hop
+    count from any source node (sources themselves at dist 0).
+    Unreached nodes are absent. The KG use: ontology-root distance /
+    provenance-hop audits over the materialized edge table.
+
+    Same frontier discipline as transitive_closure: the edge relation
+    is repartitioned on src ONCE and persisted; each level joins the
+    (small) frontier against it, anti-joins the visited set (so a node
+    keeps its first — minimal — distance and diamonds don't re-expand),
+    and localCheckpoints to cut lineage. Depth-bounded: no driver
+    fixpoint probe per level below ``max_depth``; an early-empty
+    frontier short-circuits with one O(1) isEmpty probe per level.
+    """
+    n_part = partitions or int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    e = (
+        edges.select(F.col(src).alias("_from"), F.col(dst).alias("node"))
+        .repartition(n_part, "_from")
+        .persist()
+    )
+    visited = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.withColumnRenamed("node", "_from")
+            .repartition(n_part, "_from")
+            .join(e, "_from")
+            .select("node")
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over the
+    undirected graph: (node, label). Labels start as the node's own id;
+    each iteration every node adopts the most frequent label among its
+    neighbors, ties broken by the LEXICALLY SMALLEST label — fully
+    deterministic (classic async LPA is run-order-dependent; the
+    synchronous+tie-broken variant replays relationally, which is how
+    the registry oracle checks it with unrolled SQL windows).
+
+    Scale shape: edges are symmetrized map-side, repartitioned on the
+    join key ONCE and persisted (pagerank's discipline — per iteration
+    only the (node, label) frame shuffles); the per-node argmax is a
+    (neighbor-label count → row_number) pair of partial-agg + window
+    stages, skew-bounded by distinct labels per node, not raw degree.
+    Isolated nodes (no edges) never appear; nodes keep their current
+    label when in-neighbors exist but, per the left join, absence of
+    neighbors cannot occur post-symmetrization.
+    """
+    from pyspark.sql import Window
+
+    n_part = partitions or int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    fwd = edges.select(F.col(src).alias("_from"), F.col(dst).alias("node"))
+    rev = edges.select(F.col(dst).alias("_from"), F.col(src).alias("node"))
+    und = (
+        fwd.unionByName(rev)
+        .where(F.col("_from") != F.col("node"))
+        .distinct()
+        .repartition(n_part, "_from")
+        .persist()
+    )
+    labels = (
+        und.select(F.col("node"))
+        .unionByName(und.select(F.col("_from").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    win = Window.partitionBy("node").orderBy(
+        F.col("_c").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        counted = (
+            und.join(
+                labels.withColumnRenamed("node", "_from").repartition(
+                    n_part, "_from"
+                ),
+                "_from",
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        labels = (
+            counted.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return labels

@@ -3544,3 +3544,178 @@ def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FILTER(regex(?l, "A")) } ;
            INSERT DATA { <g:root> ex:label "Root" }""",
     )
+
+
+# ===========================================================================
+# Round 4 (cont. 3): graph analytics — triangles, multi-source BFS, LPA
+# ===========================================================================
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH raw AS (
+      SELECT DISTINCT 'p:' || CAST(l1.l_partkey AS VARCHAR) AS a,
+                      'p:' || CAST(l2.l_partkey AS VARCHAR) AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+    cnt AS (SELECT node, count(*) AS t FROM corners GROUP BY node)
+    SELECT n.node, CAST(coalesce(c.t, 0) AS BIGINT) AS triangles
+    FROM nodes n LEFT JOIN cnt c ON n.node = c.node
+    """,
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (graph.triangle_count) over the
+    part-co-occurrence graph: parts appearing in the same order are
+    linked, so every order with >= 3 distinct parts contributes
+    triangles — the KG-density / over-merge diagnostic. The operator
+    enumerates wedges only at the (degree, node)-smallest corner
+    (degree orientation, O(sqrt(m)) fan-out bound); the oracle replays
+    the orientation-invariant triangle set with plain lexical a<b<c
+    self-joins, which must agree exactly."""
+    from sifr_project_java_ontology_processing_spark.operators.graph import (
+        triangle_count,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pk2")
+    )
+    pairs = (
+        li.join(l2, (F.col("l_orderkey") == F.col("_ok")))
+        .where(F.col("l_partkey") < F.col("_pk2"))
+        .select(
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("p:"), F.col("_pk2").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    out = triangle_count(pairs)
+    return out.select("node", F.col("triangles").cast("long").alias("triangles"))
+
+
+@register(
+    "graph_bfs_distances",
+    """
+    SELECT 'n:0' AS node, 0 AS dist
+    UNION ALL
+    SELECT 'n:' || CAST(p_partkey AS VARCHAR),
+           CAST(ceil(length(CAST(p_partkey AS VARCHAR)) / 2.0) AS INT)
+    FROM part WHERE p_partkey > 0
+    """,
+)
+def q_graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level BFS distances (graph.bfs_distances) from the root of
+    the decimal tree over part keys, with SKIP edges: k div 10 -> k
+    (append one digit) AND k div 100 -> k (append two digits). The
+    shortcut edges create diamonds, so the frontier BFS must keep the
+    MINIMUM hop count — which for this graph has the closed form
+    ceil(digits(k)/2) that the oracle states directly (every prefix of
+    a valid key is a smaller valid key, so 2-digit jumps are always
+    available; the engine must discover that relationally)."""
+    from sifr_project_java_ontology_processing_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") > 0)
+    k = F.col("p_partkey")
+    e1 = part.select(
+        F.concat(F.lit("n:"), F.expr("p_partkey div 10").cast("string")).alias("src"),
+        F.concat(F.lit("n:"), k.cast("string")).alias("dst"),
+    )
+    e2 = part.select(
+        F.concat(F.lit("n:"), F.expr("p_partkey div 100").cast("string")).alias("src"),
+        F.concat(F.lit("n:"), k.cast("string")).alias("dst"),
+    )
+    edges = e1.unionByName(e2).distinct()
+    srcs = spark.createDataFrame([("n:0",)], "node string")
+    out = bfs_distances(edges, srcs, max_depth=8)
+    return out.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+@register(
+    "graph_label_prop",
+    """
+    WITH raw AS (
+      SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS s,
+             'n:' || CAST(c_nationkey AS VARCHAR) AS d
+      FROM customer
+      UNION ALL
+      SELECT 'n:' || CAST(n_nationkey AS VARCHAR),
+             'r:' || CAST(n_regionkey AS VARCHAR)
+      FROM nation
+    ),
+    und AS (
+      SELECT DISTINCT f, n FROM (
+        SELECT s AS f, d AS n FROM raw
+        UNION ALL
+        SELECT d, s FROM raw
+      ) WHERE f <> n
+    ),
+    l0 AS (SELECT DISTINCT n AS node, n AS label FROM und),
+    c1 AS (
+      SELECT und.n AS node, l0.label, count(*) AS c
+      FROM und JOIN l0 ON und.f = l0.node
+      GROUP BY und.n, l0.label
+    ),
+    l1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM c1
+      ) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT und.n AS node, l1.label, count(*) AS c
+      FROM und JOIN l1 ON und.f = l1.node
+      GROUP BY und.n, l1.label
+    ),
+    l2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM c2
+      ) WHERE rn = 1
+    )
+    SELECT node, label FROM l2
+    """,
+)
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (graph.label_propagation, 2 iterations) over the
+    customer -> nation -> region hierarchy — community detection where
+    the ground-truth communities are the nation stars. Classic async
+    LPA is run-order-dependent; the synchronous variant with the
+    (count DESC, label ASC) tie-break replays exactly as two unrolled
+    count+row_number CTE rounds in the oracle."""
+    from sifr_project_java_ontology_processing_spark.operators.graph import (
+        label_propagation,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    e1 = cust.select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    e2 = nat.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return label_propagation(e1.unionByName(e2), iterations=2)
