@@ -3719,3 +3719,223 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("dst"),
     )
     return label_propagation(e1.unionByName(e2), iterations=2)
+
+
+# ===========================================================================
+# Round 4 (cont. 4): RDFS entailment + SKOS integrity audit
+# ===========================================================================
+
+_RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+_RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+@register(
+    "rdfs_entailment",
+    f"""
+    WITH sc AS (
+      SELECT DISTINCT 'c:' || p_brand AS sub,
+             'c:Mfgr#' || substr(p_brand, 7, 1) AS sup FROM part
+      UNION SELECT DISTINCT 'c:Mfgr#' || substr(p_brand, 7, 1), 'c:Product' FROM part
+      UNION SELECT 'c:Product', 'c:Thing'
+    ),
+    sp AS (
+      SELECT 'x:madeBy' AS sub, 'x:relatedTo' AS sup
+      UNION ALL SELECT 'x:relatedTo', 'x:linked'
+    ),
+    dom AS (SELECT 'x:madeBy' AS p, 'c:Artifact' AS c),
+    rng AS (SELECT 'x:relatedTo' AS p, 'c:Maker' AS c),
+    inst_type AS (
+      SELECT 'i:' || CAST(p_partkey AS VARCHAR) AS s, 'c:' || p_brand AS o
+      FROM part
+    ),
+    inst_prop AS (
+      SELECT DISTINCT 'i:' || CAST(p_partkey AS VARCHAR) AS s,
+             'x:madeBy' AS p, 'm:Mfgr#' || substr(p_brand, 7, 1) AS o
+      FROM part
+    ),
+    sc2 AS (SELECT a.sub, b.sup FROM sc a JOIN sc b ON a.sup = b.sub),
+    sc3 AS (SELECT a.sub, b.sup FROM sc2 a JOIN sc b ON a.sup = b.sub),
+    scc AS (SELECT * FROM sc UNION SELECT * FROM sc2 UNION SELECT * FROM sc3),
+    spc AS (
+      SELECT * FROM sp
+      UNION SELECT a.sub, b.sup FROM sp a JOIN sp b ON a.sup = b.sub
+    ),
+    prop_all AS (
+      SELECT s, p, o FROM inst_prop
+      UNION
+      SELECT i.s, spc.sup, i.o FROM inst_prop i JOIN spc ON i.p = spc.sub
+    ),
+    t2 AS (SELECT pa.s AS x, dom.c FROM prop_all pa JOIN dom ON pa.p = dom.p),
+    t3 AS (SELECT pa.o AS x, rng.c FROM prop_all pa JOIN rng ON pa.p = rng.p),
+    types0 AS (
+      SELECT s AS x, o AS c FROM inst_type
+      UNION SELECT x, c FROM t2
+      UNION SELECT x, c FROM t3
+    ),
+    types AS (
+      SELECT * FROM types0
+      UNION SELECT t.x, scc.sup FROM types0 t JOIN scc ON t.c = scc.sub
+    )
+    SELECT DISTINCT subj, pred, obj,
+           CAST(NULL AS VARCHAR) AS obj_lang, false AS obj_is_literal
+    FROM (
+      SELECT sub AS subj, '{_RDFS_NS}subClassOf' AS pred, sup AS obj FROM scc
+      UNION ALL
+      SELECT sub, '{_RDFS_NS}subPropertyOf', sup FROM spc
+      UNION ALL
+      SELECT p, '{_RDFS_NS}domain', c FROM dom
+      UNION ALL
+      SELECT p, '{_RDFS_NS}range', c FROM rng
+      UNION ALL
+      SELECT s, p, o FROM prop_all
+      UNION ALL
+      SELECT x, '{_RDF_TYPE_IRI}', c FROM types
+    )
+    """,
+)
+def q_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS materialization (inference.rdfs_entail) over an ontology
+    synthesized from part: brand ⊑ mfgr ⊑ Product ⊑ Thing class chain
+    (closure depth 3), madeBy ⊑ relatedTo ⊑ linked property chain,
+    domain(madeBy)=Artifact, range(relatedTo)=Maker — so every rule
+    fires, and rdfs3 fires on an rdfs7-DERIVED assertion. The operator
+    closes the schema distributedly and applies all rules as broadcast
+    joins against the instance stream; the oracle unrolls the closures
+    (known depth) and rule joins as CTEs. Exact set equality."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        rdfs_entail,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    nul = F.lit(None).cast("string")
+
+    def trip(s, p, o):
+        return F.struct(
+            s.alias("subj"),
+            (F.lit(p) if isinstance(p, str) else p).alias("pred"),
+            o.alias("obj"),
+            nul.alias("obj_lang"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+
+    brand = F.concat(F.lit("c:"), F.col("p_brand"))
+    mfgr = F.concat(F.lit("c:Mfgr#"), F.substring(F.col("p_brand"), 7, 1))
+    inst = F.concat(F.lit("i:"), F.col("p_partkey").cast("string"))
+    maker = F.concat(F.lit("m:Mfgr#"), F.substring(F.col("p_brand"), 7, 1))
+    sub_cls = f"{_RDFS_NS}subClassOf"
+    sub_prp = f"{_RDFS_NS}subPropertyOf"
+    from_part = part.select(
+        F.explode(
+            F.array(
+                trip(brand, sub_cls, mfgr),
+                trip(mfgr, sub_cls, F.lit("c:Product")),
+                trip(inst, _RDF_TYPE_IRI, brand),
+                trip(inst, "x:madeBy", maker),
+            )
+        ).alias("t")
+    ).select("t.*").distinct()
+    static = spark.createDataFrame(
+        [
+            ("c:Product", sub_cls, "c:Thing", None, False),
+            ("x:madeBy", sub_prp, "x:relatedTo", None, False),
+            ("x:relatedTo", sub_prp, "x:linked", None, False),
+            ("x:madeBy", f"{_RDFS_NS}domain", "c:Artifact", None, False),
+            ("x:relatedTo", f"{_RDFS_NS}range", "c:Maker", None, False),
+        ],
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+    return rdfs_entail(from_part.unionByName(static))
+
+
+_SKOS_NS = "http://www.w3.org/2004/02/skos/core#"
+
+
+@register(
+    "skos_integrity_audit",
+    """
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS concept,
+           'missing_preflabel' AS issue
+    FROM nation WHERE n_nationkey % 3 = 0
+    UNION ALL
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'multiple_preflabel'
+    FROM nation WHERE n_nationkey % 3 <> 0 AND n_nationkey % 5 = 0
+    UNION ALL
+    SELECT 'r:' || CAST(r_regionkey AS VARCHAR), 'broader_cycle' FROM region
+    UNION ALL
+    SELECT 'o:' || CAST(s_suppkey AS VARCHAR), 'orphan_concept' FROM supplier
+    """,
+)
+def q_skos_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKOS integrity audit (inference.skos_audit) over a vocabulary
+    synthesized with every defect class: nations are concepts broader
+    their region (labels withheld for key%3==0 → missing_preflabel;
+    an extra @en label added for key%5==0, key%3≠0 →
+    multiple_preflabel S14 violation); the 5 regions form a broader
+    5-cycle (cycle detection via bounded closure); suppliers are
+    labeled concepts with no semantic links → orphan_concept. The
+    oracle states the defect sets closed-form from the construction;
+    the engine must discover them relationally."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        skos_audit,
+    )
+
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    sup = _t(spark, sf_dir, "supplier")
+    C, PL, BR = _SKOS_NS + "Concept", _SKOS_NS + "prefLabel", _SKOS_NS + "broader"
+    n_iri = F.concat(F.lit("n:"), F.col("n_nationkey").cast("string"))
+    r_of_n = F.concat(F.lit("r:"), F.col("n_regionkey").cast("string"))
+    r_iri = F.concat(F.lit("r:"), F.col("r_regionkey").cast("string"))
+    r_next = F.concat(F.lit("r:"), ((F.col("r_regionkey") + 1) % 5).cast("string"))
+    o_iri = F.concat(F.lit("o:"), F.col("s_suppkey").cast("string"))
+
+    def trip(s, p, o, lang=None, lit=False):
+        return F.struct(
+            s.alias("subj"),
+            F.lit(p).alias("pred"),
+            o.alias("obj"),
+            (F.lit(lang) if lang else F.lit(None).cast("string")).alias("obj_lang"),
+            F.lit(lit).alias("obj_is_literal"),
+        )
+
+    nt = nat.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    trip(n_iri, _RDF_TYPE_IRI, F.lit(C)),
+                    trip(n_iri, BR, r_of_n),
+                    F.when(
+                        F.col("n_nationkey") % 3 != 0,
+                        trip(n_iri, PL, F.col("n_name"), "en", True),
+                    ),
+                    F.when(
+                        (F.col("n_nationkey") % 3 != 0)
+                        & (F.col("n_nationkey") % 5 == 0),
+                        trip(
+                            n_iri, PL, F.concat(F.lit("alt-"), F.col("n_name")),
+                            "en", True,
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("t")
+    ).select("t.*")
+    rt = reg.select(
+        F.explode(
+            F.array(
+                trip(r_iri, _RDF_TYPE_IRI, F.lit(C)),
+                trip(r_iri, PL, F.col("r_name"), "en", True),
+                trip(r_iri, BR, r_next),
+            )
+        ).alias("t")
+    ).select("t.*")
+    ot = sup.select(
+        F.explode(
+            F.array(
+                trip(o_iri, _RDF_TYPE_IRI, F.lit(C)),
+                trip(o_iri, PL, F.col("s_name"), "en", True),
+            )
+        ).alias("t")
+    ).select("t.*")
+    return skos_audit(nt.unionByName(rt).unionByName(ot))

@@ -1,0 +1,145 @@
+"""RDFS entailment materialization + SKOS integrity audit
+(operators/inference.py). Exact expected triple sets, hand-derived."""
+
+from __future__ import annotations
+
+from sifr_project_java_ontology_processing_spark.operators.inference import (
+    RDF_TYPE,
+    RDFS_DOMAIN,
+    RDFS_RANGE,
+    RDFS_SUBCLASSOF,
+    RDFS_SUBPROPERTYOF,
+    rdfs_entail,
+    skos_audit,
+)
+
+SCHEMA = "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean"
+SKOS = "http://www.w3.org/2004/02/skos/core#"
+
+
+def _iri(s, p, o):
+    return (s, p, o, None, False)
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_rdfs_entail_full_rule_set(spark):
+    """Chain hierarchy + domain/range; every rule fires, including
+    rdfs3 on an rdfs7-DERIVED assertion (stratification order)."""
+    asserted = [
+        _iri("p1", RDFS_SUBPROPERTYOF, "p2"),
+        _iri("p2", RDFS_SUBPROPERTYOF, "p3"),
+        _iri("A", RDFS_SUBCLASSOF, "B"),
+        _iri("B", RDFS_SUBCLASSOF, "C"),
+        _iri("p1", RDFS_DOMAIN, "D1"),
+        _iri("p2", RDFS_RANGE, "R2"),
+        _iri("x", "p1", "y"),
+        _iri("u", RDF_TYPE, "A"),
+    ]
+    expected = set(asserted) | {
+        _iri("p1", RDFS_SUBPROPERTYOF, "p3"),  # rdfs5
+        _iri("x", "p2", "y"),  # rdfs7
+        _iri("x", "p3", "y"),  # rdfs7 via closure
+        _iri("A", RDFS_SUBCLASSOF, "C"),  # rdfs11
+        _iri("x", RDF_TYPE, "D1"),  # rdfs2 (domain of p1)
+        _iri("y", RDF_TYPE, "R2"),  # rdfs3 on DERIVED (x p2 y)
+        _iri("u", RDF_TYPE, "B"),  # rdfs9
+        _iri("u", RDF_TYPE, "C"),  # rdfs9 via closure
+    }
+    out = {
+        (r.subj, r.pred, r.obj, r.obj_lang, r.obj_is_literal)
+        for r in rdfs_entail(_triples(spark, asserted)).collect()
+    }
+    assert out == expected
+
+
+def test_rdfs_entail_literal_range_not_typed(spark):
+    """rdfs3 must NOT type literal objects."""
+    asserted = [
+        _iri("p", RDFS_RANGE, "R"),
+        ("x", "p", "hello", "en", True),
+    ]
+    out = {
+        (r.subj, r.pred, r.obj)
+        for r in rdfs_entail(_triples(spark, asserted)).collect()
+    }
+    assert ("hello", RDF_TYPE, "R") not in out
+    # domain-free, so only the asserted pair remains
+    assert out == {("p", RDFS_RANGE, "R"), ("x", "p", "hello")}
+
+
+def test_rdfs_entail_idempotent(spark):
+    """Entailing an already-entailed graph adds nothing (fixpoint)."""
+    asserted = [
+        _iri("A", RDFS_SUBCLASSOF, "B"),
+        _iri("B", RDFS_SUBCLASSOF, "C"),
+        _iri("u", RDF_TYPE, "A"),
+        _iri("p", RDFS_DOMAIN, "A"),
+        _iri("x", "p", "y"),
+    ]
+    once = rdfs_entail(_triples(spark, asserted))
+    r1 = {tuple(r) for r in once.collect()}
+    r2 = {tuple(r) for r in rdfs_entail(once).collect()}
+    assert r1 == r2
+    assert ("x", RDF_TYPE, "C", None, False) in r1  # rdfs2 then rdfs9
+
+
+def test_skos_audit_all_issues(spark):
+    C, PL, BR, IS = (
+        SKOS + "Concept",
+        SKOS + "prefLabel",
+        SKOS + "broader",
+        SKOS + "inScheme",
+    )
+    rows = [
+        # c1: healthy — one label, in scheme
+        _iri("c1", RDF_TYPE, C),
+        ("c1", PL, "one", "en", True),
+        ("c1", IS, "sch", None, False),
+        # c2: missing prefLabel, linked via broader to c1
+        _iri("c2", RDF_TYPE, C),
+        _iri("c2", BR, "c1"),
+        # c3: two @en prefLabels, linked
+        _iri("c3", RDF_TYPE, C),
+        ("c3", PL, "x", "en", True),
+        ("c3", PL, "y", "en", True),
+        _iri("c3", BR, "c1"),
+        # c4 <-> c5: broader cycle (both labeled, linked)
+        _iri("c4", RDF_TYPE, C),
+        ("c4", PL, "four", "en", True),
+        _iri("c4", BR, "c5"),
+        _iri("c5", RDF_TYPE, C),
+        ("c5", PL, "five", "en", True),
+        _iri("c5", BR, "c4"),
+        # c6: orphan (label but no links)
+        _iri("c6", RDF_TYPE, C),
+        ("c6", PL, "six", "en", True),
+        # c7: same label twice (duplicate triple-ish) is NOT a violation;
+        # different langs are NOT a violation
+        _iri("c7", RDF_TYPE, C),
+        ("c7", PL, "sept", "fr", True),
+        ("c7", PL, "seven", "en", True),
+        ("c7", PL, "seven", "en", True),
+        _iri("c7", BR, "c1"),
+    ]
+    out = {(r.concept, r.issue) for r in skos_audit(_triples(spark, rows)).collect()}
+    assert out == {
+        ("c2", "missing_preflabel"),
+        ("c3", "multiple_preflabel"),
+        ("c4", "broader_cycle"),
+        ("c5", "broader_cycle"),
+        ("c6", "orphan_concept"),
+    }
+
+
+def test_skos_audit_self_loop_is_cycle(spark):
+    C, PL, BR = SKOS + "Concept", SKOS + "prefLabel", SKOS + "broader"
+    rows = [
+        _iri("c1", RDF_TYPE, C),
+        ("c1", PL, "one", "en", True),
+        _iri("c1", BR, "c1"),
+    ]
+    out = {(r.concept, r.issue) for r in skos_audit(_triples(spark, rows)).collect()}
+    assert out == {("c1", "broader_cycle")}

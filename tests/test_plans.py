@@ -242,3 +242,34 @@ def test_embedding_decontaminate_map_only(spark):
     zero shuffle (benchmark rides the driver broadcast)."""
     plan = _plan(queries()["embedding_decontaminate"](spark, SF))
     assert "Exchange" not in plan, plan
+
+
+def test_rdfs_entail_rules_are_broadcast_joins(spark):
+    """WebPIE shape gate: every rule-application join against the
+    closed schema must be a broadcast join — the instance stream must
+    never shuffle on pred/obj (that exchange is the 100 TB killer).
+    The only allowed hash exchanges are the final distinct and the
+    (tiny) schema-closure internals."""
+    plan = _plan(queries()["rdfs_entailment"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_triangle_count_no_cartesian_and_reuses_oriented(spark):
+    """Degree orientation gate: the wedge join and the closing probe
+    are equi-joins (never a cross product), and the oriented edge
+    frame is materialized once (InMemoryTableScan reuse), not
+    recomputed for its three consumers."""
+    from sifr_project_java_ontology_processing_spark.operators.graph import (
+        triangle_count,
+    )
+
+    e = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_partkey").cast("string").alias("src"),
+        F.col("l_suppkey").cast("string").alias("dst"),
+    )
+    plan = _plan(triangle_count(e))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
