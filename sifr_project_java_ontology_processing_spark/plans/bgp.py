@@ -151,6 +151,9 @@ class Branch:
     exists: list[tuple[bool, list[Pattern]]] = field(default_factory=list)
     # MINUS groups
     minus: list[list[Pattern]] = field(default_factory=list)
+    # GRAPH groups: (graph term — var or IRI, patterns). Patterns match
+    # NAMED graphs only; the term binds/filters the graph label.
+    graphs: list[tuple[Term, list[Pattern]]] = field(default_factory=list)
 
 
 @dataclass
@@ -171,6 +174,10 @@ class BGPQuery:
     )
     group_by: list[str] = field(default_factory=list)
     having: str | None = None  # Spark SQL expr over aliases
+    # dataset clauses: FROM <g> merges those named graphs into the
+    # default graph; FROM NAMED <g> restricts the named-graph set
+    from_graphs: list[str] = field(default_factory=list)
+    from_named: list[str] = field(default_factory=list)
 
     # single-branch conveniences (the common case)
     @property
@@ -468,7 +475,10 @@ def _parse_plain_group(p: _P, ctx: str) -> list[Pattern]:
     p.expect("{")
     gb = Branch()
     _parse_group(p, gb)
-    if gb.filters or gb.optionals or gb.binds or gb.values or gb.exists or gb.minus:
+    if (
+        gb.filters or gb.optionals or gb.binds or gb.values or gb.exists
+        or gb.minus or gb.graphs
+    ):
         raise ValueError(f"BGP: {ctx} group must contain only triple patterns")
     if not gb.patterns:
         raise ValueError(f"BGP: empty {ctx} group")
@@ -510,6 +520,17 @@ def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
                 raise ValueError("BGP: MINUS inside OPTIONAL is not supported")
             p.next()
             branch.minus.append(_parse_plain_group(p, "MINUS"))
+            if p.peek() == ".":
+                p.next()
+            continue
+        if t.lower() == "graph":
+            if in_optional:
+                raise ValueError("BGP: GRAPH inside OPTIONAL is not supported")
+            p.next()
+            gterm = p.term()
+            if gterm.kind not in ("var", "iri"):
+                raise ValueError("BGP: GRAPH needs a ?variable or <IRI>")
+            branch.graphs.append((gterm, _parse_plain_group(p, "GRAPH")))
             if p.peek() == ".":
                 p.next()
             continue
@@ -616,7 +637,7 @@ def parse_sparql(text: str) -> BGPQuery:
         while (
             p.peek() is not None
             and p.peek() != "{"
-            and p.peek().lower() != "where"
+            and p.peek().lower() not in ("where", "from")
         ):
             t = p.term()
             if t.kind not in ("var", "iri"):
@@ -692,7 +713,7 @@ def parse_sparql(text: str) -> BGPQuery:
         q.form == "select"
         and p.peek()
         and p.peek() != "{"
-        and p.peek().lower() != "where"
+        and p.peek().lower() not in ("where", "from")
     ):
         t = p.next()
         if t == "*":
@@ -722,6 +743,17 @@ def parse_sparql(text: str) -> BGPQuery:
         if not t.startswith("?"):
             raise ValueError(f"BGP: SELECT expects variables or *, got {t!r}")
         q.select.append(t[1:])
+    # dataset clauses (any query form): FROM <g> / FROM NAMED <g>
+    while p.peek() and p.peek().lower() == "from":
+        p.next()
+        named = False
+        if p.peek() and p.peek().lower() == "named":
+            p.next()
+            named = True
+        g = p.term()
+        if g.kind != "iri":
+            raise ValueError("BGP: FROM takes an <IRI>")
+        (q.from_named if named else q.from_graphs).append(g.value)
     if p.peek() and p.peek().lower() == "where":
         p.next()
     p.expect("{")
@@ -772,7 +804,7 @@ def parse_sparql(text: str) -> BGPQuery:
         else:
             raise ValueError(f"BGP: unsupported solution modifier {t!r}")
     for b in q.branches:
-        if not b.patterns:
+        if not b.patterns and not b.graphs:
             raise ValueError("BGP: empty graph pattern")
     if q.aggregates or q.group_by:
         agg_aliases = {a for *_, a in q.aggregates}
@@ -799,6 +831,7 @@ def _pattern_frame(
     triples: DataFrame,
     pat: tuple[Term, Term, Term],
     want_meta: frozenset[str] = frozenset(),
+    graph_var: str | None = None,
 ) -> tuple[DataFrame, set[str]]:
     """One scan per pattern: constants filtered (pushdown-eligible),
     variables projected under their names.
@@ -807,13 +840,24 @@ def _pattern_frame(
     literal flag) a CONSTRUCT template needs; for those, companion
     columns ``__m_lang_<v>`` / ``__m_lit_<v>`` ride along — from the
     object position's real metadata, or the IRI constants
-    (null/false) when the variable binds a subject/predicate slot."""
+    (null/false) when the variable binds a subject/predicate slot.
+
+    ``graph_var`` (GRAPH ?g groups): the input frame carries a
+    ``graph`` column; only named-graph rows match, and the label is
+    projected as the variable — shared across the group's patterns, so
+    the pattern join keys include it (all patterns in one graph)."""
     s, p, o = pat
     if s.kind == "literal" or p.kind == "literal":
         raise ValueError("BGP: literal subjects/predicates are not valid RDF")
     if p.kind in ("path_plus", "path_star", "path_opt"):
+        if graph_var is not None:
+            raise ValueError(
+                "BGP: property paths inside GRAPH ?var are not supported"
+            )
         return _closure_frame(triples, pat)
     df = triples
+    if graph_var is not None:
+        df = df.where(F.col("graph").isNotNull())
     if s.kind == "iri":
         df = df.where(F.col("subj") == s.value)
     if p.kind == "iri":
@@ -833,10 +877,13 @@ def _pattern_frame(
         else:
             df = df.where(F.col("obj_lang").isNull())
     cols: dict[str, str] = {}
+    if graph_var is not None:
+        cols[graph_var] = "graph"
     for term, src in ((s, "subj"), (p, "pred"), (o, "obj")):
         if term.kind == "var":
             if term.value in cols:
                 # repeated variable inside one pattern: equality filter
+                # (also covers GRAPH ?g { ?g ... } self-reference)
                 df = df.where(F.col(cols[term.value]) == F.col(src))
             else:
                 cols[term.value] = src
@@ -929,12 +976,19 @@ def _join_patterns(
     triples: DataFrame,
     patterns: list[Pattern],
     want_meta: frozenset[str] = frozenset(),
+    graph_var: str | None = None,
 ) -> tuple[DataFrame, set[str]]:
-    """Join a pattern list in greedy connectivity order."""
+    """Join a pattern list in greedy connectivity order. With
+    ``graph_var`` every pattern additionally binds the graph label, so
+    the shared-variable join keys include it (same named graph)."""
     order = _greedy_order(patterns)
-    acc, bound = _pattern_frame(triples, patterns[order[0]], want_meta)
+    acc, bound = _pattern_frame(triples, patterns[order[0]], want_meta, graph_var)
+    if graph_var is not None:
+        bound = bound | {graph_var}
     for i in order[1:]:
-        nxt, nvars = _pattern_frame(triples, patterns[i], want_meta)
+        nxt, nvars = _pattern_frame(triples, patterns[i], want_meta, graph_var)
+        if graph_var is not None:
+            nvars = nvars | {graph_var}
         # a shared variable denotes ONE term, so duplicate companion
         # metadata from the right side is redundant — drop it
         dup_meta = [
@@ -958,8 +1012,36 @@ def _exec_branch(
     triples: DataFrame,
     b: Branch,
     want_meta: frozenset[str] = frozenset(),
+    named: DataFrame | None = None,
 ) -> tuple[DataFrame, set[str]]:
-    acc, bound = _join_patterns(triples, b.patterns, want_meta)
+    if named is None:
+        # no named-graph view supplied: GRAPH patterns match nothing
+        named = triples.withColumn("graph", F.lit(None).cast("string")).where(
+            F.lit(False)
+        )
+    units: list[tuple[DataFrame, set[str]]] = []
+    if b.patterns:
+        units.append(_join_patterns(triples, b.patterns, want_meta))
+    for gterm, pats in b.graphs:
+        if gterm.kind == "iri":
+            # constant graph: one pushdown-eligible filter, then the
+            # group is an ordinary BGP over that slice
+            src = named.where(F.col("graph") == gterm.value).drop("graph")
+            units.append(_join_patterns(src, pats, want_meta))
+        else:
+            units.append(
+                _join_patterns(named, pats, want_meta, graph_var=gterm.value)
+            )
+    acc, bound = units[0]
+    for nxt, nvars in units[1:]:
+        dup_meta = [
+            c for c in nxt.columns if c.startswith("__m_") and c in acc.columns
+        ]
+        if dup_meta:
+            nxt = nxt.drop(*dup_meta)
+        shared = sorted(bound & nvars)
+        acc = acc.join(nxt, on=shared, how="inner") if shared else acc.crossJoin(nxt)
+        bound |= nvars
     for opt in b.optionals:
         odf, ovars = _join_patterns(triples, opt, want_meta)
         dup_meta = [
@@ -1099,6 +1181,35 @@ def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
     groups LEFT-join on their shared variables, new variables coming
     back null where the group has no match."""
     q = parse_sparql(query) if isinstance(query, str) else query
+    # ---- dataset construction (quads-aware) ---------------------------
+    # Convention: a ``graph`` column marks named-graph membership; NULL
+    # (or no column) = default graph. FROM merges named graphs into the
+    # default view; FROM NAMED restricts the named view. Both views are
+    # plain filters on the one scan — partition-pruning-eligible when
+    # the quads table is partitioned by graph.
+    has_graph = "graph" in triples.columns
+    trip_cols = [c for c in triples.columns if c != "graph"]
+    if q.from_graphs or q.from_named:
+        if not has_graph:
+            raise ValueError("BGP: FROM/FROM NAMED need a quads table")
+        default = (
+            triples.where(F.col("graph").isin(*q.from_graphs)).select(*trip_cols)
+            if q.from_graphs
+            else triples.where(F.lit(False)).select(*trip_cols)
+        )
+        named = (
+            triples.where(
+                F.col("graph").isin(*q.from_named) & F.col("graph").isNotNull()
+            )
+            if q.from_named
+            else triples.where(F.lit(False))
+        )
+    elif has_graph:
+        default = triples.where(F.col("graph").isNull()).select(*trip_cols)
+        named = triples.where(F.col("graph").isNotNull())
+    else:
+        default, named = triples, None
+    triples = default
     if q.form == "describe" and not q.branches:
         # constants-only DESCRIBE: a plain IN filter on the subject —
         # pushdown-eligible, no join at all
@@ -1110,7 +1221,7 @@ def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
         for t in (pat[2],)
         if t.kind == "var"
     )
-    frames = [_exec_branch(triples, b, want_meta) for b in q.branches]
+    frames = [_exec_branch(triples, b, want_meta, named) for b in q.branches]
     bound: set[str] = set().union(*(v for _, v in frames))
     all_meta = sorted(
         {c for df, _ in frames for c in df.columns if c.startswith("__m_")}

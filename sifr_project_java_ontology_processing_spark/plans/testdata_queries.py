@@ -3939,3 +3939,54 @@ def q_skos_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t")
     ).select("t.*")
     return skos_audit(nt.unionByName(rt).unionByName(ot))
+
+
+@register(
+    "sparql_named_graphs",
+    """
+    SELECT 'r:' || CAST(r_regionkey AS VARCHAR) AS g,
+           r_name AS rl, n_name AS nm
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_sparql_named_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL named-graph join (plans/bgp.py GRAPH support — the Jena
+    Dataset/NamedModel capability): nation facts are stored one named
+    graph per region (graph IRI = the region node), region labels live
+    in the default graph; ``GRAPH ?g {...}`` binds the graph label,
+    which then joins a default-graph pattern AS A SUBJECT — the
+    dataset views are two filters over one quads scan. The oracle is
+    the equivalent relational join."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    n_iri = F.concat(F.lit("n:"), F.col("n_nationkey").cast("string"))
+    g_iri = F.concat(F.lit("r:"), F.col("n_regionkey").cast("string"))
+    r_iri = F.concat(F.lit("r:"), F.col("r_regionkey").cast("string"))
+    nul = F.lit(None).cast("string")
+    named = nat.select(
+        n_iri.alias("subj"),
+        F.lit("http://ex/name").alias("pred"),
+        F.col("n_name").alias("obj"),
+        nul.alias("obj_lang"),
+        F.lit(True).alias("obj_is_literal"),
+        g_iri.alias("graph"),
+    )
+    dflt = reg.select(
+        r_iri.alias("subj"),
+        F.lit("http://ex/label").alias("pred"),
+        F.col("r_name").alias("obj"),
+        nul.alias("obj_lang"),
+        F.lit(True).alias("obj_is_literal"),
+        nul.alias("graph"),
+    )
+    quads = named.unionByName(dflt)
+    return execute_bgp(
+        quads,
+        """PREFIX ex: <http://ex/>
+           SELECT ?g ?rl ?nm WHERE {
+             GRAPH ?g { ?n ex:name ?nm . }
+             ?g ex:label ?rl .
+           }""",
+    )

@@ -1,0 +1,144 @@
+"""SPARQL named-graph support (plans/bgp.py): GRAPH ?g / GRAPH <iri>
+groups and FROM / FROM NAMED dataset clauses over a quads frame
+(triples + nullable ``graph`` column; NULL = default graph)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sifr_project_java_ontology_processing_spark.plans.bgp import (
+    execute_bgp,
+    parse_sparql,
+)
+
+QSCHEMA = (
+    "subj string, pred string, obj string, obj_lang string, "
+    "obj_is_literal boolean, graph string"
+)
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    rows = [
+        # default graph
+        ("s1", "p:knows", "s2", None, False, None),
+        ("s1", "p:name", "Alice", "en", True, None),
+        # named graph g1
+        ("s1", "p:age", "30", None, True, "g:one"),
+        ("s2", "p:age", "40", None, True, "g:one"),
+        # named graph g2
+        ("s1", "p:age", "31", None, True, "g:two"),
+        ("s3", "p:name", "Carol", "en", True, "g:two"),
+    ]
+    return spark.createDataFrame(rows, QSCHEMA)
+
+
+def test_default_graph_excludes_named(quads):
+    out = execute_bgp(quads, "SELECT ?s ?o WHERE { ?s <p:age> ?o . }").collect()
+    assert out == []  # p:age only exists in named graphs
+    out2 = execute_bgp(quads, "SELECT ?o WHERE { <s1> <p:name> ?o . }").collect()
+    assert [r.o for r in out2] == ["Alice"]
+
+
+def test_graph_constant_iri(quads):
+    out = execute_bgp(
+        quads,
+        "SELECT ?s ?o WHERE { GRAPH <g:one> { ?s <p:age> ?o . } } ORDER BY ?s",
+    ).collect()
+    assert [(r.s, r.o) for r in out] == [("s1", "30"), ("s2", "40")]
+
+
+def test_graph_variable_binds_label(quads):
+    out = execute_bgp(
+        quads,
+        "SELECT ?g ?o WHERE { GRAPH ?g { <s1> <p:age> ?o . } } ORDER BY ?g",
+    ).collect()
+    assert [(r.g, r.o) for r in out] == [("g:one", "30"), ("g:two", "31")]
+
+
+def test_graph_group_patterns_share_one_graph(quads, spark):
+    """Two patterns inside one GRAPH ?g must come from the SAME named
+    graph: s1 and s3 never co-occur, s1 and s2 do (g:one only)."""
+    out = execute_bgp(
+        quads,
+        """SELECT ?g ?a ?b WHERE {
+             GRAPH ?g { <s1> <p:age> ?a . <s2> <p:age> ?b . } }""",
+    ).collect()
+    assert [(r.g, r.a, r.b) for r in out] == [("g:one", "30", "40")]
+
+
+def test_graph_joins_with_default_patterns(quads):
+    """Outer (default-graph) patterns join GRAPH-group bindings on the
+    shared variable."""
+    out = execute_bgp(
+        quads,
+        """SELECT ?s ?n ?a WHERE {
+             ?x <p:knows> ?s . GRAPH <g:one> { ?s <p:age> ?a . }
+             ?x <p:name> ?n . }""",
+    ).collect()
+    assert [(r.s, r.n, r.a) for r in out] == [("s2", "Alice", "40")]
+
+
+def test_from_merges_named_into_default(quads):
+    out = execute_bgp(
+        quads,
+        "SELECT ?s ?o FROM <g:one> WHERE { ?s <p:age> ?o . } ORDER BY ?s",
+    ).collect()
+    assert [(r.s, r.o) for r in out] == [("s1", "30"), ("s2", "40")]
+    # ... and the original default graph is NOT part of the dataset
+    out2 = execute_bgp(
+        quads, "SELECT ?o FROM <g:one> WHERE { <s1> <p:name> ?o . }"
+    ).collect()
+    assert out2 == []
+
+
+def test_from_named_restricts_graph_patterns(quads):
+    out = execute_bgp(
+        quads,
+        """SELECT ?g ?o FROM NAMED <g:two>
+           WHERE { GRAPH ?g { <s1> <p:age> ?o . } }""",
+    ).collect()
+    assert [(r.g, r.o) for r in out] == [("g:two", "31")]
+
+
+def test_from_only_empties_named_view(quads):
+    out = execute_bgp(
+        quads,
+        """SELECT ?g ?o FROM <g:one>
+           WHERE { GRAPH ?g { ?s <p:age> ?o . } }""",
+    ).collect()
+    assert out == []  # FROM without FROM NAMED: no named graphs
+
+
+def test_graph_on_tripleonly_table_matches_nothing(spark):
+    t = spark.createDataFrame(
+        [("s", "p", "o", None, False)],
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+    out = execute_bgp(t, "SELECT ?g WHERE { GRAPH ?g { ?s ?p ?o . } }").collect()
+    assert out == []
+    # and plain patterns still see the whole (graph-less) table
+    assert execute_bgp(t, "SELECT ?s WHERE { ?s ?p ?o . }").count() == 1
+
+
+def test_graph_aggregate_per_graph(quads):
+    out = execute_bgp(
+        quads,
+        """SELECT ?g (COUNT(?s) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o . } }
+           GROUP BY ?g ORDER BY ?g""",
+    ).collect()
+    assert [(r.g, r.n) for r in out] == [("g:one", 2), ("g:two", 2)]
+
+
+def test_parse_errors(quads):
+    with pytest.raises(ValueError):
+        parse_sparql('SELECT ?s WHERE { GRAPH "lit" { ?s ?p ?o . } }')
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?s WHERE { GRAPH ?g { } }")
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?s WHERE { OPTIONAL { GRAPH ?g { ?s ?p ?o . } } }")
+    with pytest.raises(ValueError):
+        execute_bgp(quads, "SELECT ?s FROM ?g WHERE { ?s ?p ?o . }")
+    t_no_g = quads.drop("graph")
+    with pytest.raises(ValueError):
+        execute_bgp(t_no_g, "SELECT ?s FROM <g:one> WHERE { ?s ?p ?o . }")
