@@ -3990,3 +3990,75 @@ def q_sparql_named_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
              ?g ex:label ?rl .
            }""",
     )
+
+
+@register(
+    "nquads_roundtrip",
+    """
+    SELECT 'http://ex/n/' || n_name AS subj, 'http://ex/p/note' AS pred,
+           n_name || ' has "quotes" and \\ and ' || chr(9) || chr(10) || '<end>' AS obj,
+           CAST(NULL AS VARCHAR) AS obj_lang, true AS obj_is_literal,
+           'http://ex/g/' || CAST(n_regionkey AS VARCHAR) AS graph
+    FROM nation
+    UNION ALL
+    SELECT 'http://ex/n/' || n_name, 'http://ex/p/in_region',
+           'http://ex/r/' || CAST(n_regionkey AS VARCHAR),
+           NULL, false, NULL
+    FROM nation
+    UNION ALL
+    SELECT '_:n' || CAST(n_nationkey AS VARCHAR), 'http://ex/p/label',
+           n_name, 'en', true, '_:g' || CAST(n_regionkey AS VARCHAR)
+    FROM nation
+    """,
+)
+def q_nquads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Quads sink∘source identity gate (sources/rdf_io.read_nquads +
+    rdf_sink.to_nquads_lines — the named-graph twin of rdf_roundtrip):
+    literal rows with the full escaping gauntlet (quotes, backslash,
+    tab, newline, an angle-bracketed token that must NOT be read as a
+    graph label) in an IRI-named graph; IRI objects in the DEFAULT
+    graph (no graph term on the line); blank-node subjects with
+    @lang literals in a BLANK-NODE-labeled graph. Serialize → parse
+    must be the identity; oracle = the original quad set."""
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        parse_nquads_lines,
+    )
+    from sifr_project_java_ontology_processing_spark.sources.rdf_sink import (
+        to_nquads_lines,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    nul = F.lit(None).cast("string")
+
+    def leg(subj, pred, obj, lang, lit, graph):
+        return n.select(
+            subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj"),
+            lang.alias("obj_lang"), F.lit(lit).alias("obj_is_literal"),
+            graph.alias("graph"),
+        )
+
+    quads = (
+        leg(
+            F.concat(F.lit("http://ex/n/"), F.col("n_name")),
+            "http://ex/p/note",
+            F.concat(F.col("n_name"), F.lit(' has "quotes" and \\ and \t\n<end>')),
+            nul, True,
+            F.concat(F.lit("http://ex/g/"), F.col("n_regionkey").cast("string")),
+        )
+        .unionByName(leg(
+            F.concat(F.lit("http://ex/n/"), F.col("n_name")),
+            "http://ex/p/in_region",
+            F.concat(F.lit("http://ex/r/"), F.col("n_regionkey").cast("string")),
+            nul, False, nul,
+        ))
+        .unionByName(leg(
+            F.concat(F.lit("_:n"), F.col("n_nationkey").cast("string")),
+            "http://ex/p/label", F.col("n_name"), F.lit("en"), True,
+            F.concat(F.lit("_:g"), F.col("n_regionkey").cast("string")),
+        ))
+    )
+    lines = to_nquads_lines(quads)
+    out = parse_nquads_lines(lines, "line")
+    return out.select(
+        "subj", "pred", "obj", "obj_lang", "obj_is_literal", "graph"
+    )

@@ -870,3 +870,70 @@ def load_model(spark: SparkSession, path: str) -> DataFrame:
     if base.endswith((".owl", ".xml", ".xrdf", ".rdf")):
         return read_rdfxml(spark, path)
     return read_ntriples(spark, path)
+
+
+# --------------------------------------------------------------------------
+# N-Quads (named graphs)
+# --------------------------------------------------------------------------
+
+# subj pred obj [graph] . — graph label is an IRI or blank node; the
+# lazy (.+?) object backtracks until the optional graph term (if any)
+# and the final '.' both fit, so literals containing spaces or '<'
+# never bleed into the graph slot (grammar: RDF 1.1 N-Quads REC §2)
+_NQ_LINE_RX = (
+    r"^[ \t]*(<[^>]*>|_:[^ \t]+)[ \t]+<([^>]*)>[ \t]+(.+?)"
+    r"(?:[ \t]+(<[^>]*>|_:[^ \t]+))?[ \t]*\.[ \t]*$"
+)
+
+
+def parse_nquads_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """Lines → QUADS-schema rows (TRIPLES columns + nullable ``graph``;
+    NULL = default graph, matching plans/bgp.py's dataset convention).
+    Same pure-expression shape as ``parse_ntriples_lines`` — per-line,
+    splittable, compression-transparent."""
+    line = F.col(line_col)
+    content = lines.where(
+        (F.trim(line) != "") & ~F.trim(line).startswith("#")
+    )
+    subj_raw = F.regexp_extract(line, _NQ_LINE_RX, 1)
+    pred = F.regexp_extract(line, _NQ_LINE_RX, 2)
+    obj_raw = F.regexp_extract(line, _NQ_LINE_RX, 3)
+    graph_raw = F.regexp_extract(line, _NQ_LINE_RX, 4)
+    is_lit = obj_raw.startswith('"')
+    bad = (subj_raw == "") | (is_lit & ~obj_raw.rlike(_NT_LIT_RX))
+    lit_body = F.regexp_extract(obj_raw, _NT_LIT_RX, 1)
+    lit_lang = F.regexp_extract(obj_raw, _NT_LIT_RX, 2)
+    return content.select(
+        F.when(bad, None).otherwise(_strip_angle(subj_raw)).alias("subj"),
+        F.when(bad, None).otherwise(pred).alias("pred"),
+        F.when(is_lit, _unescape_literal(lit_body))
+        .otherwise(_strip_angle(obj_raw))
+        .alias("obj"),
+        F.when(is_lit & (lit_lang != ""), lit_lang).alias("obj_lang"),
+        is_lit.alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("src_url"),
+        F.when(graph_raw == "", None).otherwise(_strip_angle(graph_raw)).alias(
+            "graph"
+        ),
+        line.alias("_raw"),
+    )
+
+
+def read_nquads(spark: SparkSession, path: str, strict: bool = True) -> DataFrame:
+    """N-Quads file(s) → QUADS DataFrame (triples + nullable ``graph``
+    column; lines with no graph label land in the default graph). The
+    output feeds ``plans.bgp.execute_bgp`` GRAPH / FROM [NAMED]
+    directly. ``path`` may be a file, directory, or glob; .gz/.bz2
+    decode transparently."""
+    parsed = parse_nquads_lines(spark.read.text(path))
+    if strict:
+        bad_rows = (
+            parsed.where(F.col("subj").isNull()).select("_raw").limit(5).collect()
+        )
+        if bad_rows:
+            raise ValueError(
+                f"unparseable N-Quads line(s) in {path}: "
+                + "; ".join(repr(r["_raw"]) for r in bad_rows)
+            )
+        return parsed.drop("_raw")
+    return parsed.where(F.col("subj").isNotNull()).drop("_raw")

@@ -171,3 +171,38 @@ def write_reject_file(concept_iris: DataFrame, path: str) -> None:
     concept_iris.select(F.col(concept_iris.columns[0]).cast("string")).write.mode(
         "overwrite"
     ).text(path)
+
+
+def to_nquads_lines(quads: DataFrame) -> DataFrame:
+    """QUADS (TRIPLES + nullable ``graph``) → one N-Quads line per row
+    (column ``line``). Default-graph rows (NULL graph) render as plain
+    triple lines, so a quads frame with no named rows round-trips
+    through the N-Triples grammar too."""
+    obj_lit = F.concat(F.lit('"'), _escape_literal(F.col("obj")), F.lit('"'))
+    obj_lang = F.concat(obj_lit, F.lit("@"), F.col("obj_lang"))
+    obj = (
+        F.when(~F.col("obj_is_literal"), _term(F.col("obj")))
+        .when(F.col("obj_lang").isNotNull() & (F.col("obj_lang") != ""), obj_lang)
+        .otherwise(obj_lit)
+    )
+    line = F.concat(
+        _term(F.col("subj")),
+        F.lit(" <"),
+        F.col("pred"),
+        F.lit("> "),
+        obj,
+        F.when(
+            F.col("graph").isNotNull(),
+            F.concat(F.lit(" "), _term(F.col("graph"))),
+        ).otherwise(F.lit("")),
+        F.lit(" ."),
+    )
+    return quads.select(line.alias("line"))
+
+
+def write_nquads(quads: DataFrame, path: str, single_file: bool = False) -> None:
+    """Distributed N-Quads write (named-graph sink twin of S8)."""
+    lines = to_nquads_lines(quads)
+    if single_file:
+        lines = lines.coalesce(1)
+    lines.write.mode("overwrite").text(path)
