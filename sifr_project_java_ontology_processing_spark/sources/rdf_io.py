@@ -869,6 +869,11 @@ def load_model(spark: SparkSession, path: str) -> DataFrame:
         return read_turtle(spark, path)
     if base.endswith((".owl", ".xml", ".xrdf", ".rdf")):
         return read_rdfxml(spark, path)
+    if base.endswith(".nq"):
+        # quads: the extra nullable ``graph`` column rides along —
+        # execute_bgp treats it as the dataset, every other consumer
+        # sees the same five triple columns
+        return read_nquads(spark, path)
     return read_ntriples(spark, path)
 
 

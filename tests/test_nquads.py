@@ -120,3 +120,13 @@ def test_read_feeds_graph_queries(spark, tmp_path):
         "SELECT ?g ?v WHERE { GRAPH ?g { <a> <http://ex/v> ?v . } } ORDER BY ?g",
     ).collect()
     assert [(r.g, r.v) for r in out] == [("http://g/one", "1"), ("http://g/two", "2")]
+
+
+def test_load_model_dispatches_nq(spark, tmp_path):
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import load_model
+
+    p = tmp_path / "m.nq"
+    p.write_text('<a> <p> "v" <g> .\n<a> <p> "w" .\n')
+    df = load_model(spark, str(p))
+    assert "graph" in df.columns
+    assert df.count() == 2
