@@ -258,3 +258,137 @@ def skos_audit(
     )
 
     return missing.unionByName(multi).unionByName(on_cycle).unionByName(orphan)
+
+
+OWL_INVERSEOF = expand("owl:inverseOf")
+OWL_SYMMETRIC = "http://www.w3.org/2002/07/owl#SymmetricProperty"
+OWL_TRANSITIVE = "http://www.w3.org/2002/07/owl#TransitiveProperty"
+_PSEP = "\x00"  # joins pred onto node ids for the pooled closure
+
+
+def rdfs_plus_entail(
+    triples: DataFrame,
+    *,
+    max_schema_depth: int = 20,
+    max_transitive_depth: int = 20,
+) -> DataFrame:
+    """RDFS-Plus materialization: the full ``rdfs_entail`` rule set
+    plus the three OWL property characteristics every production
+    RDFS-Plus store (Jena's OWLMicroReasoner tier, the AllegroGraph
+    "RDFS++" profile) materializes:
+
+    * ``owl:inverseOf``            — ``(P inv Q) ∧ (x P y) ⇒ (y Q x)``
+      (and symmetrically for Q, since inverseOf is its own inverse)
+    * ``owl:SymmetricProperty``    — ``(x P y) ⇒ (y P x)``
+    * ``owl:TransitiveProperty``   — ``(x P y) ∧ (y P z) ⇒ (x P z)``
+
+    ``owl:sameAs`` is deliberately NOT expanded here: identity-merge
+    is the canonicalization stage's job
+    (operators/canonicalize.py::connected_components — rewriting to a
+    canonical IRI beats materializing the O(n²) sameAs clique).
+
+    Stratification (extends rdfs_entail's): property-hierarchy
+    generalization (rdfs5/7) → inverse/symmetric expansion →
+    transitive closure → inverse/symmetric AGAIN → class rules
+    (rdfs11/2/3/9, applied by the inner ``rdfs_entail`` over the
+    expanded graph).  Inverse/symmetric run BEFORE the closure so a
+    symmetric transitive property closes over both directions, and
+    once more AFTER it so the inverse of a transitive property mirrors
+    the closure pairs; class rules run last so domain/range see every
+    derived assertion.
+
+    Scale shape: inverse/symmetric are broadcast-join /
+    map-side-union expansions of the instance stream.  The transitive
+    closure pools EVERY transitive predicate into ONE distributed
+    frontier-BFS run by fusing the predicate into the node key
+    (``pred\\x00node``) — paths cannot cross predicates because the
+    join key carries the predicate, and one closure job replaces P
+    sequential ones.  Literal-object assertions never enter inverse /
+    transitive expansion (their inverses/compositions are not valid
+    RDF)."""
+    t = triples.select(*_TRIPLE_COLS)
+
+    # stratum 1: property hierarchy (reuse rdfs_entail's rules later;
+    # here we only need the generalized assertions for owl expansion)
+    sp = _schema_closure(t, RDFS_SUBPROPERTYOF, max_depth=max_schema_depth)
+    derived7 = t.join(F.broadcast(sp), t["pred"] == sp["_sub"]).select(
+        F.col("subj"),
+        F.col("_sup").alias("pred"),
+        F.col("obj"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.col("obj_is_literal"),
+    )
+    g1 = t.unionByName(derived7)
+
+    # stratum 2: inverse + symmetric expansion (IRI objects only)
+    inv = (
+        g1.where((F.col("pred") == OWL_INVERSEOF) & ~F.col("obj_is_literal"))
+        .select(F.col("subj").alias("_p"), F.col("obj").alias("_q"))
+        .distinct()
+    )
+    inv_both = inv.unionByName(
+        inv.select(F.col("_q").alias("_p"), F.col("_p").alias("_q"))
+    ).distinct()
+    sym = (
+        g1.where((F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_SYMMETRIC))
+        .select(F.col("subj").alias("_p"))
+        .distinct()
+    )
+    def _inv_sym_expand(g: DataFrame) -> DataFrame:
+        iri_asserts = g.where(~F.col("obj_is_literal"))
+        derived_inv = iri_asserts.join(
+            F.broadcast(inv_both), iri_asserts["pred"] == inv_both["_p"]
+        ).select(
+            F.col("obj").alias("subj"),
+            F.col("_q").alias("pred"),
+            F.col("subj").alias("obj"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+        derived_sym = iri_asserts.join(
+            F.broadcast(sym), iri_asserts["pred"] == sym["_p"]
+        ).select(
+            F.col("obj").alias("subj"),
+            F.col("pred"),
+            F.col("subj").alias("obj"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+        return g.unionByName(derived_inv).unionByName(derived_sym)
+
+    g2 = _inv_sym_expand(g1)
+
+    # stratum 3: pooled transitive closure over every TransitiveProperty
+    trans = (
+        g2.where((F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_TRANSITIVE))
+        .select(F.col("subj").alias("_p"))
+        .distinct()
+    )
+    tedges = (
+        g2.where(~F.col("obj_is_literal"))
+        .join(F.broadcast(trans), g2["pred"] == trans["_p"])
+        .select(
+            F.concat_ws(_PSEP, "pred", "subj").alias("src"),
+            F.concat_ws(_PSEP, "pred", "obj").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    closed = transitive_closure(tedges, max_depth=max_transitive_depth)
+    derived_trans = closed.select(
+        F.substring_index("src", _PSEP, -1).alias("subj"),
+        F.substring_index("src", _PSEP, 1).alias("pred"),
+        F.substring_index("dst", _PSEP, -1).alias("obj"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    # re-apply inverse/symmetric AFTER the closure: (P inv Q) with P
+    # transitive entails Q-mirrors of every CLOSURE pair, which the
+    # pre-closure pass cannot see. One extra broadcast application is
+    # the fixpoint for these characteristics (Q's own closure is the
+    # exact mirror of P's, and symmetric props were symmetrized before
+    # closing) — no iteration needed.
+    g3 = _inv_sym_expand(g2.unionByName(derived_trans))
+
+    # stratum 4: full RDFS class/property rules over the expanded graph
+    return rdfs_entail(g3, max_schema_depth=max_schema_depth)

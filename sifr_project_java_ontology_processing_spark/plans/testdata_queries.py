@@ -4062,3 +4062,101 @@ def q_nquads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "subj", "pred", "obj", "obj_lang", "obj_is_literal", "graph"
     )
+
+
+@register(
+    "rdfs_plus_entailment",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT 'n:' || CAST(p_partkey // 10 AS VARCHAR) AS s,
+             'n:' || CAST(p_partkey AS VARCHAR) AS o
+      FROM part WHERE p_partkey > 0
+    ),
+    d2 AS (SELECT a.s, b.o FROM e a JOIN e b ON a.o = b.s),
+    d3 AS (SELECT a.s, b.o FROM d2 a JOIN e b ON a.o = b.s),
+    d4 AS (SELECT a.s, b.o FROM d3 a JOIN e b ON a.o = b.s),
+    clo AS (
+      SELECT s, o FROM e UNION SELECT s, o FROM d2
+      UNION SELECT s, o FROM d3 UNION SELECT s, o FROM d4
+    ),
+    adj AS (
+      SELECT 'a:' || CAST(n_nationkey AS VARCHAR) AS s,
+             'a:' || CAST((n_nationkey + 1) % 25 AS VARCHAR) AS o
+      FROM nation
+    ),
+    adj_sym AS (SELECT s, o FROM adj UNION SELECT o, s FROM adj)
+    SELECT DISTINCT subj, pred, obj,
+           CAST(NULL AS VARCHAR) AS obj_lang, false AS obj_is_literal
+    FROM (
+      SELECT 'p:contains' AS subj, '{_RDF_TYPE_IRI}' AS pred,
+             'http://www.w3.org/2002/07/owl#TransitiveProperty' AS obj
+      UNION ALL SELECT 'p:contains', 'http://www.w3.org/2002/07/owl#inverseOf',
+             'p:within'
+      UNION ALL SELECT 'p:adjacent', '{_RDF_TYPE_IRI}',
+             'http://www.w3.org/2002/07/owl#SymmetricProperty'
+      UNION ALL SELECT 'p:contains', '{_RDFS_NS}range', 'c:Node'
+      UNION ALL SELECT s, 'p:contains', o FROM clo
+      UNION ALL SELECT o, 'p:within', s FROM clo
+      UNION ALL SELECT s, 'p:adjacent', o FROM adj_sym
+      UNION ALL SELECT o, '{_RDF_TYPE_IRI}', 'c:Node' FROM clo
+    )
+    """,
+)
+def q_rdfs_plus_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS-Plus / OWL-lite materialization (inference.rdfs_plus_entail):
+    the part decimal tree as a TRANSITIVE ``p:contains`` (pooled
+    pred-fused frontier-BFS closure), its declared INVERSE ``p:within``
+    (which must mirror every CLOSURE pair — the post-closure
+    re-application), a SYMMETRIC nation-ring ``p:adjacent``, and
+    range(contains)=c:Node firing on derived assertions. The oracle
+    unrolls the 4-level closure and states the mirrors/types
+    closed-form."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_INVERSEOF,
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+        RDFS_RANGE,
+        RDF_TYPE,
+        rdfs_plus_entail,
+    )
+
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") > 0)
+    nat = _t(spark, sf_dir, "nation")
+    nul = F.lit(None).cast("string")
+
+    def row(s, p, o):
+        return F.struct(
+            s.alias("subj"),
+            (F.lit(p) if isinstance(p, str) else p).alias("pred"),
+            o.alias("obj"),
+            nul.alias("obj_lang"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+
+    contains = part.select(
+        row(
+            F.concat(F.lit("n:"), F.expr("p_partkey div 10").cast("string")),
+            "p:contains",
+            F.concat(F.lit("n:"), F.col("p_partkey").cast("string")),
+        ).alias("t")
+    ).select("t.*").distinct()
+    adjacent = nat.select(
+        row(
+            F.concat(F.lit("a:"), F.col("n_nationkey").cast("string")),
+            "p:adjacent",
+            F.concat(F.lit("a:"), ((F.col("n_nationkey") + 1) % 25).cast("string")),
+        ).alias("t")
+    ).select("t.*")
+    static = spark.createDataFrame(
+        [
+            ("p:contains", RDF_TYPE, OWL_TRANSITIVE, None, False),
+            ("p:contains", OWL_INVERSEOF, "p:within", None, False),
+            ("p:adjacent", RDF_TYPE, OWL_SYMMETRIC, None, False),
+            ("p:contains", RDFS_RANGE, "c:Node", None, False),
+        ],
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+    return rdfs_plus_entail(
+        contains.unionByName(adjacent).unionByName(static),
+        max_transitive_depth=6,
+    )

@@ -143,3 +143,104 @@ def test_skos_audit_self_loop_is_cycle(spark):
     ]
     out = {(r.concept, r.issue) for r in skos_audit(_triples(spark, rows)).collect()}
     assert out == {("c1", "broader_cycle")}
+
+
+def test_rdfs_plus_inverse_symmetric_transitive(spark):
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_INVERSEOF,
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+        rdfs_plus_entail,
+    )
+
+    asserted = [
+        _iri("p:madeBy", OWL_INVERSEOF, "p:makes"),
+        _iri("x", "p:madeBy", "m"),
+        _iri("w", "p:makes", "v"),  # inverse applies in BOTH directions
+        _iri("p:adj", RDF_TYPE, OWL_SYMMETRIC),
+        _iri("a", "p:adj", "b"),
+        _iri("p:part", RDF_TYPE, OWL_TRANSITIVE),
+        _iri("c1", "p:part", "c2"),
+        _iri("c2", "p:part", "c3"),
+        _iri("c3", "p:part", "c4"),
+    ]
+    out = {
+        (r.subj, r.pred, r.obj)
+        for r in rdfs_plus_entail(_triples(spark, asserted)).collect()
+    }
+    expected = {(s, p, o) for s, p, o, *_ in asserted} | {
+        ("m", "p:makes", "x"),  # inverseOf P→Q
+        ("v", "p:madeBy", "w"),  # inverseOf Q→P
+        ("b", "p:adj", "a"),  # symmetric
+        ("c1", "p:part", "c3"),
+        ("c2", "p:part", "c4"),
+        ("c1", "p:part", "c4"),  # transitive closure depth 3
+    }
+    assert out == expected
+
+
+def test_rdfs_plus_inverse_of_transitive_mirrors_closure(spark):
+    """(P inv Q) with P transitive: Q must mirror P's CLOSURE pairs,
+    not just the asserted edges (post-closure re-application)."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_INVERSEOF,
+        OWL_TRANSITIVE,
+        rdfs_plus_entail,
+    )
+
+    asserted = [
+        _iri("p:anc", OWL_INVERSEOF, "p:desc"),
+        _iri("p:anc", RDF_TYPE, OWL_TRANSITIVE),
+        _iri("a", "p:anc", "b"),
+        _iri("b", "p:anc", "c"),
+    ]
+    out = {
+        (r.subj, r.pred, r.obj)
+        for r in rdfs_plus_entail(_triples(spark, asserted)).collect()
+    }
+    assert ("a", "p:anc", "c") in out  # closure
+    assert ("c", "p:desc", "a") in out  # inverse OF the closure pair
+    assert ("b", "p:desc", "a") in out and ("c", "p:desc", "b") in out
+
+
+def test_rdfs_plus_symmetric_transitive_connected_component(spark):
+    """A property both symmetric and transitive entails ALL ordered
+    pairs (incl. reflexive) within a connected component."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+        rdfs_plus_entail,
+    )
+
+    asserted = [
+        _iri("p:near", RDF_TYPE, OWL_SYMMETRIC),
+        _iri("p:near", RDF_TYPE, OWL_TRANSITIVE),
+        _iri("a", "p:near", "b"),
+        _iri("b", "p:near", "c"),
+    ]
+    out = {
+        (r.subj, r.obj)
+        for r in rdfs_plus_entail(_triples(spark, asserted)).collect()
+        if r.pred == "p:near"
+    }
+    assert out == {(x, y) for x in "abc" for y in "abc"}
+
+
+def test_rdfs_plus_runs_rdfs_rules_on_derived(spark):
+    """range() must fire on a transitively-DERIVED assertion."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_TRANSITIVE,
+        rdfs_plus_entail,
+    )
+
+    asserted = [
+        _iri("p:part", RDF_TYPE, OWL_TRANSITIVE),
+        _iri("p:part", RDFS_RANGE, "C:Whole"),
+        _iri("x", "p:part", "y"),
+        _iri("y", "p:part", "z"),
+    ]
+    out = {
+        (r.subj, r.pred, r.obj)
+        for r in rdfs_plus_entail(_triples(spark, asserted)).collect()
+    }
+    assert ("z", RDF_TYPE, "C:Whole") in out and ("y", RDF_TYPE, "C:Whole") in out
