@@ -228,7 +228,11 @@ def transitive_closure(
 
 
 def triangle_count(
-    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts (node, triangles) over the UNDIRECTED
     simple graph induced by the edge list — the KG-density diagnostic
@@ -246,6 +250,11 @@ def triangle_count(
     orientation. Wedge close is one self-equi-join against the
     oriented edge set; per-node counts explode each triangle's three
     corners and partially aggregate.
+
+    ``materialize=True`` (default) eagerly localCheckpoints the
+    (per-node, small) result and releases the oriented-edge cache;
+    pass False to get the lazy plan (plan inspection / custom
+    pipelining) and manage the persisted frame yourself.
     """
     und = (
         edges.select(
@@ -300,6 +309,12 @@ def triangle_count(
             "node", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
         )
     )
+    if materialize:
+        # sibling discipline (transitive_closure/bfs): materialize the
+        # (small, per-node) result and release the oriented-edge cache
+        # instead of pinning it for the session
+        result = result.localCheckpoint(eager=True)
+        oriented.unpersist()
     return result
 
 

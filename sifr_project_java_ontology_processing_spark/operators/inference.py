@@ -85,14 +85,18 @@ def rdfs_entail(
     triples: DataFrame,
     *,
     max_schema_depth: int = 20,
+    _sp: DataFrame | None = None,
 ) -> DataFrame:
     """Materialize the RDFS consequences of ``triples`` and return the
     ENTAILED graph (asserted ∪ inferred, distinct) in the same
     5-column triple schema.
 
-    Inferred triples carry ``obj_lang = NULL`` and inherit
-    ``obj_is_literal`` from their provenance (rdfs7 copies the object
-    term verbatim; rdfs2/3/9 emit IRI-object ``rdf:type`` triples).
+    rdfs7 copies the object TERM verbatim (lexical form, lang tag,
+    literal flag — ``"Hello"@en`` generalized under a superproperty is
+    still ``"Hello"@en``); rdfs2/3/9 emit IRI-object ``rdf:type``
+    triples with NULL lang. ``_sp`` (internal) supplies a precomputed
+    subPropertyOf closure so ``rdfs_plus_entail`` does not re-run the
+    closure job chain.
     ``max_schema_depth`` bounds the subclass/subproperty closure depth
     (a deeper real hierarchy simply needs a larger bound; the closure
     loop is depth-bounded, not fixpoint-probed, so the job count is
@@ -111,14 +115,20 @@ def rdfs_entail(
         )
 
     # --- stratum 1: property hierarchy (rdfs5 closure + rdfs7) -----------
-    sp = _schema_closure(t, RDFS_SUBPROPERTYOF, max_depth=max_schema_depth)
+    sp = (
+        _sp
+        if _sp is not None
+        else _schema_closure(t, RDFS_SUBPROPERTYOF, max_depth=max_schema_depth)
+    )
     derived7 = (
         t.join(F.broadcast(sp), t["pred"] == sp["_sub"])
         .select(
             F.col("subj"),
             F.col("_sup").alias("pred"),
             F.col("obj"),
-            F.lit(None).cast("string").alias("obj_lang"),
+            # the object TERM is copied verbatim — lang tag included
+            # ("Hello"@en under Q is still "Hello"@en, not "Hello")
+            F.col("obj_lang"),
             F.col("obj_is_literal"),
         )
     )
@@ -311,11 +321,12 @@ def rdfs_plus_entail(
     # stratum 1: property hierarchy (reuse rdfs_entail's rules later;
     # here we only need the generalized assertions for owl expansion)
     sp = _schema_closure(t, RDFS_SUBPROPERTYOF, max_depth=max_schema_depth)
+    sp = sp.localCheckpoint(eager=True)  # shared with the inner rdfs_entail
     derived7 = t.join(F.broadcast(sp), t["pred"] == sp["_sub"]).select(
         F.col("subj"),
         F.col("_sup").alias("pred"),
         F.col("obj"),
-        F.lit(None).cast("string").alias("obj_lang"),
+        F.col("obj_lang"),  # object term verbatim, lang tag included
         F.col("obj_is_literal"),
     )
     g1 = t.unionByName(derived7)
@@ -391,4 +402,7 @@ def rdfs_plus_entail(
     g3 = _inv_sym_expand(g2.unionByName(derived_trans))
 
     # stratum 4: full RDFS class/property rules over the expanded graph
-    return rdfs_entail(g3, max_schema_depth=max_schema_depth)
+    # (the inner rdfs7 pass is still needed — inverse/transitive-derived
+    # assertions must be generalized too — but it reuses the checkpointed
+    # subPropertyOf closure instead of re-running the closure job chain)
+    return rdfs_entail(g3, max_schema_depth=max_schema_depth, _sp=sp)

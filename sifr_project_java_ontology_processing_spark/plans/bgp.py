@@ -657,7 +657,7 @@ def parse_sparql(text: str) -> BGPQuery:
         _parse_group(p, tb)
         if (
             tb.filters or tb.optionals or tb.binds or tb.values
-            or tb.exists or tb.minus
+            or tb.exists or tb.minus or tb.graphs
         ):
             raise ValueError("BGP: CONSTRUCT template must be plain triples")
         for s, pr, o in tb.patterns:
@@ -1192,11 +1192,17 @@ def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
     if q.from_graphs or q.from_named:
         if not has_graph:
             raise ValueError("BGP: FROM/FROM NAMED need a quads table")
-        default = (
-            triples.where(F.col("graph").isin(*q.from_graphs)).select(*trip_cols)
-            if q.from_graphs
-            else triples.where(F.lit(False)).select(*trip_cols)
-        )
+        if q.from_graphs:
+            default = triples.where(F.col("graph").isin(*q.from_graphs)).select(
+                *trip_cols
+            )
+            if len(q.from_graphs) > 1:
+                # SPARQL: the FROM default graph is the RDF MERGE (set
+                # union) of the graphs — a triple present in two of
+                # them contributes ONE solution, not two
+                default = default.distinct()
+        else:
+            default = triples.where(F.lit(False)).select(*trip_cols)
         named = (
             triples.where(
                 F.col("graph").isin(*q.from_named) & F.col("graph").isNotNull()

@@ -884,11 +884,18 @@ def load_model(spark: SparkSession, path: str) -> DataFrame:
 # subj pred obj [graph] . — graph label is an IRI or blank node; the
 # lazy (.+?) object backtracks until the optional graph term (if any)
 # and the final '.' both fit, so literals containing spaces or '<'
-# never bleed into the graph slot (grammar: RDF 1.1 N-Quads REC §2)
+# never bleed into the graph slot (grammar: RDF 1.1 N-Quads REC §2).
+# The blank-node-graph alternative excludes '"' (labels never contain
+# quotes) — otherwise a literal ENDING in a '_:' token ("foo _:bar")
+# would leak its tail into the graph slot and corrupt the object.
 _NQ_LINE_RX = (
     r"^[ \t]*(<[^>]*>|_:[^ \t]+)[ \t]+<([^>]*)>[ \t]+(.+?)"
-    r"(?:[ \t]+(<[^>]*>|_:[^ \t]+))?[ \t]*\.[ \t]*$"
+    r'(?:[ \t]+(<[^>]*>|_:[^ \t"]+))?[ \t]*\.[ \t]*$'
 )
+# a non-literal object must be exactly one IRI or blank-node term —
+# anything else (e.g. a literal graph label glued onto the object by
+# the lazy regex) is a parse error, not data
+_NQ_TERM_RX = r'^(<[^>]*>|_:[^ \t]+)$'
 
 
 def parse_nquads_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
@@ -905,7 +912,11 @@ def parse_nquads_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
     obj_raw = F.regexp_extract(line, _NQ_LINE_RX, 3)
     graph_raw = F.regexp_extract(line, _NQ_LINE_RX, 4)
     is_lit = obj_raw.startswith('"')
-    bad = (subj_raw == "") | (is_lit & ~obj_raw.rlike(_NT_LIT_RX))
+    bad = (
+        (subj_raw == "")
+        | (is_lit & ~obj_raw.rlike(_NT_LIT_RX))
+        | (~is_lit & ~obj_raw.rlike(_NQ_TERM_RX))
+    )
     lit_body = F.regexp_extract(obj_raw, _NT_LIT_RX, 1)
     lit_lang = F.regexp_extract(obj_raw, _NT_LIT_RX, 2)
     return content.select(

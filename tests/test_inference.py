@@ -244,3 +244,18 @@ def test_rdfs_plus_runs_rdfs_rules_on_derived(spark):
         for r in rdfs_plus_entail(_triples(spark, asserted)).collect()
     }
     assert ("z", RDF_TYPE, "C:Whole") in out and ("y", RDF_TYPE, "C:Whole") in out
+
+
+def test_rdfs7_preserves_lang_tag(spark):
+    """Review fix: "Hello"@en generalized under a superproperty stays
+    "Hello"@en — the plain literal "Hello" is NOT entailed."""
+    asserted = [
+        _iri("p:pref", RDFS_SUBPROPERTYOF, "p:label"),
+        ("x", "p:pref", "Hello", "en", True),
+    ]
+    out = {
+        (r.subj, r.pred, r.obj, r.obj_lang, r.obj_is_literal)
+        for r in rdfs_entail(_triples(spark, asserted)).collect()
+    }
+    assert ("x", "p:label", "Hello", "en", True) in out
+    assert ("x", "p:label", "Hello", None, True) not in out

@@ -130,3 +130,34 @@ def test_load_model_dispatches_nq(spark, tmp_path):
     df = load_model(spark, str(p))
     assert "graph" in df.columns
     assert df.count() == 2
+
+
+def test_literal_ending_in_bnode_token_stays_in_object(spark):
+    """Review fix: '"foo _:bar"' on a default-graph line must parse as
+    the literal object, not leak '_:bar"' into the graph slot."""
+    got = _parse(
+        spark,
+        '<s> <p> "foo _:bar" .',
+        '<s> <p> "foo _:bar" <g> .',
+        '<s> <p> "x _:b" _:g .',
+    )
+    assert got == [
+        ("s", "p", "foo _:bar", None, True, None),
+        ("s", "p", "foo _:bar", None, True, "g"),
+        ("s", "p", "x _:b", None, True, "_:g"),
+    ]
+
+
+def test_illegal_literal_graph_label_is_strict_error(spark, tmp_path):
+    """Review fix: a literal 4th term is not a legal graph label — the
+    line must be REJECTED in strict mode, not accepted with a
+    corrupted object."""
+    import pytest as _pytest
+
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import read_nquads
+
+    p = tmp_path / "bad.nq"
+    p.write_text('<s> <p> <o> "g" .\n')
+    with _pytest.raises(ValueError, match="unparseable N-Quads"):
+        read_nquads(spark, str(p))
+    assert read_nquads(spark, str(p), strict=False).count() == 0

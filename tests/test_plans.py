@@ -269,7 +269,12 @@ def test_triangle_count_no_cartesian_and_reuses_oriented(spark):
         F.col("l_partkey").cast("string").alias("src"),
         F.col("l_suppkey").cast("string").alias("dst"),
     )
-    plan = _plan(triangle_count(e))
+    lazy = triangle_count(e, materialize=False)
+    plan = _plan(lazy)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "InMemoryTableScan" in plan, plan
+    spark.catalog.clearCache()  # release the lazy path's oriented cache
+    # default path: result is checkpointed (cache released inside)
+    plan2 = _plan(triangle_count(e))
+    assert "ExistingRDD" in plan2 or "LogicalRDD" in plan2 or "Scan" in plan2, plan2

@@ -142,3 +142,25 @@ def test_parse_errors(quads):
     t_no_g = quads.drop("graph")
     with pytest.raises(ValueError):
         execute_bgp(t_no_g, "SELECT ?s FROM <g:one> WHERE { ?s ?p ?o . }")
+
+
+def test_from_multiple_graphs_is_set_union(quads, spark):
+    """Review fix: FROM <g1> FROM <g2> is the RDF MERGE — a triple in
+    both graphs contributes ONE solution."""
+    rows = [
+        ("s", "p:x", "o", None, False, "ga"),
+        ("s", "p:x", "o", None, False, "gb"),
+    ]
+    q = spark.createDataFrame(rows, QSCHEMA)
+    out = execute_bgp(
+        q, "SELECT ?s FROM <ga> FROM <gb> WHERE { ?s <p:x> <o> . }"
+    ).collect()
+    assert len(out) == 1
+
+
+def test_construct_template_rejects_graph_group(quads):
+    with pytest.raises(ValueError, match="plain triples"):
+        parse_sparql(
+            "CONSTRUCT { <a> <b> <c> GRAPH ?g { ?s ?p ?o . } } "
+            "WHERE { ?s ?p ?o . }"
+        )
