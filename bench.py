@@ -46,6 +46,8 @@ HEADLINE = [
     "ann_ivf_kmeans_topk",  # round 4: trained-codebook IVF search
     "graph_pagerank",       # round 4: iterative-join entity salience
     "paragraph_dedup",      # round 4: keep-first paragraph dedup
+    "rdfs_entailment",      # round 4 cont.: broadcast-schema RDFS closure
+    "graph_triangle_count", # round 4 cont.: degree-oriented wedge join
 ]
 
 

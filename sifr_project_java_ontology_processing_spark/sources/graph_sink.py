@@ -65,3 +65,29 @@ def write_edges(edges: DataFrame, path: str) -> None:
 
 def write_nodes(nodes: DataFrame, path: str) -> None:
     nodes.sortWithinPartitions("canonical_iri").write.mode("overwrite").parquet(path)
+
+
+def write_quads(quads: DataFrame, path: str) -> None:
+    """Quads table partitioned BY GRAPH (then pred_kind): a
+    ``GRAPH <iri>`` query or a FROM/FROM NAMED dataset clause becomes a
+    partition-directory prune — the named-graph slice never reads the
+    other graphs' files. NULL graph (default graph) lands in the
+    writer's ``__HIVE_DEFAULT_PARTITION__`` directory and reads back as
+    NULL, so the default-graph view prunes too. Same Iceberg swap note
+    as write_triples."""
+    (
+        with_pred_kind(quads)
+        .sortWithinPartitions("subj")
+        .write.mode("overwrite")
+        .partitionBy("graph", "pred_kind")
+        .parquet(path)
+    )
+
+
+def read_quads(spark, path: str) -> DataFrame:
+    """Read a write_quads table back into the QUADS column order
+    (partition columns come back last; execute_bgp only needs the
+    ``graph`` column present)."""
+    df = spark.read.parquet(path)
+    cols = ["subj", "pred", "obj", "obj_lang", "obj_is_literal", "graph"]
+    return df.select(*cols)

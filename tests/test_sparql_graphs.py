@@ -164,3 +164,31 @@ def test_construct_template_rejects_graph_group(quads):
             "CONSTRUCT { <a> <b> <c> GRAPH ?g { ?s ?p ?o . } } "
             "WHERE { ?s ?p ?o . }"
         )
+
+
+def test_partitioned_quads_prune_by_graph(quads, spark, tmp_path):
+    """Scale gate: over a graph-partitioned quads table, GRAPH <iri>
+    must reach the scan as a PartitionFilter (directory prune), and the
+    default-graph view must round-trip NULL through the partition
+    column."""
+    from sifr_project_java_ontology_processing_spark.sources.graph_sink import (
+        read_quads,
+        write_quads,
+    )
+
+    path = str(tmp_path / "quads_tbl")
+    write_quads(quads, path)
+    table = read_quads(spark, path)
+
+    out = execute_bgp(
+        table,
+        "SELECT ?s ?o WHERE { GRAPH <g:one> { ?s <p:age> ?o . } } ORDER BY ?s",
+    )
+    assert [(r.s, r.o) for r in out.collect()] == [("s1", "30"), ("s2", "40")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "graph" in plan.split("PartitionFilters")[1].split("]")[0], plan
+
+    # default graph reads back as NULL and stays isolated
+    dflt = execute_bgp(table, "SELECT ?o WHERE { <s1> <p:name> ?o . }").collect()
+    assert [r.o for r in dflt] == ["Alice"]
+    assert execute_bgp(table, "SELECT ?s ?o WHERE { ?s <p:age> ?o . }").collect() == []
