@@ -154,6 +154,9 @@ class Branch:
     # GRAPH groups: (graph term — var or IRI, patterns). Patterns match
     # NAMED graphs only; the term binds/filters the graph label.
     graphs: list[tuple[Term, list[Pattern]]] = field(default_factory=list)
+    # { SELECT ... } subqueries: evaluated independently over the same
+    # dataset, joined on their projected variables
+    subqueries: list[BGPQuery] = field(default_factory=list)
 
 
 @dataclass
@@ -477,7 +480,7 @@ def _parse_plain_group(p: _P, ctx: str) -> list[Pattern]:
     _parse_group(p, gb)
     if (
         gb.filters or gb.optionals or gb.binds or gb.values or gb.exists
-        or gb.minus or gb.graphs
+        or gb.minus or gb.graphs or gb.subqueries
     ):
         raise ValueError(f"BGP: {ctx} group must contain only triple patterns")
     if not gb.patterns:
@@ -520,6 +523,21 @@ def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
                 raise ValueError("BGP: MINUS inside OPTIONAL is not supported")
             p.next()
             branch.minus.append(_parse_plain_group(p, "MINUS"))
+            if p.peek() == ".":
+                p.next()
+            continue
+        if t == "{":
+            if in_optional:
+                raise ValueError("BGP: subqueries inside OPTIONAL are not supported")
+            nxt = p.toks[p.i + 1] if p.i + 1 < len(p.toks) else None
+            if nxt is None or nxt.lower() != "select":
+                raise ValueError(
+                    "BGP: nested groups are only supported as "
+                    "{ SELECT ... } subqueries"
+                )
+            p.next()  # consume '{'
+            branch.subqueries.append(_parse_query(p, subquery=True))
+            p.expect("}")
             if p.peek() == ".":
                 p.next()
             continue
@@ -628,8 +646,17 @@ def parse_sparql(text: str) -> BGPQuery:
         prefixes[m.group(1) or ""] = m.group(2)
     body = re.sub(r"(?i)\bPREFIX\s+(?:[A-Za-z_][A-Za-z0-9_-]*)?:\s*<[^>]*>", "", body)
 
-    p = _P(_tokenize(body), prefixes)
+    return _parse_query(_P(_tokenize(body), prefixes))
+
+
+def _parse_query(p: _P, *, subquery: bool = False) -> BGPQuery:
+    """Parse one query from the token stream. ``subquery=True``
+    (a ``{ SELECT ... }`` group): SELECT form only, no dataset
+    clauses, and the solution-modifier loop stops at the enclosing
+    '}' (consumed by the caller)."""
     form = p.next().lower()
+    if subquery and form != "select":
+        raise ValueError("BGP: subqueries must be SELECT queries")
     if form not in ("select", "construct", "ask", "describe"):
         raise ValueError(f"BGP: unsupported query form {form!r}")
     q = BGPQuery(form=form, select=[], branches=[])
@@ -657,7 +684,7 @@ def parse_sparql(text: str) -> BGPQuery:
         _parse_group(p, tb)
         if (
             tb.filters or tb.optionals or tb.binds or tb.values
-            or tb.exists or tb.minus or tb.graphs
+            or tb.exists or tb.minus or tb.graphs or tb.subqueries
         ):
             raise ValueError("BGP: CONSTRUCT template must be plain triples")
         for s, pr, o in tb.patterns:
@@ -745,6 +772,8 @@ def parse_sparql(text: str) -> BGPQuery:
         q.select.append(t[1:])
     # dataset clauses (any query form): FROM <g> / FROM NAMED <g>
     while p.peek() and p.peek().lower() == "from":
+        if subquery:
+            raise ValueError("BGP: dataset clauses are not allowed in subqueries")
         p.next()
         named = False
         if p.peek() and p.peek().lower() == "named":
@@ -757,7 +786,8 @@ def parse_sparql(text: str) -> BGPQuery:
     if p.peek() and p.peek().lower() == "where":
         p.next()
     p.expect("{")
-    if p.peek() == "{":
+    nxt2 = p.toks[p.i + 1] if p.i + 1 < len(p.toks) else None
+    if p.peek() == "{" and not (nxt2 and nxt2.lower() == "select"):
         # UNION form: { group } UNION { group } [ UNION { group } ]*
         while True:
             p.expect("{")
@@ -773,7 +803,7 @@ def parse_sparql(text: str) -> BGPQuery:
         q.branches.append(Branch())
         _parse_group(p, q.branches[0])
     # solution modifiers
-    while p.peek() is not None:
+    while p.peek() is not None and not (subquery and p.peek() == "}"):
         t = p.next().lower()
         if t == "order":
             p.expect("BY")
@@ -804,7 +834,7 @@ def parse_sparql(text: str) -> BGPQuery:
         else:
             raise ValueError(f"BGP: unsupported solution modifier {t!r}")
     for b in q.branches:
-        if not b.patterns and not b.graphs:
+        if not b.patterns and not b.graphs and not b.subqueries:
             raise ValueError("BGP: empty graph pattern")
     if q.aggregates or q.group_by:
         agg_aliases = {a for *_, a in q.aggregates}
@@ -1032,6 +1062,12 @@ def _exec_branch(
             units.append(
                 _join_patterns(named, pats, want_meta, graph_var=gterm.value)
             )
+    for sq in b.subqueries:
+        # evaluated independently over the same dataset; its projected
+        # variables join the enclosing group like any other unit
+        sdf = _run_query(triples, named, sq)
+        svars = {c for c in sdf.columns if not c.startswith("__")}
+        units.append((sdf.select(*sorted(svars)), svars))
     acc, bound = units[0]
     for nxt, nvars in units[1:]:
         dup_meta = [
@@ -1215,7 +1251,16 @@ def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
         named = triples.where(F.col("graph").isNotNull())
     else:
         default, named = triples, None
-    triples = default
+    return _run_query(default, named, q)
+
+
+def _run_query(
+    triples: DataFrame, named: DataFrame | None, q: BGPQuery
+) -> DataFrame:
+    """Execute a parsed query over an already-constructed dataset
+    (``triples`` = default-graph view, ``named`` = named-graph view).
+    Also the evaluation entry for ``{ SELECT ... }`` subqueries, which
+    share the enclosing query's dataset."""
     if q.form == "describe" and not q.branches:
         # constants-only DESCRIBE: a plain IN filter on the subject —
         # pushdown-eligible, no join at all

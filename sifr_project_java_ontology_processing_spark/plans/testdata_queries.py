@@ -4160,3 +4160,33 @@ def q_rdfs_plus_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
         contains.unionByName(adjacent).unionByName(static),
         max_transitive_depth=6,
     )
+
+
+@register(
+    "sparql_subquery",
+    """
+    SELECT 'r:' || CAST(r_regionkey AS VARCHAR) AS r, r_name AS rl,
+           CAST(count(*) AS BIGINT) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey, r_name
+    """,
+)
+def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 subquery (plans/bgp.py ``{ SELECT ... }`` groups —
+    the ARQ sub-SELECT capability): an inner GROUP BY aggregation over
+    ``ex:within`` membership joined to the outer region-label pattern
+    on the projected variable. The subquery evaluates as its own
+    solution frame; non-projected inner variables stay scoped. Oracle
+    = the equivalent relational aggregate join."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?r ?rl ?n WHERE {
+             ?r ex:label ?rl .
+             { SELECT ?r (COUNT(?x) AS ?n) WHERE { ?x ex:within ?r . }
+               GROUP BY ?r }
+           }""",
+    )

@@ -192,3 +192,99 @@ def test_partitioned_quads_prune_by_graph(quads, spark, tmp_path):
     dflt = execute_bgp(table, "SELECT ?o WHERE { <s1> <p:name> ?o . }").collect()
     assert [r.o for r in dflt] == ["Alice"]
     assert execute_bgp(table, "SELECT ?s ?o WHERE { ?s <p:age> ?o . }").collect() == []
+
+
+# ---------------------------------------------------------------------------
+# { SELECT ... } subqueries
+# ---------------------------------------------------------------------------
+
+TSCHEMA = (
+    "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean"
+)
+
+
+@pytest.fixture(scope="module")
+def regions(spark):
+    rows = [
+        ("n1", "p:in", "r1", None, False),
+        ("n2", "p:in", "r1", None, False),
+        ("n3", "p:in", "r2", None, False),
+        ("r1", "p:lbl", "west", "en", True),
+        ("r2", "p:lbl", "east", "en", True),
+        ("r3", "p:lbl", "empty", "en", True),  # no members
+    ]
+    return spark.createDataFrame(rows, TSCHEMA)
+
+
+def test_subquery_groupby_joins_outer(regions):
+    out = execute_bgp(
+        regions,
+        """SELECT ?r ?l ?n WHERE {
+             ?r <p:lbl> ?l .
+             { SELECT ?r (COUNT(?x) AS ?n) WHERE { ?x <p:in> ?r . }
+               GROUP BY ?r }
+           } ORDER BY ?r""",
+    ).collect()
+    # inner join: r3 (no members) is absent, per SPARQL join semantics
+    assert [(r.r, r.l, r.n) for r in out] == [("r1", "west", 2), ("r2", "east", 1)]
+
+
+def test_subquery_only_where(regions):
+    out = execute_bgp(
+        regions,
+        """SELECT ?r ?n WHERE {
+             { SELECT ?r (COUNT(?x) AS ?n) WHERE { ?x <p:in> ?r . }
+               GROUP BY ?r } } ORDER BY ?n ?r""",
+    ).collect()
+    assert [(r.r, r.n) for r in out] == [("r2", 1), ("r1", 2)]
+
+
+def test_subquery_limit_is_evaluated_inside(regions):
+    """ORDER/LIMIT belong to the subquery: the outer pattern joins the
+    single projected row, not a truncated final result."""
+    out = execute_bgp(
+        regions,
+        """SELECT ?r ?l WHERE {
+             ?r <p:lbl> ?l .
+             { SELECT ?r WHERE { ?x <p:in> ?r . } ORDER BY ?r LIMIT 1 }
+           }""",
+    ).collect()
+    assert [(r.r, r.l) for r in out] == [("r1", "west")]
+
+
+def test_subquery_projection_scopes_variables(regions):
+    """?x is not projected by the subquery, so it must NOT join or leak
+    into the outer scope — SPARQL subquery scoping."""
+    out = execute_bgp(
+        regions,
+        """SELECT ?x ?r WHERE {
+             ?x <p:in> ?r .
+             { SELECT ?r WHERE { ?x <p:in> ?r . } GROUP BY ?r }
+           } ORDER BY ?x""",
+    )
+    assert [(r.x, r.r) for r in out.collect()] == [
+        ("n1", "r1"), ("n2", "r1"), ("n3", "r2"),
+    ]
+
+
+def test_subquery_in_graph_dataset(quads):
+    """A subquery evaluates over the same dataset: GRAPH works inside."""
+    out = execute_bgp(
+        quads,
+        """SELECT ?g ?n WHERE {
+             { SELECT ?g (COUNT(?s) AS ?n) WHERE {
+                 GRAPH ?g { ?s ?p ?o . } } GROUP BY ?g }
+           } ORDER BY ?g""",
+    ).collect()
+    assert [(r.g, r.n) for r in out] == [("g:one", 2), ("g:two", 2)]
+
+
+def test_subquery_errors(regions):
+    with pytest.raises(ValueError, match="dataset clauses"):
+        parse_sparql(
+            "SELECT ?r WHERE { { SELECT ?r FROM <g> WHERE { ?x <p:in> ?r . } } }"
+        )
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?r WHERE { OPTIONAL { { SELECT ?r WHERE { ?x <p:in> ?r . } } } }")
+    with pytest.raises(ValueError):
+        parse_sparql("SELECT ?r WHERE { { NOTSELECT } }")
