@@ -141,6 +141,9 @@ class Branch:
 
     patterns: list[Pattern] = field(default_factory=list)
     optionals: list[list[Pattern]] = field(default_factory=list)
+    # per-OPTIONAL-group filters (aligned with ``optionals``): applied
+    # INSIDE the left join — the group fails, the solution survives
+    optional_filters: list[list[str]] = field(default_factory=list)
     filters: list[str] = field(default_factory=list)  # Spark SQL exprs
     binds: list[tuple[str, str]] = field(default_factory=list)  # (sql, var)
     # VALUES blocks: (var names, rows of Terms compared on lexical form)
@@ -503,16 +506,20 @@ def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
             p.next()
             return
         if t.lower() == "filter":
-            if in_optional:
-                raise ValueError("BGP: FILTER inside OPTIONAL is not supported")
             p.next()
             nxt = p.peek()
             if nxt is not None and nxt.lower() in ("exists", "not"):
+                if in_optional:
+                    raise ValueError(
+                        "BGP: FILTER [NOT] EXISTS inside OPTIONAL is not supported"
+                    )
                 positive = nxt.lower() == "exists"
                 p.next()
                 if not positive:
                     p.expect("EXISTS")
                 branch.exists.append((positive, _parse_plain_group(p, "EXISTS")))
+            elif in_optional:
+                branch.optional_filters[-1].append(_filter_to_sql(p))
             else:
                 branch.filters.append(_filter_to_sql(p))
             if p.peek() == ".":
@@ -607,6 +614,7 @@ def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
             p.next()
             p.expect("{")
             branch.optionals.append([])
+            branch.optional_filters.append([])
             _parse_group(p, branch, in_optional=True)
             if not branch.optionals[-1]:
                 raise ValueError("BGP: empty OPTIONAL group")
@@ -1078,8 +1086,23 @@ def _exec_branch(
         shared = sorted(bound & nvars)
         acc = acc.join(nxt, on=shared, how="inner") if shared else acc.crossJoin(nxt)
         bound |= nvars
-    for opt in b.optionals:
+    ofilters_by_group = b.optional_filters or [[] for _ in b.optionals]
+    for opt, ofilters in zip(b.optionals, ofilters_by_group):
         odf, ovars = _join_patterns(triples, opt, want_meta)
+        for f in ofilters:
+            # FILTER inside OPTIONAL: evaluated as part of the group
+            # (failing the filter fails the GROUP, the outer solution
+            # survives with the vars unbound) — applied to the frame
+            # BEFORE the left join. Only inner-scoped variables are
+            # supported; an outer-variable reference would need
+            # join-condition semantics.
+            refs = set(re.findall(r"`([^`]+)`", f))
+            if not refs <= ovars:
+                raise ValueError(
+                    "BGP: FILTER inside OPTIONAL may only reference the "
+                    f"group's own variables (got {sorted(refs - ovars)})"
+                )
+            odf = odf.where(F.expr(f))
         dup_meta = [
             c for c in odf.columns if c.startswith("__m_") and c in acc.columns
         ]

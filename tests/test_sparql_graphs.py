@@ -288,3 +288,42 @@ def test_subquery_errors(regions):
         parse_sparql("SELECT ?r WHERE { OPTIONAL { { SELECT ?r WHERE { ?x <p:in> ?r . } } } }")
     with pytest.raises(ValueError):
         parse_sparql("SELECT ?r WHERE { { NOTSELECT } }")
+
+
+def test_filter_inside_optional_fails_group_not_solution(regions):
+    """FILTER inside OPTIONAL: a failing filter unbinds the group's
+    variables but keeps the outer solution (left-join semantics) —
+    unlike a top-level FILTER, which would drop the row."""
+    out = execute_bgp(
+        regions,
+        """SELECT ?r ?l ?x WHERE {
+             ?r <p:lbl> ?l .
+             OPTIONAL { ?x <p:in> ?r . FILTER(?x != "n1") }
+           } ORDER BY ?r ?x""",
+    ).collect()
+    got = [(r.r, r.l, r.x) for r in out]
+    assert got == [
+        ("r1", "west", "n2"),  # n1 filtered INSIDE the group
+        ("r2", "east", "n3"),
+        ("r3", "empty", None),  # no members at all: still present
+    ]
+    # contrast: the same filter at group level drops unbound rows too
+    out2 = execute_bgp(
+        regions,
+        """SELECT ?r ?x WHERE {
+             ?r <p:lbl> ?l . OPTIONAL { ?x <p:in> ?r . }
+             FILTER(?x != "n1")
+           } ORDER BY ?r""",
+    ).collect()
+    assert [(r.r, r.x) for r in out2] == [("r1", "n2"), ("r2", "n3")]
+
+
+def test_filter_inside_optional_outer_var_rejected(regions):
+    with pytest.raises(ValueError, match="own variables"):
+        execute_bgp(
+            regions,
+            """SELECT ?r WHERE {
+                 ?r <p:lbl> ?l .
+                 OPTIONAL { ?x <p:in> ?r . FILTER(?x != ?l) }
+               }""",
+        )
