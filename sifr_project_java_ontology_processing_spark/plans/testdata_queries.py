@@ -4190,3 +4190,57 @@ def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                GROUP BY ?r }
            }""",
     )
+
+
+@register(
+    "table_profile",
+    """
+    SELECT 'o_custkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_value,
+           CAST(max(o_custkey) AS VARCHAR) AS max_value,
+           avg(o_custkey) AS avg_value,
+           CAST(sum(o_custkey) AS DOUBLE) AS sum_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderkey) AS BIGINT),
+           CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR),
+           avg(o_orderkey), CAST(sum(o_orderkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(min(o_orderstatus) AS VARCHAR),
+           CAST(max(o_orderstatus) AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/profiling.py::profile_table, exact
+    mode): null counts, exact distinct counts, lexical min/max and
+    numeric moments for four orders columns — ALL computed in ONE
+    aggregation pass (single scan, partial-agg), then pivoted one row
+    per column via stack(). The approx=True twin swaps exact distincts
+    for HyperLogLog++ sketches (single narrow pass, no expand — the
+    100 TB default); the oracle replays the exact mode per column."""
+    from sifr_project_java_ontology_processing_spark.operators.profiling import (
+        profile_table,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(
+        orders, ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"]
+    )
