@@ -180,13 +180,16 @@ def transitive_closure(
     Frontier BFS over iterative self-joins: each level joins the
     previous frontier to the (cached, src-partitioned) edge relation,
     anti-joins already-seen pairs (so diamonds don't re-expand and the
-    first-seen depth is the minimum), and localCheckpoints to cut
-    lineage — the CC/pagerank scale shape. With ``max_depth`` set the
-    loop is depth-bounded and runs with NO driver fixpoint probes
-    (lazy checkpoints, one materialization); with ``max_depth=None``
-    it runs to fixpoint with an O(1) isEmpty probe per level (DAG
-    input required — a cycle never reaches fixpoint, so a 1000-level
-    safety cap raises).
+    first-seen depth is the minimum), and eagerly localCheckpoints to
+    cut lineage — the CC/pagerank scale shape. Every level ends with
+    an O(1) isEmpty probe on the checkpointed frontier, so the loop
+    stops at the graph's ACTUAL closure depth even when ``max_depth``
+    is a generous upper bound (a depth-20 bound over a depth-3
+    hierarchy costs 3 levels, not 20). Cycles are safe: the anti-join
+    is on (src, dst) PAIRS, and a finite graph has a finite closure,
+    so the frontier always empties — ``max_depth`` only truncates,
+    and the 1000-level default cap raises (a graph with a >1000-step
+    diameter needs an explicit bound).
     """
     n_part = partitions or int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
@@ -199,7 +202,7 @@ def transitive_closure(
     paths = (
         e.select(F.col("_mid").alias("src"), "dst")
         .withColumn("depth", F.lit(1))
-        .localCheckpoint(eager=max_depth is None)
+        .localCheckpoint(eager=True)
     )
     frontier, depth = paths, 1
     cap = max_depth if max_depth is not None else 1000
@@ -211,18 +214,19 @@ def transitive_closure(
             .select("src", "dst", (F.col("depth") + 1).alias("depth"))
             .dropDuplicates(["src", "dst"])
             .join(paths, ["src", "dst"], "left_anti")
-            .localCheckpoint(eager=max_depth is None)
+            .localCheckpoint(eager=True)
         )
-        if max_depth is None and nxt.isEmpty():
+        if nxt.isEmpty():
             break
-        paths = paths.unionByName(nxt).localCheckpoint(eager=max_depth is None)
+        paths = paths.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
         depth += 1
     else:
         if max_depth is None:
-            raise ValueError("transitive_closure: no fixpoint in 1000 levels (cycle?)")
-    if max_depth is not None:
-        paths.count()  # materialize the lazy checkpoint chain (one job)
+            raise ValueError(
+                "transitive_closure: no fixpoint in 1000 levels "
+                "(set max_depth for >1000-step diameters)"
+            )
     e.unpersist()  # result is checkpointed; don't pin the edge cache
     return paths
 
