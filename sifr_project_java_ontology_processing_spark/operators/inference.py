@@ -99,8 +99,8 @@ def rdfs_entail(
     closure job chain.
     ``max_schema_depth`` bounds the subclass/subproperty closure depth
     (a deeper real hierarchy simply needs a larger bound; the closure
-    loop is depth-bounded, not fixpoint-probed, so the job count is
-    static).
+    loop stops at the ACTUAL hierarchy depth, so a generous bound
+    costs nothing).
     """
     t = triples.select(*_TRIPLE_COLS)
 
@@ -406,3 +406,105 @@ def rdfs_plus_entail(
     # assertions must be generalized too — but it reuses the checkpointed
     # subPropertyOf closure instead of re-running the closure job chain)
     return rdfs_entail(g3, max_schema_depth=max_schema_depth, _sp=sp)
+
+
+_SCHEMA_PREDS = (
+    RDFS_SUBCLASSOF,
+    RDFS_SUBPROPERTYOF,
+    RDFS_DOMAIN,
+    RDFS_RANGE,
+    OWL_INVERSEOF,
+)
+_SCHEMA_TYPES = (OWL_SYMMETRIC, OWL_TRANSITIVE)
+
+
+def rdfs_entail_delta(
+    entailed: DataFrame,
+    delta: DataFrame,
+    *,
+    max_schema_depth: int = 20,
+) -> DataFrame:
+    """Incremental (semi-naive) RDFS maintenance: given a previously
+    ENTAILED graph and a batch of newly asserted triples, return the
+    entailed graph of the union — without re-deriving anything the old
+    graph already holds.
+
+    This is what makes materialization viable at 100 TB: a daily batch
+    of new instance triples costs rules-over-the-DELTA (broadcast
+    joins against the already-closed schema) plus one null-safe
+    anti-join against the old graph — the old fact stream is scanned
+    once for the anti-join and never re-derived.  The schema closures
+    are NOT recomputed: ``rdfs_entail`` materializes closed
+    subClassOf/subPropertyOf pairs as triples, so the old graph IS the
+    closure (semi-naive evaluation's "use the saturated database").
+
+    If the delta itself contains schema triples (subClassOf,
+    subPropertyOf, domain, range, inverseOf, or Symmetric/Transitive
+    typing) the saturated-schema shortcut is invalid — the operator
+    detects that with one probe of the (small) delta and falls back to
+    a full ``rdfs_entail`` over the union, which is always correct
+    (entailment is idempotent).
+    """
+    d = delta.select(*_TRIPLE_COLS)
+    e = entailed.select(*_TRIPLE_COLS)
+    schema_in_delta = not d.where(
+        F.col("pred").isin(*_SCHEMA_PREDS)
+        | ((F.col("pred") == RDF_TYPE) & F.col("obj").isin(*_SCHEMA_TYPES))
+    ).isEmpty()
+    if schema_in_delta:
+        return rdfs_entail(e.unionByName(d), max_schema_depth=max_schema_depth)
+
+    # saturated schema views — direct selects, no closure jobs
+    sp = (
+        e.where((F.col("pred") == RDFS_SUBPROPERTYOF) & ~F.col("obj_is_literal"))
+        .select(F.col("subj").alias("_sub"), F.col("obj").alias("_sup"))
+        .where(F.col("_sub") != F.col("_sup"))
+        .distinct()
+    )
+    sc = (
+        e.where((F.col("pred") == RDFS_SUBCLASSOF) & ~F.col("obj_is_literal"))
+        .select(F.col("subj").alias("_sub"), F.col("obj").alias("_sup"))
+        .where(F.col("_sub") != F.col("_sup"))
+        .distinct()
+    )
+    dom = (
+        e.where((F.col("pred") == RDFS_DOMAIN) & ~F.col("obj_is_literal"))
+        .select(F.col("subj").alias("_p"), F.col("obj").alias("_c"))
+        .distinct()
+    )
+    rng = (
+        e.where((F.col("pred") == RDFS_RANGE) & ~F.col("obj_is_literal"))
+        .select(F.col("subj").alias("_p"), F.col("obj").alias("_c"))
+        .distinct()
+    )
+
+    # rules over the delta only (the semi-naive increment)
+    d7 = d.join(F.broadcast(sp), d["pred"] == sp["_sub"]).select(
+        F.col("subj"),
+        F.col("_sup").alias("pred"),
+        F.col("obj"),
+        F.col("obj_lang"),
+        F.col("obj_is_literal"),
+    )
+    n1 = d.unionByName(d7)
+    d2 = n1.join(F.broadcast(dom), n1["pred"] == dom["_p"]).select(
+        *_as_type_triple(F.col("subj"), F.col("_c"))
+    )
+    d3 = (
+        n1.where(~F.col("obj_is_literal"))
+        .join(F.broadcast(rng), n1["pred"] == rng["_p"])
+        .select(*_as_type_triple(F.col("obj"), F.col("_c")))
+    )
+    n2 = n1.unionByName(d2).unionByName(d3)
+    types = n2.where(F.col("pred") == RDF_TYPE)
+    d9 = types.join(F.broadcast(sc), types["obj"] == sc["_sub"]).select(
+        *_as_type_triple(F.col("subj"), F.col("_sup"))
+    )
+    fresh = n2.unionByName(d9).distinct()
+
+    # null-safe anti-join: keep only genuinely new triples, then append
+    cond = None
+    for c in _TRIPLE_COLS:
+        eq = fresh[c].eqNullSafe(e[c])
+        cond = eq if cond is None else (cond & eq)
+    return e.unionByName(fresh.join(e, cond, "left_anti"))

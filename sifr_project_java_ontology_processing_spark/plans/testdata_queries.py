@@ -3729,9 +3729,7 @@ _RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
 _RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
-@register(
-    "rdfs_entailment",
-    f"""
+_RDFS_ENTAIL_SQL = f"""
     WITH sc AS (
       SELECT DISTINCT 'c:' || p_brand AS sub,
              'c:Mfgr#' || substr(p_brand, 7, 1) AS sup FROM part
@@ -3791,7 +3789,12 @@ _RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
       UNION ALL
       SELECT x, '{_RDF_TYPE_IRI}', c FROM types
     )
-    """,
+    """
+
+
+@register(
+    "rdfs_entailment",
+    _RDFS_ENTAIL_SQL,
 )
 def q_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFS materialization (inference.rdfs_entail) over an ontology
@@ -4244,3 +4247,74 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         orders, ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"]
     )
+
+
+def _rdfs_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rdfs_entailment asserted graph (shared by the full and
+    incremental gates)."""
+    part = _t(spark, sf_dir, "part")
+    nul = F.lit(None).cast("string")
+
+    def trip(s, pr, o):
+        return F.struct(
+            s.alias("subj"),
+            (F.lit(pr) if isinstance(pr, str) else pr).alias("pred"),
+            o.alias("obj"),
+            nul.alias("obj_lang"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+
+    brand = F.concat(F.lit("c:"), F.col("p_brand"))
+    mfgr = F.concat(F.lit("c:Mfgr#"), F.substring(F.col("p_brand"), 7, 1))
+    inst = F.concat(F.lit("i:"), F.col("p_partkey").cast("string"))
+    maker = F.concat(F.lit("m:Mfgr#"), F.substring(F.col("p_brand"), 7, 1))
+    sub_cls = f"{_RDFS_NS}subClassOf"
+    sub_prp = f"{_RDFS_NS}subPropertyOf"
+    from_part = part.select(
+        F.col("p_partkey"),
+        F.explode(
+            F.array(
+                trip(brand, sub_cls, mfgr),
+                trip(mfgr, sub_cls, F.lit("c:Product")),
+                trip(inst, _RDF_TYPE_IRI, brand),
+                trip(inst, "x:madeBy", maker),
+            )
+        ).alias("t"),
+    ).select("p_partkey", "t.*")
+    static = spark.createDataFrame(
+        [
+            ("c:Product", sub_cls, "c:Thing", None, False),
+            ("x:madeBy", sub_prp, "x:relatedTo", None, False),
+            ("x:relatedTo", sub_prp, "x:linked", None, False),
+            ("x:madeBy", f"{_RDFS_NS}domain", "c:Artifact", None, False),
+            ("x:relatedTo", f"{_RDFS_NS}range", "c:Maker", None, False),
+        ],
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+    return from_part, static
+
+
+@register("rdfs_entail_incremental", _RDFS_ENTAIL_SQL)
+def q_rdfs_entail_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-naive incremental maintenance gate
+    (inference.rdfs_entail_delta): the rdfs_entailment fixture is SPLIT
+    — instance triples of parts with p_partkey % 7 == 0 arrive as a
+    later delta batch — and the incrementally-maintained graph must
+    hash-identically equal the full one-shot entailment (the oracle is
+    the SAME SQL as rdfs_entailment). Proves new-batch cost is
+    rules-over-the-delta + one anti-join, not a re-materialization."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        rdfs_entail,
+        rdfs_entail_delta,
+    )
+
+    from_part, static = _rdfs_fixture(spark, sf_dir)
+    tcols = ["subj", "pred", "obj", "obj_lang", "obj_is_literal"]
+    is_delta = (F.col("p_partkey") % 7 == 0) & ~F.col("pred").startswith(
+        "http://www.w3.org/2000/01/rdf-schema#"
+    )
+    base = (
+        from_part.where(~is_delta).select(*tcols).distinct().unionByName(static)
+    )
+    delta = from_part.where(is_delta).select(*tcols).distinct()
+    return rdfs_entail_delta(rdfs_entail(base), delta)

@@ -259,3 +259,53 @@ def test_rdfs7_preserves_lang_tag(spark):
     }
     assert ("x", "p:label", "Hello", "en", True) in out
     assert ("x", "p:label", "Hello", None, True) not in out
+
+
+def test_incremental_delta_equals_full(spark):
+    """Semi-naive maintenance: entail(base) + delta must equal
+    entail(base ∪ delta) exactly, with no duplicate rows."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        rdfs_entail_delta,
+    )
+
+    base = [
+        _iri("p1", RDFS_SUBPROPERTYOF, "p2"),
+        _iri("A", RDFS_SUBCLASSOF, "B"),
+        _iri("B", RDFS_SUBCLASSOF, "C"),
+        _iri("p1", RDFS_DOMAIN, "A"),
+        _iri("x", "p1", "y"),
+        _iri("u", RDF_TYPE, "A"),
+    ]
+    delta = [
+        _iri("z", "p1", "w"),      # fires rdfs7, rdfs2, then rdfs9 chain
+        _iri("v", RDF_TYPE, "B"),  # fires rdfs9
+        _iri("x", "p1", "y"),      # duplicate of an existing assertion
+        ("z", "p:lbl", "zed", "en", True),  # inert literal triple
+    ]
+    full = rdfs_entail(_triples(spark, base + delta))
+    inc = rdfs_entail_delta(rdfs_entail(_triples(spark, base)), _triples(spark, delta))
+    f_rows = sorted(tuple(r) for r in full.collect())
+    i_rows = sorted(tuple(r) for r in inc.collect())
+    assert f_rows == i_rows  # same SET and same MULTISET (no dupes)
+    assert ("z", RDF_TYPE, "C", None, False) in set(i_rows)  # domain->subclass chain
+
+
+def test_incremental_schema_delta_falls_back(spark):
+    """A delta carrying schema triples invalidates the saturated-schema
+    shortcut — the operator must still produce the full entailment."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        rdfs_entail_delta,
+    )
+
+    base = [
+        _iri("A", RDFS_SUBCLASSOF, "B"),
+        _iri("u", RDF_TYPE, "A"),
+    ]
+    delta = [
+        _iri("B", RDFS_SUBCLASSOF, "C"),  # schema change!
+    ]
+    inc = rdfs_entail_delta(rdfs_entail(_triples(spark, base)), _triples(spark, delta))
+    got = {(r.subj, r.pred, r.obj) for r in inc.collect()}
+    # u must now be typed C through the EXTENDED hierarchy
+    assert ("u", RDF_TYPE, "C") in got
+    assert ("A", RDFS_SUBCLASSOF, "C") in got
