@@ -418,6 +418,66 @@ _SCHEMA_PREDS = (
 _SCHEMA_TYPES = (OWL_SYMMETRIC, OWL_TRANSITIVE)
 
 
+def saturated_schema_views(
+    entailed: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(subPropertyOf, subClassOf, domain, range) views of an already-
+    ENTAILED graph — direct selects, no closure jobs (``rdfs_entail``
+    materializes its closures as triples, so the graph IS saturated)."""
+    e = entailed.select(*_TRIPLE_COLS)
+
+    def pairs(pred_iri: str, a: str, b: str) -> DataFrame:
+        out = (
+            e.where((F.col("pred") == pred_iri) & ~F.col("obj_is_literal"))
+            .select(F.col("subj").alias(a), F.col("obj").alias(b))
+            .distinct()
+        )
+        return out.where(F.col(a) != F.col(b)) if a == "_sub" else out
+
+    return (
+        pairs(RDFS_SUBPROPERTYOF, "_sub", "_sup"),
+        pairs(RDFS_SUBCLASSOF, "_sub", "_sup"),
+        pairs(RDFS_DOMAIN, "_p", "_c"),
+        pairs(RDFS_RANGE, "_p", "_c"),
+    )
+
+
+def apply_rules_to_delta(
+    d: DataFrame,
+    sp: DataFrame,
+    sc: DataFrame,
+    dom: DataFrame,
+    rng: DataFrame,
+) -> DataFrame:
+    """rdfs7/2/3/9 over a DELTA frame against saturated schema views —
+    every join is a broadcast, every stage stateless, so the same plan
+    drops into a STREAMING frame (streaming/jobs.streaming_entail).
+    Returns the delta plus its consequences, NOT deduplicated (batch
+    callers add ``.distinct()``; streams leave dedup to compaction)."""
+    d7 = d.join(F.broadcast(sp), d["pred"] == sp["_sub"]).select(
+        F.col("subj"),
+        F.col("_sup").alias("pred"),
+        F.col("obj"),
+        F.col("obj_lang"),
+        F.col("obj_is_literal"),
+    )
+    n1 = d.unionByName(d7)
+    d2 = n1.join(F.broadcast(dom), n1["pred"] == dom["_p"]).select(
+        *_as_type_triple(F.col("subj"), F.col("_c"))
+    )
+    d3 = (
+        n1.where(~F.col("obj_is_literal"))
+        .join(F.broadcast(rng), n1["pred"] == rng["_p"])
+        .select(*_as_type_triple(F.col("obj"), F.col("_c")))
+    )
+    n2 = n1.unionByName(d2).unionByName(d3)
+    types = n2.where(F.col("pred") == RDF_TYPE)
+    d9 = types.join(F.broadcast(sc), types["obj"] == sc["_sub"]).select(
+        *_as_type_triple(F.col("subj"), F.col("_sup"))
+    )
+    return n2.unionByName(d9)
+
+
 def rdfs_entail_delta(
     entailed: DataFrame,
     delta: DataFrame,
@@ -454,53 +514,8 @@ def rdfs_entail_delta(
     if schema_in_delta:
         return rdfs_entail(e.unionByName(d), max_schema_depth=max_schema_depth)
 
-    # saturated schema views — direct selects, no closure jobs
-    sp = (
-        e.where((F.col("pred") == RDFS_SUBPROPERTYOF) & ~F.col("obj_is_literal"))
-        .select(F.col("subj").alias("_sub"), F.col("obj").alias("_sup"))
-        .where(F.col("_sub") != F.col("_sup"))
-        .distinct()
-    )
-    sc = (
-        e.where((F.col("pred") == RDFS_SUBCLASSOF) & ~F.col("obj_is_literal"))
-        .select(F.col("subj").alias("_sub"), F.col("obj").alias("_sup"))
-        .where(F.col("_sub") != F.col("_sup"))
-        .distinct()
-    )
-    dom = (
-        e.where((F.col("pred") == RDFS_DOMAIN) & ~F.col("obj_is_literal"))
-        .select(F.col("subj").alias("_p"), F.col("obj").alias("_c"))
-        .distinct()
-    )
-    rng = (
-        e.where((F.col("pred") == RDFS_RANGE) & ~F.col("obj_is_literal"))
-        .select(F.col("subj").alias("_p"), F.col("obj").alias("_c"))
-        .distinct()
-    )
-
-    # rules over the delta only (the semi-naive increment)
-    d7 = d.join(F.broadcast(sp), d["pred"] == sp["_sub"]).select(
-        F.col("subj"),
-        F.col("_sup").alias("pred"),
-        F.col("obj"),
-        F.col("obj_lang"),
-        F.col("obj_is_literal"),
-    )
-    n1 = d.unionByName(d7)
-    d2 = n1.join(F.broadcast(dom), n1["pred"] == dom["_p"]).select(
-        *_as_type_triple(F.col("subj"), F.col("_c"))
-    )
-    d3 = (
-        n1.where(~F.col("obj_is_literal"))
-        .join(F.broadcast(rng), n1["pred"] == rng["_p"])
-        .select(*_as_type_triple(F.col("obj"), F.col("_c")))
-    )
-    n2 = n1.unionByName(d2).unionByName(d3)
-    types = n2.where(F.col("pred") == RDF_TYPE)
-    d9 = types.join(F.broadcast(sc), types["obj"] == sc["_sub"]).select(
-        *_as_type_triple(F.col("subj"), F.col("_sup"))
-    )
-    fresh = n2.unionByName(d9).distinct()
+    sp, sc, dom, rng = saturated_schema_views(e)
+    fresh = apply_rules_to_delta(d, sp, sc, dom, rng).distinct()
 
     # null-safe anti-join: keep only genuinely new triples, then append
     cond = None

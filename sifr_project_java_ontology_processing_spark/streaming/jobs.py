@@ -163,3 +163,36 @@ def streaming_curate(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["text_hash"])
     )
+
+
+def streaming_entail(
+    triples_stream: DataFrame,
+    schema_graph: DataFrame,
+) -> DataFrame:
+    """Streaming RDFS rule application: each arriving asserted triple
+    is emitted together with its rdfs7/2/3/9 consequences, derived
+    against a STATIC, already-saturated schema graph (batch-side
+    ``rdfs_entail`` output, or any graph whose subClassOf /
+    subPropertyOf triples are closed — pass a raw schema through
+    ``rdfs_entail`` once at job start).
+
+    Stateless by construction: every rule is a broadcast stream-static
+    join (``inference.apply_rules_to_delta`` — the same plan the batch
+    ``rdfs_entail_delta`` runs over a delta), so there is no watermark
+    and no state store. Cross-batch DEDUPLICATION is deliberately not
+    here: consequence triples repeat if re-asserted, and the nightly
+    compaction (``rdfs_entail_delta`` on the accumulated batch) is the
+    set-semantics point — same split as streaming_curate vs batch
+    decontamination."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        apply_rules_to_delta,
+        saturated_schema_views,
+    )
+
+    sp, sc, dom, rng = saturated_schema_views(schema_graph)
+    return apply_rules_to_delta(
+        triples_stream.select(
+            "subj", "pred", "obj", "obj_lang", "obj_is_literal"
+        ),
+        sp, sc, dom, rng,
+    )

@@ -309,3 +309,59 @@ def test_incremental_schema_delta_falls_back(spark):
     # u must now be typed C through the EXTENDED hierarchy
     assert ("u", RDF_TYPE, "C") in got
     assert ("A", RDFS_SUBCLASSOF, "C") in got
+
+
+def test_streaming_entail_matches_batch_rules(spark, tmp_path):
+    """streaming_entail over a file stream emits exactly the batch
+    delta-rule consequences (stateless stream-static broadcast joins)."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        apply_rules_to_delta,
+        rdfs_entail_delta,
+        saturated_schema_views,
+    )
+    from sifr_project_java_ontology_processing_spark.streaming.jobs import (
+        streaming_entail,
+    )
+
+    schema_rows = [
+        _iri("p1", RDFS_SUBPROPERTYOF, "p2"),
+        _iri("A", RDFS_SUBCLASSOF, "B"),
+        _iri("p1", RDFS_DOMAIN, "A"),
+    ]
+    schema_graph = rdfs_entail(_triples(spark, schema_rows))
+    stream_rows = [
+        _iri("x", "p1", "y"),
+        _iri("u", RDF_TYPE, "A"),
+    ]
+    src = str(tmp_path / "tsrc")
+    _triples(spark, stream_rows).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        streaming_entail(stream, schema_graph)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "tout"))
+        .option("checkpointLocation", str(tmp_path / "tckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in spark.read.parquet(str(tmp_path / "tout")).collect()
+    }
+    sp, sc, dom, rng = saturated_schema_views(schema_graph)
+    want = {
+        (r.subj, r.pred, r.obj)
+        for r in apply_rules_to_delta(
+            _triples(spark, stream_rows), sp, sc, dom, rng
+        ).collect()
+    }
+    assert got == want
+    # and the consequences are the expected ones
+    assert {("x", "p2", "y"), ("x", RDF_TYPE, "A"), ("x", RDF_TYPE, "B"),
+            ("u", RDF_TYPE, "B")} <= got
