@@ -523,3 +523,65 @@ def rdfs_entail_delta(
         eq = fresh[c].eqNullSafe(e[c])
         cond = eq if cond is None else (cond & eq)
     return e.unionByName(fresh.join(e, cond, "left_anti"))
+
+
+OWL_FUNCTIONAL = "http://www.w3.org/2002/07/owl#FunctionalProperty"
+OWL_INVERSE_FUNCTIONAL = (
+    "http://www.w3.org/2002/07/owl#InverseFunctionalProperty"
+)
+
+
+def functional_violations(triples: DataFrame) -> DataFrame:
+    """KG-consistency audit for cardinality-one properties: one row
+    per violation, (node, pred, n_values, kind) where
+
+    * kind='functional'          — ``P a owl:FunctionalProperty`` and
+      some subject has >1 DISTINCT object under P
+    * kind='inverse_functional'  — ``P a owl:InverseFunctionalProperty``
+      and some IRI object has >1 distinct subject (the classic
+      entity-resolution signal: two nodes sharing an IFP value should
+      have been merged by canonicalization)
+
+    Scale shape: predicate-filtered slice (broadcast semi-join against
+    the tiny declared-property set) → one partial-agg count-distinct
+    per (node, pred) → filter >1. Literal objects participate in
+    'functional' (values) but never in 'inverse_functional' (only IRIs
+    can be merge candidates)."""
+    t = triples.select(*_TRIPLE_COLS)
+    fp = (
+        t.where((F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_FUNCTIONAL))
+        .select(F.col("subj").alias("_p"))
+        .distinct()
+    )
+    ifp = (
+        t.where(
+            (F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_INVERSE_FUNCTIONAL)
+        )
+        .select(F.col("subj").alias("_p"))
+        .distinct()
+    )
+    f_slice = t.join(F.broadcast(fp), t["pred"] == fp["_p"]).select(
+        F.col("subj").alias("node"), "pred",
+        F.concat_ws(
+            "\x1f", F.col("obj"), F.coalesce(F.col("obj_lang"), F.lit("")),
+            F.col("obj_is_literal").cast("string"),
+        ).alias("_val"),
+    )
+    f_out = (
+        f_slice.groupBy("node", "pred")
+        .agg(F.count_distinct("_val").alias("n_values"))
+        .where(F.col("n_values") > 1)
+        .withColumn("kind", F.lit("functional"))
+    )
+    i_slice = (
+        t.where(~F.col("obj_is_literal"))
+        .join(F.broadcast(ifp), t["pred"] == ifp["_p"])
+        .select(F.col("obj").alias("node"), "pred", F.col("subj").alias("_val"))
+    )
+    i_out = (
+        i_slice.groupBy("node", "pred")
+        .agg(F.count_distinct("_val").alias("n_values"))
+        .where(F.col("n_values") > 1)
+        .withColumn("kind", F.lit("inverse_functional"))
+    )
+    return f_out.unionByName(i_out)

@@ -4318,3 +4318,74 @@ def q_rdfs_entail_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     delta = from_part.where(is_delta).select(*tcols).distinct()
     return rdfs_entail_delta(rdfs_entail(base), delta)
+
+
+@register(
+    "functional_violations",
+    """
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS node, 'p:region' AS pred,
+           CAST(2 AS BIGINT) AS n_values, 'functional' AS kind
+    FROM nation WHERE n_nationkey % 5 = 0
+    UNION ALL
+    SELECT 'v:' || CAST(s_suppkey % 40 AS VARCHAR), 'p:code',
+           CAST(count(DISTINCT s_suppkey) AS BIGINT), 'inverse_functional'
+    FROM supplier GROUP BY s_suppkey % 40
+    HAVING count(DISTINCT s_suppkey) > 1
+    """,
+)
+def q_functional_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-one consistency audit (inference.functional_violations):
+    p:region declared owl:FunctionalProperty (nations with key%5==0 get
+    a second region edge → functional violations); p:code declared
+    owl:InverseFunctionalProperty with supplier codes folded mod 40 →
+    shared values are entity-resolution signals. Oracle states the
+    violation sets closed-form."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_FUNCTIONAL,
+        OWL_INVERSE_FUNCTIONAL,
+        RDF_TYPE,
+        functional_violations,
+    )
+
+    nat = _t(spark, sf_dir, "nation")
+    sup = _t(spark, sf_dir, "supplier")
+    nul = F.lit(None).cast("string")
+
+    def row(s, p, o):
+        return F.struct(
+            s.alias("subj"), F.lit(p).alias("pred"), o.alias("obj"),
+            nul.alias("obj_lang"), F.lit(False).alias("obj_is_literal"),
+        )
+
+    n_iri = F.concat(F.lit("n:"), F.col("n_nationkey").cast("string"))
+    r1 = F.concat(F.lit("r:"), F.col("n_regionkey").cast("string"))
+    r2 = F.concat(F.lit("r:"), ((F.col("n_regionkey") + 1) % 5).cast("string"))
+    nt = nat.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    row(n_iri, "p:region", r1),
+                    F.when(F.col("n_nationkey") % 5 == 0, row(n_iri, "p:region", r2)),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("t")
+    ).select("t.*")
+    st = sup.select(
+        row(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")),
+            "p:code",
+            F.concat(F.lit("v:"), (F.col("s_suppkey") % 40).cast("string")),
+        ).alias("t")
+    ).select("t.*")
+    decl = spark.createDataFrame(
+        [
+            ("p:region", RDF_TYPE, OWL_FUNCTIONAL, None, False),
+            ("p:code", RDF_TYPE, OWL_INVERSE_FUNCTIONAL, None, False),
+        ],
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+    out = functional_violations(nt.unionByName(st).unionByName(decl))
+    return out.select(
+        "node", "pred", F.col("n_values").cast("long").alias("n_values"), "kind"
+    )

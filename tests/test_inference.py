@@ -365,3 +365,44 @@ def test_streaming_entail_matches_batch_rules(spark, tmp_path):
     # and the consequences are the expected ones
     assert {("x", "p2", "y"), ("x", RDF_TYPE, "A"), ("x", RDF_TYPE, "B"),
             ("u", RDF_TYPE, "B")} <= got
+
+
+def test_functional_violations(spark):
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_FUNCTIONAL,
+        OWL_INVERSE_FUNCTIONAL,
+        functional_violations,
+    )
+
+    rows = [
+        _iri("p:ssn", RDF_TYPE, OWL_INVERSE_FUNCTIONAL),
+        _iri("p:bp", RDF_TYPE, OWL_FUNCTIONAL),
+        # a has two distinct birthplaces -> functional violation
+        _iri("a", "p:bp", "city1"),
+        _iri("a", "p:bp", "city2"),
+        # b is fine (one value, asserted twice)
+        _iri("b", "p:bp", "city1"),
+        _iri("b", "p:bp", "city1"),
+        # two nodes share an SSN value -> inverse-functional violation
+        _iri("a", "p:ssn", "v:123"),
+        _iri("b", "p:ssn", "v:123"),
+        # unique ssn value: fine
+        _iri("c", "p:ssn", "v:999"),
+        # same lexical obj, different lang = DIFFERENT values
+        ("d", "p:bp", "x", "en", True),
+        ("d", "p:bp", "x", "fr", True),
+        # undeclared property: never flagged
+        _iri("a", "p:other", "o1"),
+        _iri("a", "p:other", "o2"),
+    ]
+    out = {
+        (r.node, r.pred, r.n_values, r.kind)
+        for r in functional_violations(
+            spark.createDataFrame(rows, SCHEMA)
+        ).collect()
+    }
+    assert out == {
+        ("a", "p:bp", 2, "functional"),
+        ("d", "p:bp", 2, "functional"),
+        ("v:123", "p:ssn", 2, "inverse_functional"),
+    }
