@@ -66,15 +66,53 @@ def _as_type_triple(subj_col, cls_col) -> list:
     ]
 
 
+_DRIVER_CLOSURE_MAX = 65_536  # schema edge count below which the
+# closure runs driver-side (same hybrid pattern as
+# canonicalize.connected_components' driver_threshold: a schema is a
+# DIMENSION — collecting it is the same cost class as broadcasting it,
+# and the driver loop replaces ~4 Spark jobs per BFS level)
+
+
 def _schema_closure(triples: DataFrame, pred_iri: str, *, max_depth: int) -> DataFrame:
     """Transitive closure of one schema predicate as (sub, sup) pairs
-    (closure depth collapsed — consumers only need reachability)."""
+    (closure depth collapsed — consumers only need reachability).
+
+    Hybrid: schemas up to ``_DRIVER_CLOSURE_MAX`` edges close in a
+    driver-side frontier loop (output-bounded: each round extends the
+    known pair set by one hop, cycle-safe); a pathological larger
+    ontology falls back to the distributed frontier BFS."""
     edges = (
         triples.where((F.col("pred") == pred_iri) & ~F.col("obj_is_literal"))
         .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
+    sample = edges.limit(_DRIVER_CLOSURE_MAX + 1).collect()
+    if len(sample) <= _DRIVER_CLOSURE_MAX:
+        adj: dict[str, list[str]] = {}
+        for r in sample:
+            adj.setdefault(r["src"], []).append(r["dst"])
+        paths: set[tuple[str, str]] = {(r["src"], r["dst"]) for r in sample}
+        frontier = set(paths)
+        for _ in range(1, max_depth):
+            # derived self-pairs (a, a) stay: a subClassOf cycle
+            # A ⊑ B ⊑ A entails A ⊑ A, matching the distributed twin
+            new = {
+                (a, c)
+                for a, b in frontier
+                for c in adj.get(b, ())
+                if (a, c) not in paths
+            }
+            if not new:
+                break
+            paths |= new
+            frontier = new
+        spark = triples.sparkSession
+        if not paths:
+            return spark.createDataFrame([], "_sub string, _sup string")
+        return spark.createDataFrame(
+            sorted(paths), "_sub string, _sup string"
+        )
     closed = transitive_closure(edges, max_depth=max_depth, partitions=8)
     return closed.select(
         F.col("src").alias("_sub"), F.col("dst").alias("_sup")
@@ -85,6 +123,7 @@ def rdfs_entail(
     triples: DataFrame,
     *,
     max_schema_depth: int = 20,
+    materialize_strata: bool = True,
     _sp: DataFrame | None = None,
 ) -> DataFrame:
     """Materialize the RDFS consequences of ``triples`` and return the
@@ -135,6 +174,14 @@ def rdfs_entail(
     g1 = t.unionByName(derived7).unionByName(
         _schema_triples(sp, RDFS_SUBPROPERTYOF)
     )
+    if materialize_strata:
+        # each stratum frame has SEVERAL consumers (the next stratum's
+        # union branch plus every rule join probing it) — a lazy
+        # checkpoint evaluates it once instead of re-deriving the
+        # whole subtree per consumer. At fact scale where
+        # materializing the stream is worse than re-scanning the
+        # (pushdown-pruned) source, pass materialize_strata=False.
+        g1 = g1.localCheckpoint(eager=False)
 
     # --- stratum 2: class hierarchy + domain/range -----------------------
     sc = _schema_closure(g1, RDFS_SUBCLASSOF, max_depth=max_schema_depth)
@@ -161,6 +208,8 @@ def rdfs_entail(
         .unionByName(derived3)
         .unionByName(_schema_triples(sc, RDFS_SUBCLASSOF))
     )
+    if materialize_strata:
+        g2 = g2.localCheckpoint(eager=False)
 
     # --- stratum 3: type inheritance (rdfs9) -----------------------------
     types = g2.where(F.col("pred") == RDF_TYPE)
