@@ -306,6 +306,26 @@ def cmd_sparql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_profile(args: argparse.Namespace) -> int:
+    """Single-pass column profiling over any parquet table (the
+    pre-ingest data-quality gate; stats CSV sink S10 generalized).
+    --approx switches exact distinct counts to HyperLogLog++ — the
+    fact-scale default shape."""
+    from sifr_project_java_ontology_processing_spark.operators.profiling import (
+        profile_table,
+    )
+
+    spark = _spark("sifr-profile")
+    df = spark.read.parquet(args.table)
+    cols = args.columns.split(",") if args.columns else None
+    out = profile_table(df, cols, approx=args.approx).orderBy("column")
+    if args.out:
+        out.coalesce(1).write.mode("overwrite").option("header", True).csv(args.out)
+    else:
+        out.show(200, truncate=False)
+    return 0
+
+
 def _looks_like_rdf_file(path: str) -> bool:
     p = path.lower()
     for ext in (".gz", ".bz2"):
@@ -383,6 +403,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--format", choices=["parquet", "ntriples"], default="parquet")
     sp.add_argument("--show-rows", type=int, default=50)
     sp.set_defaults(fn=cmd_sparql)
+
+    pr = sub.add_parser("profile", help="single-pass column profiling of a parquet table")
+    pr.add_argument("--table", required=True)
+    pr.add_argument("--columns", default=None, help="comma-separated subset")
+    pr.add_argument("--approx", action="store_true", help="HLL++ distinct counts")
+    pr.add_argument("--out", default=None, help="write CSV here instead of showing")
+    pr.set_defaults(fn=cmd_profile)
 
     cu = sub.add_parser("curate", help="corpus curation + optional mixture")
     cu.add_argument("--docs", required=True, help="parquet corpus (doc_id, text, lang, source)")
