@@ -206,3 +206,76 @@ def test_media_header_parsers_never_raise(data):
         for fn in (image_dims, mp4_info):
             out = fn(magic + data)
             assert out is None or isinstance(out, tuple)
+
+
+# ---------------------------------------------------------------------------
+# N-Quads line grammar (pure-regex core of sources/rdf_io.parse_nquads_lines)
+# ---------------------------------------------------------------------------
+
+_NQ_LIT = st.text(max_size=60)
+_GRAPHS = st.sampled_from([None, "http://g/one", "_:g1"])
+
+
+def _nq_parse_line(line: str):
+    """Pure-Python replica of the parse_nquads_lines column logic (same
+    regexes), so the grammar can be fuzzed without a SparkSession."""
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        _NQ_LINE_RX,
+        _NQ_TERM_RX,
+        _NT_LIT_RX,
+        _decode_nt_string,
+    )
+
+    m = re.match(_NQ_LINE_RX, line)
+    if not m:
+        return None
+    subj_raw, pred, obj_raw, graph_raw = m.group(1), m.group(2), m.group(3), m.group(4)
+    is_lit = obj_raw.startswith('"')
+    if is_lit:
+        lm = re.match(_NT_LIT_RX, obj_raw)
+        if not lm:
+            return None
+        obj = _decode_nt_string(lm.group(1))
+        lang = lm.group(2) or None
+    else:
+        if not re.match(_NQ_TERM_RX, obj_raw):
+            return None
+        obj = obj_raw[1:-1] if obj_raw.startswith("<") else obj_raw
+        lang = None
+    subj = subj_raw[1:-1] if subj_raw.startswith("<") else subj_raw
+    graph = None
+    if graph_raw:
+        graph = graph_raw[1:-1] if graph_raw.startswith("<") else graph_raw
+    return (subj, pred, obj, lang, is_lit, graph)
+
+
+def _nq_esc(s: str) -> str:
+    out = s.replace("\\", "\\\\").replace('"', '\\"')
+    return out.replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
+
+@settings(max_examples=300, deadline=None)
+@given(_NQ_LIT, _LANG, _GRAPHS)
+def test_nquads_literal_roundtrip_any_content(lit, lang, graph):
+    """render ∘ parse is the identity for arbitrary literal content —
+    including literals ending in '_:'-like or '<x>'-like tokens, which
+    must never leak into the graph slot."""
+    tag = f"@{lang}" if lang else ""
+    gterm = "" if graph is None else (
+        f" <{graph}>" if not graph.startswith("_:") else f" {graph}"
+    )
+    line = f'<http://s> <http://p> "{_nq_esc(lit)}"{tag}{gterm} .'
+    got = _nq_parse_line(line)
+    assert got == ("http://s", "http://p", lit, lang, True, graph), (line, got)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sampled_from(["<http://o>", "_:b9"]), _GRAPHS)
+def test_nquads_iri_object_roundtrip(obj_term, graph):
+    gterm = "" if graph is None else (
+        f" <{graph}>" if not graph.startswith("_:") else f" {graph}"
+    )
+    line = f"<http://s> <http://p> {obj_term}{gterm} ."
+    want_obj = obj_term[1:-1] if obj_term.startswith("<") else obj_term
+    got = _nq_parse_line(line)
+    assert got == ("http://s", "http://p", want_obj, None, False, graph), (line, got)
