@@ -184,6 +184,10 @@ class BGPQuery:
     # default graph; FROM NAMED <g> restricts the named-graph set
     from_graphs: list[str] = field(default_factory=list)
     from_named: list[str] = field(default_factory=list)
+    # scalar SELECT expressions: (expr AS ?v) — applied after
+    # grouping/aggregation, before projection (may reference group
+    # vars and aggregate aliases)
+    select_exprs: list[tuple[str, str]] = field(default_factory=list)
 
     # single-branch conveniences (the common case)
     @property
@@ -755,18 +759,27 @@ def _parse_query(p: _P, *, subquery: bool = False) -> BGPQuery:
             q.select = []
             break
         if t == "(":
-            # (AGG(...) AS ?alias)
-            func = p.next().lower()
-            if func not in _AGG_FUNCS:
-                raise ValueError(f"BGP: unsupported aggregate {func!r}")
-            func, var, distinct, sep = _parse_agg(func)
-            p.expect("AS")
-            a = p.term()
-            if a.kind != "var":
-                raise ValueError("BGP: aggregate alias must be a ?variable")
-            p.expect(")")
-            q.aggregates.append((func, var, distinct, sep, a.value))
-            q.select.append(a.value)
+            nxt = p.peek()
+            if nxt and nxt.lower() in _AGG_FUNCS and (
+                p.i + 1 < len(p.toks) and p.toks[p.i + 1] == "("
+            ):
+                # (AGG(...) AS ?alias)
+                func = p.next().lower()
+                func, var, distinct, sep = _parse_agg(func)
+                p.expect("AS")
+                a = p.term()
+                if a.kind != "var":
+                    raise ValueError("BGP: aggregate alias must be a ?variable")
+                p.expect(")")
+                q.aggregates.append((func, var, distinct, sep, a.value))
+                q.select.append(a.value)
+                continue
+            # scalar (expr AS ?alias): rewind over '(' so the FILTER
+            # expression translator (bind mode) consumes the whole form
+            p.i -= 1
+            sql, var = _filter_to_sql(p, bind=True)
+            q.select_exprs.append((sql, var))
+            q.select.append(var)
             continue
         if t.lower() in _AGG_FUNCS and p.peek() == "(":
             # bare COUNT(?v) — alias generated as func_var / func_all
@@ -846,7 +859,13 @@ def _parse_query(p: _P, *, subquery: bool = False) -> BGPQuery:
             raise ValueError("BGP: empty graph pattern")
     if q.aggregates or q.group_by:
         agg_aliases = {a for *_, a in q.aggregates}
-        stray = [v for v in q.select if v not in agg_aliases and v not in q.group_by]
+        expr_aliases = {v for _, v in q.select_exprs}
+        stray = [
+            v
+            for v in q.select
+            if v not in agg_aliases and v not in q.group_by
+            and v not in expr_aliases
+        ]
         if stray:
             raise ValueError(
                 f"BGP: selected variables must appear in GROUP BY: {stray}"
@@ -1397,6 +1416,11 @@ def _run_query(
         if q.having:
             acc = acc.where(F.expr(q.having))
         bound = set(q.group_by) | {a for *_, a in q.aggregates}
+    for sql, var in q.select_exprs:
+        if var in bound:
+            raise ValueError(f"BGP: SELECT expression would rebind ?{var}")
+        acc = acc.withColumn(var, F.expr(sql))
+        bound.add(var)
     if q.select:
         missing_sel = [v for v in q.select if v not in bound]
         if missing_sel:

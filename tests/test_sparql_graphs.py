@@ -327,3 +327,32 @@ def test_filter_inside_optional_outer_var_rejected(regions):
                  OPTIONAL { ?x <p:in> ?r . FILTER(?x != ?l) }
                }""",
         )
+
+
+def test_select_scalar_expressions(regions):
+    out = execute_bgp(
+        regions,
+        """SELECT ?r (UCASE(?l) AS ?u) (STRLEN(?l) AS ?n) WHERE {
+             ?r <p:lbl> ?l . } ORDER BY ?r""",
+    ).collect()
+    assert [(r.r, r.u, r.n) for r in out] == [
+        ("r1", "WEST", 4), ("r2", "EAST", 4), ("r3", "EMPTY", 5),
+    ]
+
+
+def test_select_expression_over_aggregate_alias(regions):
+    out = execute_bgp(
+        regions,
+        """SELECT ?r (COUNT(?x) AS ?c) (CONCAT("grp-", ?r) AS ?tag)
+           WHERE { ?x <p:in> ?r . } GROUP BY ?r ORDER BY ?r""",
+    ).collect()
+    assert [(r.r, r.c, r.tag) for r in out] == [
+        ("r1", 2, "grp-r1"), ("r2", 1, "grp-r2"),
+    ]
+
+
+def test_select_expression_rebind_rejected(regions):
+    with pytest.raises(ValueError, match="rebind"):
+        execute_bgp(
+            regions, "SELECT (STRLEN(?l) AS ?l) WHERE { ?r <p:lbl> ?l . }"
+        )
