@@ -598,3 +598,100 @@ def paragraph_dedup(
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    stride: int = 1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated token spans — the ExactSubstr signal
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022) at fixed-window granularity: every
+    ``span_tokens``-token window (sampled every ``stride`` tokens) is
+    hashed; windows whose hash occurs in ≥ ``min_docs`` DISTINCT
+    documents are reported as (doc_id, pos, span_hash, n_docs), pos =
+    0-based token offset of the window start.
+
+    Scale shape: windows are built map-side (one ``transform`` over
+    the token array, no explode-then-window), hashed to md5 — the
+    exchange carries (hash, doc, pos), never text. The duplicated-hash
+    set comes from ONE partial-agg distinct-doc count; positions
+    attach back via an equi-join on the hash (skew-bounded: a
+    boilerplate hash repeats at most docs×positions, and the count
+    side is already aggregated). ``stride`` is the 100 TB lever:
+    stride=span/2 still detects every duplicated region ≥ 1.5×span
+    at half the window volume."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    n_wins = F.greatest(
+        F.lit(0),
+        ((F.size("_t") - F.lit(span_tokens)) / stride + 1).cast("int"),
+    )
+    wins = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+        .where(F.size("_t") >= span_tokens)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_wins - 1),
+                    lambda i: F.struct(
+                        (i * stride).alias("pos"),
+                        F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.slice(F.col("_t"), i * stride + 1, span_tokens),
+                            )
+                        ).alias("span_hash"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.pos", "w.span_hash")
+    )
+    hot = (
+        wins.groupBy("span_hash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return wins.join(hot, "span_hash").select(
+        "doc_id", "pos", "span_hash", "n_docs"
+    )
+
+
+def merge_duplicate_regions(
+    spans: DataFrame,
+    *,
+    span_tokens: int = 20,
+) -> DataFrame:
+    """Collapse ``duplicate_spans`` hits into maximal duplicated
+    REGIONS per document: (doc_id, start_token, end_token) where
+    overlapping/adjacent windows [pos, pos+span) merge. Classic
+    gaps-and-islands: per-doc window ordered by pos, an island starts
+    where pos exceeds the running max end of previous windows. The
+    per-doc window partition is bounded by doc length — no global
+    sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ends = F.col("pos") + F.lit(span_tokens)
+    prev_max_end = F.max(ends).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = spans.select("doc_id", "pos").distinct().withColumn(
+        "_new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+        ).otherwise(0),
+    )
+    grouped = marked.withColumn(
+        "_island", F.sum("_new_island").over(w)
+    )
+    return grouped.groupBy("doc_id", "_island").agg(
+        F.min("pos").alias("start_token"),
+        (F.max("pos") + span_tokens).alias("end_token"),
+    ).select("doc_id", "start_token", "end_token")

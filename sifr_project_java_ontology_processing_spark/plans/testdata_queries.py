@@ -4389,3 +4389,81 @@ def q_functional_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "node", "pred", F.col("n_values").cast("long").alias("n_values"), "kind"
     )
+
+
+_BOILER = " ".join(f"bp{i}" for i in range(24))
+
+
+@register(
+    "duplicate_spans",
+    f"""
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text || ' ' || '{_BOILER}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM docs2
+    ),
+    wins AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos,
+             md5(array_to_string(t[u.i + 1 : u.i + 20], ' ')) AS h
+      FROM toks, UNNEST(range(0, greatest(len(t) - 20 + 1, 0))) AS u(i)
+      WHERE len(t) >= 20
+    ),
+    hot AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT DISTINCT w.doc_id, w.pos FROM wins w JOIN hot USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + 20) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR pos > max(pos + 20) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS ni
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_token,
+           CAST(max(pos) + 20 AS BIGINT) AS end_token
+    FROM grp GROUP BY doc_id, island
+    """,
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-region detection
+    (dedup.duplicate_spans → merge_duplicate_regions): a 24-token
+    boilerplate is appended to every 10th document, and every
+    20-token window shared by ≥2 docs is found via hashed windows +
+    one distinct-doc partial agg, then merged into maximal regions
+    (gaps-and-islands per doc). Finds BOTH the planted boilerplate
+    and any natural cross-doc duplication; the oracle replays windows,
+    hot-hash selection, and island merging relationally."""
+    from sifr_project_java_ontology_processing_spark.operators.dedup import (
+        duplicate_spans,
+        merge_duplicate_regions,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILER)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    spans = duplicate_spans(docs, span_tokens=20, stride=1, min_docs=2)
+    out = merge_duplicate_regions(spans, span_tokens=20)
+    return out.select(
+        "doc_id",
+        F.col("start_token").cast("long").alias("start_token"),
+        F.col("end_token").cast("long").alias("end_token"),
+    )

@@ -205,3 +205,55 @@ def test_paragraph_dedup_order_restored_within_doc(spark):
     )
     out = paragraph_dedup(docs).collect()[0]
     assert out["text_dedup"] == "z last\na first\nm mid"
+
+
+def test_duplicate_spans_and_regions(spark):
+    """ExactSubstr-lite: planted 12-token boilerplate across two docs
+    is found window-by-window and merged into one maximal region per
+    doc; the unique doc reports nothing."""
+    from sifr_project_java_ontology_processing_spark.operators.dedup import (
+        duplicate_spans,
+        merge_duplicate_regions,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + boiler + " gamma delta"),
+            (2, "one two three " + boiler + " four"),
+            (3, "totally unique text with no duplication at all here ok fine"),
+        ],
+        "doc_id long, text string",
+    )
+    s = duplicate_spans(docs, span_tokens=5, stride=1)
+    assert sorted((r.doc_id, r.pos) for r in s.collect()) == (
+        [(1, p) for p in range(2, 10)] + [(2, p) for p in range(3, 11)]
+    )
+    assert {r.n_docs for r in s.collect()} == {2}
+    m = merge_duplicate_regions(s, span_tokens=5)
+    assert sorted((r.doc_id, r.start_token, r.end_token) for r in m.collect()) == [
+        (1, 2, 14), (2, 3, 15),
+    ]
+
+
+def test_duplicate_spans_stride_and_within_doc(spark):
+    """stride>1 samples windows; min_docs=2 means WITHIN-doc repetition
+    alone is not reported."""
+    from sifr_project_java_ontology_processing_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    rep = "x y z w v"
+    docs = spark.createDataFrame(
+        [(1, rep + " " + rep + " filler tokens here")],  # self-repeat only
+        "doc_id long, text string",
+    )
+    assert duplicate_spans(docs, span_tokens=5, stride=1).count() == 0
+    docs2 = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    s = duplicate_spans(docs2, span_tokens=4, stride=2)
+    assert sorted((r.doc_id, r.pos) for r in s.collect()) == [
+        (1, 0), (1, 2), (1, 4), (1, 6), (2, 0), (2, 2), (2, 4), (2, 6),
+    ]
