@@ -46,11 +46,19 @@ def pagerank(
     damping: float = 0.85,
     partitions: int | None = None,
     eager_checkpoint: bool = False,
+    reset_nodes: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
     Returns (node, rank). rank_0 = 1.0 for every node;
     rank_{t+1}(n) = (1-d) + d * sum_{m->n} rank_t(m) / outdeg(m).
+
+    ``reset_nodes`` (one-column frame) switches to PERSONALIZED
+    PageRank: the teleport mass (and rank_0) concentrates on the seed
+    set — r(n) = 1.0 for seeds, 0.0 elsewhere — so rank becomes
+    relatedness TO the seeds (topic-sensitive PageRank, Haveliwala
+    2002). Same iteration shape; the reset vector is one extra column
+    on the resident node frame.
     Deterministic: no sampling, no float order-dependence beyond
     Spark's partial-agg sum (commutative over doubles produced from
     identical partitioning — the registry oracle rounds).
@@ -87,9 +95,20 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0))
+    if reset_nodes is not None:
+        seeds = (
+            reset_nodes.select(
+                F.col(reset_nodes.columns[0]).alias("node")
+            ).distinct()
+        )
+        nodes = nodes.join(
+            seeds.withColumn("_r", F.lit(1.0)), "node", "left"
+        ).select("node", F.coalesce("_r", F.lit(0.0)).alias("_r"))
+    else:
+        nodes = nodes.withColumn("_r", F.lit(1.0))
+    nodes = nodes.persist()
+    ranks = nodes.select("node", F.col("_r").alias("rank"))
     for _ in range(iterations):
         contribs = (
             e.join(
@@ -105,7 +124,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(1.0 - damping)
+                    F.lit(1.0 - damping) * F.col("_r")
                     + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
                 ).alias("rank"),
             )

@@ -4467,3 +4467,55 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_token").cast("long").alias("start_token"),
         F.col("end_token").cast("long").alias("end_token"),
     )
+
+
+@register(
+    "graph_personalized_pr",
+    f"""
+    WITH e AS ({_PR_EDGES_SQL}),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    rv AS (SELECT node,
+                  CASE WHEN node LIKE 'g:%' THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END AS r
+           FROM nodes),
+    r0 AS (SELECT node, r AS rank FROM rv),
+    c1 AS (SELECT e.dst AS node, sum(r0.rank / deg.d) AS m
+           FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r1 AS (SELECT rv.node,
+                  CAST(0.15 AS DOUBLE) * rv.r + CAST(0.85 AS DOUBLE) * coalesce(c1.m, 0) AS rank
+           FROM rv LEFT JOIN c1 ON rv.node = c1.node),
+    c2 AS (SELECT e.dst AS node, sum(r1.rank / deg.d) AS m
+           FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r2 AS (SELECT rv.node,
+                  CAST(0.15 AS DOUBLE) * rv.r + CAST(0.85 AS DOUBLE) * coalesce(c2.m, 0) AS rank
+           FROM rv LEFT JOIN c2 ON rv.node = c2.node),
+    c3 AS (SELECT e.dst AS node, sum(r2.rank / deg.d) AS m
+           FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r3 AS (SELECT rv.node,
+                  CAST(0.15 AS DOUBLE) * rv.r + CAST(0.85 AS DOUBLE) * coalesce(c3.m, 0) AS rank
+           FROM rv LEFT JOIN c3 ON rv.node = c3.node)
+    SELECT node, round(rank, 6) AS rank FROM r3
+    """,
+)
+def q_graph_personalized_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank over the KG edge list:
+    teleport mass concentrated on the 50 group-hub nodes, so rank is
+    relatedness to the hubs (seed-set entity relatedness — the KG
+    recommendation primitive). Same resident-edge iteration shape as
+    graph_pagerank with the reset vector riding the node frame; the
+    oracle unrolls 3 iterations with the seeded reset vector."""
+    from sifr_project_java_ontology_processing_spark.operators.graph import pagerank
+
+    edges = _pr_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .where(F.col("node").startswith("g:"))
+        .distinct()
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85, reset_nodes=seeds)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -956,3 +956,33 @@ def test_aggregate_sum_avg_min_max(spark):
     assert got[0]["s"] == "a" and got[0]["tot"] == 12.5 and got[0]["mean"] == 6.25
     assert got[0]["lo"] == "10" and got[0]["hi"] == "2.5"  # lexical min/max
     assert got[1]["s"] == "b" and got[1]["tot"] == 4.0
+
+
+def _py_ppr(edges, seeds, iters=3, d=0.85):
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {n: (1.0 if n in seeds else 0.0) for n in nodes}
+    rank = dict(r)
+    for _ in range(iters):
+        contrib = {n: 0.0 for n in nodes}
+        for s, t in edges:
+            contrib[t] += rank[s] / out[s]
+        rank = {n: (1.0 - d) * r[n] + d * contrib[n] for n in nodes}
+    return rank
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=3, reset_nodes=seeds).collect()
+    }
+    want = _py_ppr(EDGES, {"a"})
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+    # a non-seed with no path from the seed set keeps rank 0
+    assert got["d"] == 0.0
