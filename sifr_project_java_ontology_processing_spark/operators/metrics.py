@@ -53,3 +53,39 @@ def counter_metrics(
             F.col("value"),
         )
     )
+
+
+def graph_diff(
+    old: DataFrame,
+    new: DataFrame,
+) -> DataFrame:
+    """Release diff between two triple graphs: one row per changed
+    triple, (subj, pred, obj, obj_lang, obj_is_literal, change) with
+    change ∈ {'added', 'removed'} — the ontology-release comparison the
+    reference does by re-running its counters on both versions
+    (compareCUIsToUMLS / MetricsWriter shape) done directly on the
+    statements.
+
+    Scale shape: two null-safe anti-joins (eqNullSafe on the 5 triple
+    columns) — each side is scanned once; no collect, no full outer
+    join materializing the (much larger) unchanged intersection."""
+    cols = ["subj", "pred", "obj", "obj_lang", "obj_is_literal"]
+    o = old.select(*cols)
+    n = new.select(*cols)
+
+    def anti(left: DataFrame, right: DataFrame) -> DataFrame:
+        cond = None
+        for c in cols:
+            eq = left[c].eqNullSafe(right[c])
+            cond = eq if cond is None else (cond & eq)
+        return left.join(right, cond, "left_anti")
+
+    added = anti(n, o).withColumn("change", F.lit("added"))
+    removed = anti(o, n).withColumn("change", F.lit("removed"))
+    return added.unionByName(removed).distinct()
+
+
+def graph_diff_summary(diff: DataFrame) -> DataFrame:
+    """(pred, change, n) rollup of a ``graph_diff`` — the reviewable
+    release report. One partial-agg pass."""
+    return diff.groupBy("pred", "change").agg(F.count(F.lit(1)).alias("n"))

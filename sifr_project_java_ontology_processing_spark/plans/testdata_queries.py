@@ -4519,3 +4519,68 @@ def q_graph_personalized_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iterations=3, damping=0.85, reset_nodes=seeds)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "graph_diff",
+    """
+    WITH old AS (
+      SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS subj,
+             'p:name' AS pred, n_name AS obj,
+             CAST(NULL AS VARCHAR) AS obj_lang, true AS obj_is_literal
+      FROM nation
+      UNION ALL
+      SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'p:in',
+             'r:' || CAST(n_regionkey AS VARCHAR), NULL, false
+      FROM nation
+    ),
+    new AS (
+      SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS subj,
+             'p:name' AS pred,
+             CASE WHEN n_nationkey % 4 = 0 THEN n_name || '!' ELSE n_name END AS obj,
+             CAST(NULL AS VARCHAR) AS obj_lang, true AS obj_is_literal
+      FROM nation
+      UNION ALL
+      SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 'p:in',
+             'r:' || CAST(n_regionkey AS VARCHAR), NULL, false
+      FROM nation WHERE n_nationkey % 3 <> 0
+    )
+    SELECT subj, pred, obj, obj_lang, obj_is_literal, 'added' AS change
+    FROM (SELECT * FROM new EXCEPT SELECT * FROM old)
+    UNION ALL
+    SELECT subj, pred, obj, obj_lang, obj_is_literal, 'removed'
+    FROM (SELECT * FROM old EXCEPT SELECT * FROM new)
+    """,
+)
+def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology release diff (metrics.graph_diff): version 2 renames
+    every 4th nation (add+remove pair per rename) and drops every 3rd
+    nation's region edge (remove only); everything else is unchanged
+    and must NOT appear. Two null-safe anti-joins vs the oracle's
+    EXCEPT-based set difference (DuckDB EXCEPT uses the same
+    null-equal identity as eqNullSafe)."""
+    from sifr_project_java_ontology_processing_spark.operators.metrics import (
+        graph_diff,
+    )
+
+    nat = _t(spark, sf_dir, "nation")
+    nul = F.lit(None).cast("string")
+
+    def leg(df, subj, pred, obj, lit):
+        return df.select(
+            subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj"),
+            nul.alias("obj_lang"), F.lit(lit).alias("obj_is_literal"),
+        )
+
+    n_iri = F.concat(F.lit("n:"), F.col("n_nationkey").cast("string"))
+    r_iri = F.concat(F.lit("r:"), F.col("n_regionkey").cast("string"))
+    old = leg(nat, n_iri, "p:name", F.col("n_name"), True).unionByName(
+        leg(nat, n_iri, "p:in", r_iri, False)
+    )
+    new_name = F.when(
+        F.col("n_nationkey") % 4 == 0, F.concat(F.col("n_name"), F.lit("!"))
+    ).otherwise(F.col("n_name"))
+    new = leg(nat, n_iri, "p:name", new_name, True).unionByName(
+        leg(nat.where(F.col("n_nationkey") % 3 != 0), n_iri, "p:in", r_iri, False)
+    )
+    return graph_diff(old, new)
