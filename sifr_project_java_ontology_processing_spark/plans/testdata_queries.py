@@ -4584,3 +4584,99 @@ def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         leg(nat.where(F.col("n_nationkey") % 3 != 0), n_iri, "p:in", r_iri, False)
     )
     return graph_diff(old, new)
+
+
+@register(
+    "shacl_validate",
+    """
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS focus, 's_name' AS shape_id,
+           'x:name' AS path, 'min_count' AS constraint_name, '0' AS value
+    FROM nation WHERE n_nationkey % 5 = 0
+    UNION ALL
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 's_name', 'x:name',
+           'max_count', '2'
+    FROM nation WHERE n_nationkey % 7 = 0 AND n_nationkey % 5 <> 0
+    UNION ALL
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 's_name', 'x:name',
+           'pattern', lower(n_name)
+    FROM nation WHERE n_nationkey % 3 = 0 AND n_nationkey % 5 <> 0
+    UNION ALL
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 's_within', 'x:within',
+           'min_count', '0'
+    FROM nation WHERE n_nationkey % 4 = 0
+    UNION ALL
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 's_within', 'x:within',
+           'class', 'x:bad'
+    FROM nation WHERE n_nationkey % 6 = 0 AND n_nationkey % 4 <> 0
+    """,
+)
+def q_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite validation (operators/shacl.py — the declarative twin
+    of the reference's hand-coded cleaning rules): nations carry
+    planted defects for every constraint kind — missing names
+    (minCount), doubled names (maxCount), lowercased names (pattern),
+    dropped region links (minCount), links to an untyped node
+    (sh:class). The compiled per-shape plan must find exactly the
+    planted set, which the oracle states closed-form."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        RDF_TYPE,
+    )
+    from sifr_project_java_ontology_processing_spark.operators.shacl import (
+        SHAPE_SCHEMA,
+        validate_shapes,
+    )
+
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    nul = F.lit(None).cast("string")
+    k = F.col("n_nationkey")
+    n_iri = F.concat(F.lit("n:"), k.cast("string"))
+    r_iri = F.concat(F.lit("r:"), F.col("n_regionkey").cast("string"))
+
+    def trip(s, p, o, lit):
+        return F.struct(
+            s.alias("subj"), F.lit(p).alias("pred"), o.alias("obj"),
+            nul.alias("obj_lang"), F.lit(lit).alias("obj_is_literal"),
+        )
+
+    primary = F.when(k % 3 == 0, F.lower(F.col("n_name"))).otherwise(
+        F.col("n_name")
+    )
+    rows = nat.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    trip(n_iri, RDF_TYPE, F.lit("x:Nation"), False),
+                    F.when(k % 5 != 0, trip(n_iri, "x:name", primary, True)),
+                    F.when(
+                        (k % 7 == 0) & (k % 5 != 0),
+                        trip(n_iri, "x:name",
+                             F.concat(F.col("n_name"), F.lit("-2")), True),
+                    ),
+                    F.when(
+                        k % 4 != 0,
+                        trip(
+                            n_iri, "x:within",
+                            F.when(k % 6 == 0, F.lit("x:bad")).otherwise(r_iri),
+                            False,
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("t")
+    ).select("t.*")
+    rt = reg.select(
+        trip(
+            F.concat(F.lit("r:"), F.col("r_regionkey").cast("string")),
+            RDF_TYPE, F.lit("x:Region"), False,
+        ).alias("t")
+    ).select("t.*")
+    shapes = spark.createDataFrame(
+        [
+            ("s_name", "x:Nation", "x:name", 1, 1, "Literal", "^NATION", None),
+            ("s_within", "x:Nation", "x:within", 1, None, "IRI", None, "x:Region"),
+        ],
+        SHAPE_SCHEMA,
+    )
+    return validate_shapes(rows.unionByName(rt), shapes)
