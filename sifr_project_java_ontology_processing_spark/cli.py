@@ -317,7 +317,11 @@ def cmd_profile(args: argparse.Namespace) -> int:
 
     spark = _spark("sifr-profile")
     df = spark.read.parquet(args.table)
-    cols = args.columns.split(",") if args.columns else None
+    cols = (
+        [c.strip() for c in args.columns.split(",") if c.strip()]
+        if args.columns
+        else None
+    )
     out = profile_table(df, cols, approx=args.approx).orderBy("column")
     if args.out:
         out.coalesce(1).write.mode("overwrite").option("header", True).csv(args.out)

@@ -556,14 +556,23 @@ def rdfs_entail_delta(
     """
     d = delta.select(*_TRIPLE_COLS)
     e = entailed.select(*_TRIPLE_COLS)
+    sp, sc, dom, rng = saturated_schema_views(e)
+    # a delta triple is schema-bearing if its predicate IS a schema
+    # predicate, types a property characteristic, OR is a declared
+    # SUBPROPERTY of a schema predicate / rdf:type in the old graph
+    # (rdfs7 would derive schema triples from it — e.g. ex:q ⊑
+    # rdfs:subClassOf — which the saturated-schema shortcut cannot see)
+    meta_preds = sp.where(
+        F.col("_sup").isin(*_SCHEMA_PREDS) | (F.col("_sup") == RDF_TYPE)
+    ).select("_sub")
     schema_in_delta = not d.where(
         F.col("pred").isin(*_SCHEMA_PREDS)
         | ((F.col("pred") == RDF_TYPE) & F.col("obj").isin(*_SCHEMA_TYPES))
+    ).isEmpty() or not d.join(
+        F.broadcast(meta_preds), d["pred"] == meta_preds["_sub"], "left_semi"
     ).isEmpty()
     if schema_in_delta:
         return rdfs_entail(e.unionByName(d), max_schema_depth=max_schema_depth)
-
-    sp, sc, dom, rng = saturated_schema_views(e)
     fresh = apply_rules_to_delta(d, sp, sc, dom, rng).distinct()
 
     # null-safe anti-join: keep only genuinely new triples, then append

@@ -49,51 +49,52 @@ def profile_table(
     cols = columns or df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         if c not in schema:
             raise ValueError(f"profile_table: no such column {c!r}")
-        col = F.col(c)
-        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"__null_{c}"))
+        # backtick-quote the source reference (exact top-level name —
+        # dots/spaces/dashes never parse); internal aliases are
+        # index-based so they stay bare identifiers
+        col = F.col("`" + c.replace("`", "``") + "`")
+        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"__null_{i}"))
         aggs.append(
             (
                 F.approx_count_distinct(col, rsd)
                 if approx
                 else F.count_distinct(col)
-            ).alias(f"__dist_{c}")
+            ).alias(f"__dist_{i}")
         )
-        aggs.append(F.min(col).cast("string").alias(f"__min_{c}"))
-        aggs.append(F.max(col).cast("string").alias(f"__max_{c}"))
+        aggs.append(F.min(col).cast("string").alias(f"__min_{i}"))
+        aggs.append(F.max(col).cast("string").alias(f"__max_{i}"))
         if isinstance(schema[c], _NUMERIC):
-            aggs.append(F.avg(col.cast("double")).alias(f"__avg_{c}"))
-            aggs.append(F.sum(col.cast("double")).alias(f"__sum_{c}"))
+            aggs.append(F.avg(col.cast("double")).alias(f"__avg_{i}"))
+            aggs.append(F.sum(col.cast("double")).alias(f"__sum_{i}"))
         else:
-            aggs.append(F.lit(None).cast("double").alias(f"__avg_{c}"))
-            aggs.append(F.lit(None).cast("double").alias(f"__sum_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__avg_{i}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__sum_{i}"))
     wide = df.agg(*aggs)
-    # pivot the single wide row into one row per column — the stack is
-    # over a 1-row frame, so this is driver-trivial but stays in-plan
-    stack_args: list[str] = []
-    for c in cols:
-        quoted = c.replace("'", "''")
-        stack_args.append(
-            f"'{quoted}', __null_{c}, __dist_{c}, __min_{c}, __max_{c}, "
-            f"__avg_{c}, __sum_{c}"
+    # pivot the single wide row into one row per column with an
+    # array-of-structs explode — pure Column API, so column names
+    # containing spaces/dots/dashes/backticks never hit a SQL parser
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__null_{i}").cast("long").alias("n_null"),
+            F.col(f"__dist_{i}").cast("long").alias("n_distinct"),
+            F.col(f"__min_{i}").alias("min_value"),
+            F.col(f"__max_{i}").alias("max_value"),
+            F.col(f"__avg_{i}").alias("avg_value"),
+            F.col(f"__sum_{i}").alias("sum_value"),
         )
-    stacked = wide.selectExpr(
-        "__n AS n_rows",
-        f"stack({len(cols)}, {', '.join(stack_args)}) AS "
-        "(column, n_null, n_distinct, min_value, max_value, "
-        "avg_value, sum_value)",
+        for i, c in enumerate(cols)
+    ]
+    stacked = wide.select(
+        F.col("__n").cast("long").alias("n_rows"),
+        F.explode(F.array(*structs)).alias("s"),
     )
     return stacked.select(
-        "column",
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.col("n_null").cast("long").alias("n_null"),
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        "min_value",
-        "max_value",
-        "avg_value",
-        "sum_value",
+        "s.column", "n_rows", "s.n_null", "s.n_distinct",
+        "s.min_value", "s.max_value", "s.avg_value", "s.sum_value",
     )
 
 
@@ -103,9 +104,9 @@ def column_histogram(
     """Value histogram for one column: (value, n) — a single
     partial-agg pass; ``top_k`` keeps the most frequent values
     (ties broken by value for determinism)."""
-    out = df.groupBy(F.col(column).alias("value")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    out = df.groupBy(
+        F.col("`" + column.replace("`", "``") + "`").alias("value")
+    ).agg(F.count(F.lit(1)).alias("n"))
     if top_k is not None:
         out = out.orderBy(F.col("n").desc(), F.col("value").asc()).limit(top_k)
     return out

@@ -72,8 +72,12 @@ def validate_shapes(triples: DataFrame, shapes: DataFrame) -> DataFrame:
         focus = types.where(F.col("_cls") == s["target_class"]).select(
             F.col("_node").alias("_focus")
         ).distinct()
-        vals = t.where(F.col("pred") == s["path"]).join(
-            focus, t["subj"] == focus["_focus"], "left_semi"
+        # RDF graphs are SETS: duplicate assertions (repeated file
+        # lines, unioned sources) must not inflate cardinalities
+        vals = (
+            t.where(F.col("pred") == s["path"])
+            .distinct()
+            .join(focus, t["subj"] == focus["_focus"], "left_semi")
         )
         if s["min_count"] is not None or s["max_count"] is not None:
             counts = vals.groupBy(F.col("subj").alias("_focus")).agg(

@@ -1105,8 +1105,13 @@ def _exec_branch(
         shared = sorted(bound & nvars)
         acc = acc.join(nxt, on=shared, how="inner") if shared else acc.crossJoin(nxt)
         bound |= nvars
-    ofilters_by_group = b.optional_filters or [[] for _ in b.optionals]
-    for opt, ofilters in zip(b.optionals, ofilters_by_group):
+    from itertools import zip_longest
+
+    # zip_longest: a programmatically-built Branch may carry fewer
+    # filter lists than OPTIONAL groups — never silently drop a group
+    for opt, ofilters in zip_longest(
+        b.optionals, b.optional_filters[: len(b.optionals)], fillvalue=[]
+    ):
         odf, ovars = _join_patterns(triples, opt, want_meta)
         for f in ofilters:
             # FILTER inside OPTIONAL: evaluated as part of the group
@@ -1115,7 +1120,9 @@ def _exec_branch(
             # BEFORE the left join. Only inner-scoped variables are
             # supported; an outer-variable reference would need
             # join-condition semantics.
-            refs = set(re.findall(r"`([^`]+)`", f))
+            # strip single-quoted SQL string literals first so a
+            # backtick INSIDE a literal is never read as a variable ref
+            refs = set(re.findall(r"`([^`]+)`", re.sub(r"'(?:[^']|'')*'", "", f)))
             if not refs <= ovars:
                 raise ValueError(
                     "BGP: FILTER inside OPTIONAL may only reference the "

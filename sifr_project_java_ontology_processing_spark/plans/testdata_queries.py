@@ -3802,52 +3802,19 @@ def q_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (closure depth 3), madeBy ⊑ relatedTo ⊑ linked property chain,
     domain(madeBy)=Artifact, range(relatedTo)=Maker — so every rule
     fires, and rdfs3 fires on an rdfs7-DERIVED assertion. The operator
-    closes the schema distributedly and applies all rules as broadcast
-    joins against the instance stream; the oracle unrolls the closures
-    (known depth) and rule joins as CTEs. Exact set equality."""
+    closes the schema and applies all rules as broadcast joins against
+    the instance stream; the oracle unrolls the closures (known depth)
+    and rule joins as CTEs. Exact set equality. (Fixture shared with
+    rdfs_entail_incremental via _rdfs_fixture.)"""
     from sifr_project_java_ontology_processing_spark.operators.inference import (
         rdfs_entail,
     )
 
-    part = _t(spark, sf_dir, "part")
-    nul = F.lit(None).cast("string")
-
-    def trip(s, p, o):
-        return F.struct(
-            s.alias("subj"),
-            (F.lit(p) if isinstance(p, str) else p).alias("pred"),
-            o.alias("obj"),
-            nul.alias("obj_lang"),
-            F.lit(False).alias("obj_is_literal"),
-        )
-
-    brand = F.concat(F.lit("c:"), F.col("p_brand"))
-    mfgr = F.concat(F.lit("c:Mfgr#"), F.substring(F.col("p_brand"), 7, 1))
-    inst = F.concat(F.lit("i:"), F.col("p_partkey").cast("string"))
-    maker = F.concat(F.lit("m:Mfgr#"), F.substring(F.col("p_brand"), 7, 1))
-    sub_cls = f"{_RDFS_NS}subClassOf"
-    sub_prp = f"{_RDFS_NS}subPropertyOf"
-    from_part = part.select(
-        F.explode(
-            F.array(
-                trip(brand, sub_cls, mfgr),
-                trip(mfgr, sub_cls, F.lit("c:Product")),
-                trip(inst, _RDF_TYPE_IRI, brand),
-                trip(inst, "x:madeBy", maker),
-            )
-        ).alias("t")
-    ).select("t.*").distinct()
-    static = spark.createDataFrame(
-        [
-            ("c:Product", sub_cls, "c:Thing", None, False),
-            ("x:madeBy", sub_prp, "x:relatedTo", None, False),
-            ("x:relatedTo", sub_prp, "x:linked", None, False),
-            ("x:madeBy", f"{_RDFS_NS}domain", "c:Artifact", None, False),
-            ("x:relatedTo", f"{_RDFS_NS}range", "c:Maker", None, False),
-        ],
-        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    from_part, static = _rdfs_fixture(spark, sf_dir)
+    tcols = ["subj", "pred", "obj", "obj_lang", "obj_is_literal"]
+    return rdfs_entail(
+        from_part.select(*tcols).distinct().unionByName(static)
     )
-    return rdfs_entail(from_part.unionByName(static))
 
 
 _SKOS_NS = "http://www.w3.org/2004/02/skos/core#"
@@ -4249,7 +4216,7 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rdfs_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rdfs_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """The rdfs_entailment asserted graph (shared by the full and
     incremental gates)."""
     part = _t(spark, sf_dir, "part")

@@ -406,3 +406,24 @@ def test_functional_violations(spark):
         ("d", "p:bp", 2, "functional"),
         ("v:123", "p:ssn", 2, "inverse_functional"),
     }
+
+
+def test_incremental_meta_schema_delta_falls_back(spark):
+    """Review fix: a delta predicate that is a declared SUBPROPERTY of
+    rdfs:subClassOf derives schema via rdfs7 — the saturated-schema
+    shortcut must detect it and fall back to full entailment."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        rdfs_entail_delta,
+    )
+
+    base = [
+        _iri("p:q", RDFS_SUBPROPERTYOF, RDFS_SUBCLASSOF),
+        _iri("x", RDF_TYPE, "A"),
+    ]
+    delta = [_iri("A", "p:q", "B")]  # entails A subClassOf B -> x type B
+    inc = rdfs_entail_delta(
+        rdfs_entail(_triples(spark, base)), _triples(spark, delta)
+    )
+    got = {(r.subj, r.pred, r.obj) for r in inc.collect()}
+    assert ("A", RDFS_SUBCLASSOF, "B") in got
+    assert ("x", RDF_TYPE, "B") in got

@@ -60,3 +60,18 @@ def test_histogram_topk_deterministic(sample):
     assert got[0] == ("a", 2) and got[1][1] == 1
     full = {(r.value, r.n) for r in column_histogram(sample, "s").collect()}
     assert full == {("a", 2), ("b", 1), (None, 1)}
+
+
+def test_profile_weird_column_names(spark):
+    """Review fix: dots/spaces/dashes/backticks in column names must
+    survive the whole pipeline (pure Column API, no SQL parsing)."""
+    df = (
+        spark.createDataFrame([(1, "a"), (2, None)], "k int, s string")
+        .withColumnRenamed("k", "order-date.v 1`x")
+        .withColumnRenamed("s", "my col")
+    )
+    rows = {r.column: r for r in profile_table(df).collect()}
+    assert rows["order-date.v 1`x"].n_distinct == 2
+    assert rows["my col"].n_null == 1
+    h = column_histogram(df, "my col").collect()
+    assert {(r.value, r.n) for r in h} == {("a", 1), (None, 1)}

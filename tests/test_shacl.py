@@ -76,3 +76,21 @@ def test_validate_shapes_conforming_and_empty(spark):
     assert out.count() == 0 and out.columns == [
         "focus", "shape_id", "path", "constraint_name", "value",
     ]
+
+
+def test_duplicate_assertions_do_not_inflate_counts(spark):
+    """Review fix: RDF graphs are sets — the same statement twice must
+    not trip max_count."""
+    data = [
+        _iri("c1", RDF_TYPE, "x:Concept"),
+        ("c1", "x:label", "GOOD", "en", True),
+        ("c1", "x:label", "GOOD", "en", True),  # duplicate row
+    ]
+    shapes = [("s", "x:Concept", "x:label", 1, 1, "Literal", "^GOOD", None)]
+    assert (
+        validate_shapes(
+            spark.createDataFrame(data, T),
+            spark.createDataFrame(shapes, SHAPE_SCHEMA),
+        ).count()
+        == 0
+    )

@@ -356,3 +356,19 @@ def test_select_expression_rebind_rejected(regions):
         execute_bgp(
             regions, "SELECT (STRLEN(?l) AS ?l) WHERE { ?r <p:lbl> ?l . }"
         )
+
+
+def test_optional_filter_literal_with_backtick(regions):
+    """Review fix: a backtick inside a FILTER string literal must not
+    be mistaken for a variable reference."""
+    out = execute_bgp(
+        regions,
+        """SELECT ?r ?x WHERE {
+             ?r <p:lbl> ?l .
+             OPTIONAL { ?x <p:in> ?r . FILTER(?x != "`n1`") }
+           } ORDER BY ?r ?x""",
+    ).collect()
+    # nothing equals the literal "`n1`", so all members survive
+    assert [(r.r, r.x) for r in out] == [
+        ("r1", "n1"), ("r1", "n2"), ("r2", "n3"), ("r3", None),
+    ]
