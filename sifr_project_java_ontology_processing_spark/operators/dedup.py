@@ -222,6 +222,20 @@ def minhash_signatures(
     )
 
 
+def _band_rows(k: int, bands: int) -> int:
+    """Signature rows per band, validating the split: a k not divisible
+    by bands would silently leave the trailing ``k % bands`` signature
+    rows outside every bucket — pairs whose agreement lies there are
+    missed with no error (simhash_neardup_pairs raises for its analogous
+    bits/prefix_bands misconfiguration; MinHash banding must too)."""
+    if k % bands:
+        raise ValueError(
+            f"k={k} not divisible by bands={bands}: the trailing "
+            f"{k % bands} signature rows would be hashed into no band"
+        )
+    return k // bands
+
+
 def _banded_buckets(sig: DataFrame, id_col: str, bands: int, r: int) -> DataFrame:
     """(id, sig array) → (id, band, bucket): each band's r consecutive
     signature rows hashed into one bucket id — the LSH banding shared by
@@ -260,7 +274,7 @@ def minhash_lsh_pairs(
     Scale shape: bucket ids are map-side expressions; the only shuffles
     are the (band, bucket) equi-join and the final distinct — never an
     all-pairs product."""
-    r = k // bands
+    r = _band_rows(k, bands)
     # the banded stream is self-joined (a/b sides below): without
     # materialization each side re-runs the whole shingle→k×md5→min
     # signature pipeline (Spark does not dedupe the duplicated
@@ -472,7 +486,7 @@ def fuzzy_decontaminate(
     so the whole path replays in SQL (registry oracle)."""
     bid = bench_id_col or id_col
     btext = bench_text_col or text_col
-    r = k // bands
+    r = _band_rows(k, bands)
 
     doc_bands = _banded_buckets(
         minhash_signatures(docs, id_col, text_col, n, k), id_col, bands, r

@@ -39,8 +39,8 @@ _BLOCK_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6", "p", "li", "pre",
 _MAIN_TAGS = ("article", "main", "body")
 # HTML5 void elements: never have an end tag, never open a subtree.
 # Real Common-Crawl pages put <img>/<br>/<meta> inside nav/footer blocks;
-# counting them into _skip_depth would leave the parser stuck in skip
-# mode for the rest of the document.
+# counting a void tag as opening a skip-subtree level would be wrong
+# (they never open a subtree at all).
 _VOID_TAGS = {"area", "base", "br", "col", "embed", "hr", "img", "input",
               "link", "meta", "param", "source", "track", "wbr"}
 
@@ -52,7 +52,16 @@ class _Extractor(HTMLParser):
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self._skip_depth = 0
+        # While skipping, track only the NAME of the tag that started
+        # the skip plus its same-name nesting count. Counting every
+        # start/end tag (the naive depth counter) never recovers when
+        # the skipped subtree holds unclosed non-void tags (<li>, <p> —
+        # ubiquitous in real web HTML): html.parser does not auto-close
+        # them, so the depth stays positive and the rest of the page is
+        # silently dropped. Matching only the opener's tag name ends the
+        # skip exactly at its real close tag regardless of inner soup.
+        self._skip_tag: str | None = None
+        self._skip_same = 0
         self._block_stack: list[list[str]] = []
         # blocks collected per container kind: article / main / body
         self._container_stack: list[str] = []
@@ -63,11 +72,13 @@ class _Extractor(HTMLParser):
             # no subtree: nothing to collect, nothing to skip — even when
             # the void tag itself is boilerplate (<img class="ad">)
             return
-        if self._skip_depth:
-            self._skip_depth += 1
+        if self._skip_tag is not None:
+            if tag == self._skip_tag:
+                self._skip_same += 1
             return
         if tag in _SKIP_TAGS or self._is_boiler_attrs(attrs):
-            self._skip_depth = 1
+            self._skip_tag = tag
+            self._skip_same = 0
             return
         if tag in _MAIN_TAGS:
             self._container_stack.append(tag)
@@ -88,10 +99,14 @@ class _Extractor(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in _VOID_TAGS:
             # browsers ignore stray </br>, </img>; and a self-closing
-            # <img/> start-end pair must not decrement _skip_depth
+            # <img/> start-end pair must not end an active skip
             return
-        if self._skip_depth:
-            self._skip_depth -= 1
+        if self._skip_tag is not None:
+            if tag == self._skip_tag:
+                if self._skip_same:
+                    self._skip_same -= 1
+                else:
+                    self._skip_tag = None
             return
         if tag in _BLOCK_TAGS and self._block_stack:
             self._flush_block()
@@ -112,7 +127,7 @@ class _Extractor(HTMLParser):
             self._flush_block()
 
     def handle_data(self, data: str) -> None:
-        if self._skip_depth:
+        if self._skip_tag is not None:
             return
         if self._block_stack:
             self._block_stack[-1].append(data)

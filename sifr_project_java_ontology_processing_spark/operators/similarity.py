@@ -44,6 +44,21 @@ def cosine(a, b) -> F.Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _id_ddl(df: DataFrame, col: str) -> str:
+    """DDL of the caller's id column, carried through Arrow-batched
+    output schemas — a hardcoded ``long`` would null (or ValueError)
+    string/url ids at the Arrow boundary (the exact hazard
+    bpe.bpe_token_count documents and avoids)."""
+    return df.schema[col].dataType.simpleString()
+
+
+def _lexsortable(ids):
+    """np.lexsort key for an id array: pandas hands string ids over as
+    dtype=object, which lexsort rejects — sort them as unicode (same
+    deterministic lexicographic tie-break)."""
+    return ids.astype("U") if ids.dtype == object else ids
+
+
 def _topk_merge(scored: DataFrame, query_id_col: str, k: int) -> DataFrame:
     """Deterministic global top-k per query from (partial) candidates."""
     w = Window.partitionBy(query_id_col).orderBy(
@@ -115,7 +130,7 @@ def brute_force_topk(
         if left.empty or right.empty:
             return pd.DataFrame(
                 {query_id_col: [], "neighbor_id": [], "cos_sim": []}
-            ).astype({query_id_col: "int64", "neighbor_id": "int64", "cos_sim": "float64"})
+            ).astype({"cos_sim": "float64"})
         q_ids = left[query_id_col].to_numpy()
         q_mat = np.array(list(left["_qv"]), dtype=np.float64)
         c_ids = right["_cid"].to_numpy()
@@ -127,7 +142,7 @@ def brute_force_topk(
         out_q, out_n, out_s = [], [], []
         for qi in range(len(q_ids)):
             row = sims[qi]
-            order = np.lexsort((c_ids, -row))
+            order = np.lexsort((_lexsortable(c_ids), -row))
             taken = 0
             for j in order:
                 if c_ids[j] == q_ids[qi]:
@@ -147,7 +162,10 @@ def brute_force_topk(
         .cogroup(c.groupBy("shard"))
         .applyInPandas(
             _shard_gemm,
-            schema=f"{query_id_col} long, neighbor_id long, cos_sim double",
+            schema=(
+                f"{query_id_col} {_id_ddl(queries, query_id_col)}, "
+                f"neighbor_id {_id_ddl(corpus, id_col)}, cos_sim double"
+            ),
         )
     )
     return _topk_merge(partials, query_id_col, k)
@@ -167,7 +185,7 @@ def _broadcast_topk(
 
     spark = corpus.sparkSession
     rows = corpus.select(id_col, vec_col).collect()
-    c_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    c_ids = np.array([r[0] for r in rows])  # dtype follows the id type
     c_mat = np.array([r[1] for r in rows], dtype=np.float64)
     c_norms = np.linalg.norm(c_mat, axis=1)
     bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norms))
@@ -190,7 +208,7 @@ def _broadcast_topk(
             for qi in range(len(q_ids)):
                 row = sims[qi]
                 # exclude self; deterministic order (sim desc, id asc)
-                order = np.lexsort((ids, -row))
+                order = np.lexsort((_lexsortable(ids), -row))
                 taken = 0
                 for j in order:
                     if ids[j] == q_ids[qi]:
@@ -213,7 +231,10 @@ def _broadcast_topk(
 
     return src.mapInPandas(
         _blocks,
-        schema=f"{query_id_col} long, neighbor_id long, cos_sim double, rank int",
+        schema=(
+            f"{query_id_col} {_id_ddl(queries, query_id_col)}, "
+            f"neighbor_id {_id_ddl(corpus, id_col)}, cos_sim double, rank int"
+        ),
     )
 
 
@@ -459,6 +480,10 @@ def ivf_topk(
     # m interpreted expression-folds per row by orders of magnitude
     _cent_sims = _cent_sims_fn(cmat)
     cell_udf = _cell_assign_udf(cmat)
+    # the md5/kmeans codebooks yield fewer than m centroids when the
+    # corpus itself is smaller than m — the tie-break index must match
+    # the actual sims row width or np.lexsort raises a shape mismatch
+    n_cent = cmat.shape[0]
 
     def _probe_batch(v):  # pd.Series[array] -> pd.Series[list[int]]
         import pandas as pd
@@ -466,7 +491,7 @@ def ivf_topk(
         if len(v) == 0:
             return pd.Series([], dtype="object")
         sims = _cent_sims(v)
-        idx = np.arange(1, m + 1)
+        idx = np.arange(1, n_cent + 1)
         out = []
         for row in sims:
             order = np.lexsort((idx, -row))[:nprobe]
@@ -558,7 +583,7 @@ def neardup_pairs(
 
         k1, k2 = key
         empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
-            {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            {"cos_sim": "float64"}
         )
         ids = pdf["_vid"].to_numpy()
         mat = np.array(list(pdf["_v"]), dtype=np.float64)
@@ -584,8 +609,9 @@ def neardup_pairs(
         keep = lo != hi
         return pd.DataFrame({"vec_a": lo[keep], "vec_b": hi[keep], "cos_sim": vals[keep]})
 
+    _iddl = _id_ddl(corpus, id_col)
     return rep.groupBy("k1", "k2").applyInPandas(
-        _block_pair, schema="vec_a long, vec_b long, cos_sim double"
+        _block_pair, schema=f"vec_a {_iddl}, vec_b {_iddl}, cos_sim double"
     )
 
 
@@ -598,7 +624,7 @@ def _broadcast_neardup(
 
     spark = corpus.sparkSession
     rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    ids = np.array([r[0] for r in rows])  # dtype follows the id type
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     bc = spark.sparkContext.broadcast((ids, mat, norms))
@@ -629,8 +655,9 @@ def _broadcast_neardup(
                 }
             )
 
+    _iddl = _id_ddl(corpus, id_col)
     return src.mapInPandas(
-        _blocks, schema="vec_a long, vec_b long, cos_sim double"
+        _blocks, schema=f"vec_a {_iddl}, vec_b {_iddl}, cos_sim double"
     )
 
 
@@ -707,7 +734,9 @@ def embedding_decontaminate(
                 }
             )
 
-    out = src.mapInPandas(_blocks, schema=f"{id_col} long, max_cos double")
+    out = src.mapInPandas(
+        _blocks, schema=f"{id_col} {_id_ddl(corpus, id_col)}, max_cos double"
+    )
     return out.select(
         F.col(id_col),
         F.col("max_cos"),

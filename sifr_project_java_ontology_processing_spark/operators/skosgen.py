@@ -147,18 +147,37 @@ def pick_pref_labels(pairs: DataFrame) -> DataFrame:
 
 
 def assign_chapters(codes: DataFrame, chapters: DataFrame) -> DataFrame:
-    """J10 — first chapter whose hi ≥ code (reference :394-402 scans
-    ranges in order and takes the first hit; ranges are sorted, so
-    "first" = min hi). chapters: (chapter_uri, lo, hi) string bounds.
-    → (code, chapter_uri) (null when no chapter matches)."""
+    """J10 — first chapter whose hi ≥ code (reference getChapterURI,
+    EHealth2017DictionaryToSkos.java:394-402, scans ranges in order and
+    takes the first hit; ranges are sorted, so "first" = min hi).
+    chapters: (chapter_uri, lo, hi) string bounds. → (code, chapter_uri).
+
+    Reference-parity quirks, kept deliberately (reference_bug_compat):
+      * ``lo`` is never checked — getChapterURI compares only
+        ``hi < code``, so a code below every range's lo still lands in
+        the first range whose hi covers it;
+      * a code ABOVE every hi falls back to the FIRST chapter
+        (``rangeURI`` is initialized to ``codeRangeURIs.get(0)`` and the
+        ``position < size`` guard fails) — NOT to null. chapter_uri is
+        null only when the chapters table itself is empty."""
     cand = codes.join(
         F.broadcast(chapters), F.col("code") <= F.col("hi"), "left"
     )
     w = Window.partitionBy("code").orderBy(F.asc("hi"))
+    first_ch = F.broadcast(
+        chapters.orderBy(F.asc("hi"))
+        .limit(1)
+        .select(F.lit(1).alias("_k"), F.col("chapter_uri").alias("_fallback"))
+    )
     return (
         cand.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("code", "chapter_uri")
+        .withColumn("_k", F.lit(1))
+        .join(first_ch, "_k", "left")
+        .select(
+            "code",
+            F.coalesce("chapter_uri", "_fallback").alias("chapter_uri"),
+        )
     )
 
 

@@ -258,6 +258,53 @@ def _tokenize(text: str) -> list[str]:
     return toks
 
 
+_PREFIX_DECL = re.compile(r"(?i)PREFIX\s+([A-Za-z_][A-Za-z0-9_-]*)?:\s*<([^>]*)>")
+
+
+def _strip_prefix_decls(text: str) -> tuple[dict[str, str], str]:
+    """Collect and remove ``PREFIX pfx: <iri>`` declarations, scanning
+    OUTSIDE string literals and #-comments only. A global ``re.sub``
+    here corrupted literals like ``"see PREFIX ex: <http://e/> docs"``
+    by silently deleting the matched substring from inside the quotes
+    (prologue keywords bind nowhere inside a literal)."""
+    prefixes: dict[str, str] = {}
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == '"':  # the grammar's only string form (see _TOKEN)
+            j = i + 1
+            while j < n:
+                if text[j] == "\\":
+                    j += 2
+                elif text[j] == '"':
+                    j += 1
+                    break
+                else:
+                    j += 1
+            out.append(text[i:j])
+            i = j
+        elif ch == "#":
+            j = text.find("\n", i)
+            j = n if j < 0 else j
+            out.append(text[i:j])
+            i = j
+        elif ch in "Pp" and (
+            i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_-")
+        ):
+            m = _PREFIX_DECL.match(text, i)
+            if m:
+                prefixes[m.group(1) or ""] = m.group(2)
+                i = m.end()
+            else:
+                out.append(ch)
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return prefixes, "".join(out)
+
+
 # one path element: (inverse?, term, modifier '+'/'*'/None)
 PathElt = tuple[bool, Term, "str | None"]
 
@@ -650,13 +697,10 @@ def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
 def parse_sparql(text: str) -> BGPQuery:
     """Parse the supported SPARQL SELECT subset into a BGPQuery."""
     prefixes = dict(_STD_PREFIXES)
-    # PREFIX declarations (before tokenizing the body keeps the grammar tiny)
-    body = text
-    for m in re.finditer(
-        r"(?i)\bPREFIX\s+([A-Za-z_][A-Za-z0-9_-]*)?:\s*<([^>]*)>", text
-    ):
-        prefixes[m.group(1) or ""] = m.group(2)
-    body = re.sub(r"(?i)\bPREFIX\s+(?:[A-Za-z_][A-Za-z0-9_-]*)?:\s*<[^>]*>", "", body)
+    # PREFIX declarations (before tokenizing the body keeps the grammar
+    # tiny); the scan is literal-aware — see _strip_prefix_decls
+    declared, body = _strip_prefix_decls(text)
+    prefixes.update(declared)
 
     return _parse_query(_P(_tokenize(body), prefixes))
 

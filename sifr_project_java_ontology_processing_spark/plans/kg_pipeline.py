@@ -303,7 +303,6 @@ def run_kg_pipeline(
         ).select("subj", "pred", sty_uri(F.col("tui")).alias("obj"))
         literal_triples = (
             cui_triples.unionByName(tui_triples)
-            .unionByName(sty_triples)
             .distinct()
             .select(
                 "subj",
@@ -314,6 +313,20 @@ def run_kg_pipeline(
                 F.lit(None).cast("string").alias("src_url"),
             )
         )
+        # hasSTY objects are RESOURCES (sty_uri builds an IRI; the
+        # reference's createResource at CUIOntologyDelegateImpl), so
+        # they are edges, not literals: they must reach the edges
+        # table's 'sty' partition (graph_sink._KIND) and serialize as
+        # <IRI>, not a quoted string.
+        sty_edge_triples = sty_triples.distinct().select(
+            "subj",
+            "pred",
+            "obj",
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(False).alias("obj_is_literal"),
+            F.lit(None).cast("string").alias("src_url"),
+        )
+        literal_triples = literal_triples.unionByName(sty_edge_triples)
 
         # north_star triple kinds: subClassOf edges from hierarchical
         # mappings (skos:broader/broadMatch → rdfs:subClassOf), both

@@ -62,10 +62,10 @@ from .bgp import (
     _emit_construct,
     _exec_branch,
     _parse_group,
+    _strip_prefix_decls,
     _tokenize,
     _P,
 )
-import re
 
 _TRIPLE_COLS = ("subj", "pred", "obj", "obj_lang", "obj_is_literal")
 
@@ -125,13 +125,8 @@ def _parse_template(p: _P, ctx: str) -> list[Pattern]:
 def parse_update(text: str) -> list[UpdateOp]:
     """Parse a SPARQL UPDATE request (one or more ';'-separated ops)."""
     prefixes = dict(_STD_PREFIXES)
-    for m in re.finditer(
-        r"(?i)\bPREFIX\s+([A-Za-z_][A-Za-z0-9_-]*)?:\s*<([^>]*)>", text
-    ):
-        prefixes[m.group(1) or ""] = m.group(2)
-    body = re.sub(
-        r"(?i)\bPREFIX\s+(?:[A-Za-z_][A-Za-z0-9_-]*)?:\s*<[^>]*>", "", text
-    )
+    declared, body = _strip_prefix_decls(text)
+    prefixes.update(declared)
     p = _P(_tokenize(body), prefixes)
     ops: list[UpdateOp] = []
     while p.peek() is not None:

@@ -55,6 +55,9 @@ from pyspark.sql import functions as F
 _NT_LINE_RX = r"^[ \t]*(<[^>]*>|_:[^ \t]+)[ \t]+<([^>]*)>[ \t]+(.*?)[ \t]*\.[ \t]*$"
 # literal object: "..." with escaped chars, then optional @lang / ^^<dt>
 _NT_LIT_RX = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^<[^>]*>)?$'
+# a bare (non-literal) term: IRI or blank node — shared by the strict
+# N-Triples object check and the N-Quads graph-slot check
+_NQ_TERM_RX = r"^(<[^>]*>|_:[^ \t]+)$"
 
 import re as _re
 
@@ -115,8 +118,15 @@ def parse_ntriples_lines(lines: DataFrame, line_col: str = "value") -> DataFrame
     obj_raw = F.regexp_extract(line, _NT_LINE_RX, 3)
     is_lit = obj_raw.startswith('"')
     # a quoted object that fails the literal grammar is a parse error,
-    # not an empty literal — mark subj null so strict mode catches it
-    bad = (subj_raw == "") | (is_lit & ~obj_raw.rlike(_NT_LIT_RX))
+    # not an empty literal — mark subj null so strict mode catches it;
+    # likewise a bare object that is neither <iri> nor _:bnode must not
+    # flow through as a fake IRI (the N-Quads reader already rejects
+    # this via _NQ_TERM_RX — the strict contracts must agree)
+    bad = (
+        (subj_raw == "")
+        | (is_lit & ~obj_raw.rlike(_NT_LIT_RX))
+        | (~is_lit & ~obj_raw.rlike(_NQ_TERM_RX))
+    )
     lit_body = F.regexp_extract(obj_raw, _NT_LIT_RX, 1)
     lit_lang = F.regexp_extract(obj_raw, _NT_LIT_RX, 2)
     parsed = content.select(
@@ -207,7 +217,15 @@ def read_turtle_lines(spark: SparkSession, path: str, strict: bool = True) -> Da
     # not IRIs — round-2 review caught them falling through as fake IRIs
     is_shorthand_lit = obj_raw.rlike(r"^[+-]?(\d|\.\d)") | obj_raw.isin("true", "false")
     is_lit = is_str_lit | is_shorthand_lit
-    bad = (subj_t == "") | (is_str_lit & ~obj_raw.rlike(_NT_LIT_RX))
+    # bare objects must be one of the Turtle term forms the subset
+    # knows (<iri>, _:bnode, prefixed name, 'a') — garbage must raise
+    # under strict, not land as a fake IRI
+    _ttl_obj_rx = r"^(<[^>]*>|_:[^ \t]+|[A-Za-z][\w-]*:[\w.-]+|a)$"
+    bad = (
+        (subj_t == "")
+        | (is_str_lit & ~obj_raw.rlike(_NT_LIT_RX))
+        | (~is_lit & ~obj_raw.rlike(_ttl_obj_rx))
+    )
     lit_body = F.regexp_extract(obj_raw, _NT_LIT_RX, 1)
     lit_lang = F.regexp_extract(obj_raw, _NT_LIT_RX, 2)
     parsed = content.select(
@@ -888,14 +906,23 @@ def load_model(spark: SparkSession, path: str) -> DataFrame:
 # The blank-node-graph alternative excludes '"' (labels never contain
 # quotes) — otherwise a literal ENDING in a '_:' token ("foo _:bar")
 # would leak its tail into the graph slot and corrupt the object.
-_NQ_LINE_RX = (
-    r"^[ \t]*(<[^>]*>|_:[^ \t]+)[ \t]+<([^>]*)>[ \t]+(.+?)"
-    r'(?:[ \t]+(<[^>]*>|_:[^ \t"]+))?[ \t]*\.[ \t]*$'
+# The object slot is TERM-AWARE (quoted literal with escapes +
+# optional @lang/^^<dt>, or <iri>, or _:bnode) rather than a lazy
+# catch-all: a lazy ``(.+?)`` mis-split literals whose body contains
+# `` <`` when a graph label follows (hypothesis-found: the graph
+# alternation ``<[^>]*>`` swallowed ``<" <http://g/one>`` and the
+# object was left as a bare ``"``).
+_NQ_OBJ = (
+    r'("(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?'
+    r"|<[^>]*>|_:[^ \t]+)"
 )
-# a non-literal object must be exactly one IRI or blank-node term —
-# anything else (e.g. a literal graph label glued onto the object by
-# the lazy regex) is a parse error, not data
-_NQ_TERM_RX = r'^(<[^>]*>|_:[^ \t]+)$'
+_NQ_LINE_RX = (
+    r"^[ \t]*(<[^>]*>|_:[^ \t]+)[ \t]+<([^>]*)>[ \t]+" + _NQ_OBJ
+    + r'(?:[ \t]+(<[^>]*>|_:[^ \t"]+))?[ \t]*\.[ \t]*$'
+)
+# a non-literal object must still re-verify as exactly one IRI or
+# blank-node term (_NQ_TERM_RX, defined next to _NT_LIT_RX at the top
+# of the module, shared with the strict N-Triples object check).
 
 
 def parse_nquads_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:

@@ -60,9 +60,16 @@ def _sessionize_fn(gap_seconds: int):
                     sessions.append((user_id, start, last, n, total))
                     start, last, n, total = ts_us, ts_us, 1, value
                 else:
+                    # A late (within-watermark, out-of-order across
+                    # micro-batches) event merges into the open session:
+                    # the bounds only ever WIDEN. Writing `last = ts_us`
+                    # unconditionally would move `last` backward, causing
+                    # false gap splits and an early timeout.
                     if start is None:
-                        start = ts_us
-                    last = ts_us
+                        start, last = ts_us, ts_us
+                    else:
+                        start = min(start, ts_us)
+                        last = max(last, ts_us)
                     n += 1
                     total += value
             if start is not None:

@@ -257,3 +257,23 @@ def test_duplicate_spans_stride_and_within_doc(spark):
     assert sorted((r.doc_id, r.pos) for r in s.collect()) == [
         (1, 0), (1, 2), (1, 4), (1, 6), (2, 0), (2, 2), (2, 4), (2, 6),
     ]
+
+
+def test_minhash_banding_rejects_indivisible_k(spark):
+    """Regression: k % bands != 0 silently left the trailing signature
+    rows outside every band (recall loss with no error) — now it raises
+    like simhash's prefix_bands check."""
+    import pytest
+
+    from sifr_project_java_ontology_processing_spark.operators.dedup import (
+        fuzzy_decontaminate,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        minhash_lsh_pairs(docs, k=8, bands=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        fuzzy_decontaminate(docs, docs, k=8, bands=3)

@@ -66,3 +66,28 @@ def test_extraction_deterministic(spark, kg_tables):
     a = sorted(extract_pages(kg_tables["pages"]).select("url", "extracted_text").collect())
     b = sorted(extract_pages(kg_tables["pages"]).select("url", "extracted_text").collect())
     assert a == b
+
+
+def test_unclosed_tags_inside_skipped_subtree_do_not_swallow_page():
+    """Regression: <li>/<p> left unclosed inside a skipped <nav> (or any
+    boilerplate container) must not leave the extractor stuck in skip
+    mode — html.parser does not auto-close them, so a naive depth
+    counter never returns to zero and the whole page after the first
+    malformed nav/footer vanished."""
+    html = (
+        b"<body><nav><ul><li>Home<li>About</ul></nav>"
+        b"<main><article><p>content</p></article></main></body>"
+    )
+    assert extract_text(html) == "content"
+    # same failure shape via a boiler-attrs div
+    html2 = (
+        b"<body><div class='ad-banner'><p>buy now<p>cheap</div>"
+        b"<p>real text</p></body>"
+    )
+    assert extract_text(html2) == "real text"
+    # nested same-name skip containers still close at the right level
+    html3 = (
+        b"<body><nav>outer<nav>inner</nav>still boiler</nav>"
+        b"<p>kept</p></body>"
+    )
+    assert extract_text(html3) == "kept"

@@ -986,3 +986,22 @@ def test_personalized_pagerank_matches_reference(spark):
         assert got[n] == pytest.approx(want[n], abs=1e-12)
     # a non-seed with no path from the seed set keeps rank 0
     assert got["d"] == 0.0
+
+
+def test_prefix_keyword_inside_filter_literal(spark):
+    """Regression twin of the UPDATE literal-corruption bug: a FILTER
+    comparing against a string containing 'PREFIX pfx: <iri>' must
+    match verbatim, not have the substring deleted pre-tokenize."""
+    lit = "PREFIX ex: <http://e/>"
+    df = spark.createDataFrame(
+        [
+            ("http://ex/a", "http://ex/note", lit, None, True),
+            ("http://ex/b", "http://ex/note", "other", None, True),
+        ],
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+    got = execute_bgp(
+        df,
+        'SELECT ?s WHERE { ?s <http://ex/note> ?n . FILTER(?n = "' + lit + '") }',
+    ).collect()
+    assert [r["s"] for r in got] == ["http://ex/a"]

@@ -161,3 +161,18 @@ def test_illegal_literal_graph_label_is_strict_error(spark, tmp_path):
     with _pytest.raises(ValueError, match="unparseable N-Quads"):
         read_nquads(spark, str(p))
     assert read_nquads(spark, str(p), strict=False).count() == 0
+
+
+def test_literal_with_angle_tail_before_graph_label(spark, tmp_path):
+    """Deterministic pin of a hypothesis-found parse bug: a literal
+    whose body contains ' <' followed by a graph label. The old lazy
+    object group left the object as a bare '"' and let the graph
+    alternation swallow '<" <http://g/one>'."""
+    p = tmp_path / "angle.nq"
+    p.write_text('<http://s> <http://p> " <" <http://g/one> .\n')
+    rows = read_nquads(spark, str(p)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["subj"], r["pred"], r["obj"], r["obj_is_literal"], r["graph"]) == (
+        "http://s", "http://p", " <", True, "http://g/one"
+    )

@@ -384,3 +384,22 @@ def test_pipeline_salience_nodes(spark, kg_fixture, kg_tables):
     got = {r["iri"]: r["salience"] for r in res.nodes.collect()}
     for iri, sal in got.items():
         assert sal == pytest.approx(want.get(iri, 0.0), abs=1e-9)
+
+
+def test_pipeline_sty_triples_are_resource_edges(spark, kg_fixture, kg_tables):
+    """umls:hasSTY objects are IRIs (sty_uri, mirroring the reference's
+    createResource), so they must carry obj_is_literal=False and reach
+    the edges table ('sty' partition in graph_sink). Regression: they
+    were unioned into the literal batch and never became edges."""
+    from pyspark.sql import functions as F
+
+    res = _run(spark, kg_fixture, kg_tables)
+    sty = res.triples.where(F.col("pred") == UMLS_HAS_STY).collect()
+    assert sty, "fixture must produce hasSTY triples"
+    assert all(not r["obj_is_literal"] for r in sty)
+    assert all(r["obj"].startswith(STY_BASE) for r in sty)
+    edge_dsts = {
+        r["dst"]
+        for r in res.edges.where(F.col("pred") == UMLS_HAS_STY).collect()
+    }
+    assert edge_dsts == {r["obj"] for r in sty}

@@ -102,6 +102,35 @@ def test_ntriples_strict_catches_bad_literal(spark, tmp_path):
         read_ntriples(spark, str(p))
 
 
+def test_ntriples_strict_catches_bare_garbage_object(spark, tmp_path):
+    """A bare object that is neither <iri> nor _:bnode must raise under
+    strict instead of flowing through as a fake IRI (regression: the
+    N-Quads reader rejected this via _NQ_TERM_RX while the N-Triples
+    reader silently accepted it — the two strict contracts disagreed)."""
+    p = tmp_path / "badobj.nt"
+    p.write_text(
+        '<http://x/A> <http://p/q> garbage .\n'
+        '<http://x/A> <http://p/q> "ok" .\n'
+    )
+    with pytest.raises(ValueError, match="unparseable"):
+        read_ntriples(spark, str(p))
+    rows = read_ntriples(spark, str(p), strict=False).collect()
+    assert len(rows) == 1 and rows[0]["obj"] == "ok"
+
+
+def test_turtle_lines_strict_catches_bare_garbage_object(spark, tmp_path):
+    p = tmp_path / "badobj.ttl"
+    p.write_text(
+        "@prefix ex: <http://x/> .\n"
+        "ex:A ex:q %%nonsense%% .\n"
+        'ex:A ex:q "ok" .\n'
+    )
+    with pytest.raises(ValueError, match="unparseable"):
+        read_turtle_lines(spark, str(p))
+    rows = read_turtle_lines(spark, str(p), strict=False).collect()
+    assert len(rows) == 1 and rows[0]["obj"] == "ok"
+
+
 def test_rdfxml_blank_nodes_scoped_per_file(spark, tmp_path):
     """Anonymous nodes from different files must not merge
     (round-2 review finding)."""

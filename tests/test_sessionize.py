@@ -152,6 +152,61 @@ def test_streaming_curate(spark, tmp_path):
     assert len(got) == 2 and got[0] in (0, 1) and got[1] == 4, got
 
 
+def test_stream_late_event_does_not_split_session(spark, tmp_path):
+    """A late (within-watermark, cross-batch out-of-order) event must
+    MERGE into the open session without moving its `last` bound
+    backward. Regression: `last = ts_us` in the merge branch shrank
+    `last`, so a following in-gap event looked > gap away and falsely
+    split the session (emitting a session_end earlier than events
+    counted inside it)."""
+    import datetime as dt
+    import functools
+
+    from sifr_project_java_ontology_processing_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0, tzinfo=dt.timezone.utc)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    ddl = "user_id long, ts timestamp, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, ddl).write.mode("append").parquet(src)
+
+    build = functools.partial(
+        sessionize_stream, gap_seconds=600, watermark="2 hours"
+    )
+
+    # batch 1: session open, last = 10:05
+    write_batch([
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=5), 1.0),
+    ])
+    schema = spark.read.parquet(src).schema
+    _run_stream_once(spark, lambda s: build(s), src, schema, out, ckpt)
+
+    # batch 2: a LATE event (10:02, within watermark) plus an in-gap
+    # event at 10:13 (8 min after the true last event 10:05 < 10-min gap)
+    write_batch([
+        (1, base + dt.timedelta(minutes=2), 1.0),
+        (1, base + dt.timedelta(minutes=13), 1.0),
+    ])
+    _run_stream_once(spark, lambda s: build(s), src, schema, out, ckpt)
+
+    # batch 3: far-future event splits and thereby emits the session
+    write_batch([(1, base + dt.timedelta(hours=3), 1.0)])
+    _run_stream_once(spark, lambda s: build(s), src, schema, out, ckpt)
+
+    got = [
+        (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.read.parquet(out).where(
+            F.col("session_start") < "2026-01-01 12:00:00"
+        ).collect()
+    ]
+    # exactly ONE closed session covering all four events
+    assert got == [("2026-01-01 10:00:00", "2026-01-01 10:13:00", 4)], got
+
+
 def _run_stream_once(spark, build, src, schema, out, ckpt):
     """One 'process-everything-available then terminate' run: with a
     shared checkpoint, each call is a fresh driver resuming from the

@@ -318,3 +318,60 @@ def test_ivf_explicit_codebook_and_validation(spark):
     # kmeans training is deterministic: same input -> same codebook
     cmat2 = train_ivf_codebook(emb, dim=64, m=4, iters=2)
     assert np.allclose(cmat, cmat2, rtol=0, atol=1e-12)
+
+
+def test_ivf_corpus_smaller_than_m(spark):
+    """Regression: with fewer corpus vectors than m, the md5/kmeans
+    codebook has < m centroids and the probe's tie-break index must
+    match the actual centroid count (np.lexsort raised a shape
+    mismatch, killing every query task)."""
+    from sifr_project_java_ontology_processing_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    df, _ = _emb_df(spark, n=10)
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ivf_topk(df, queries, dim=16, k=3, m=16, nprobe=16).collect()
+    assert got, "small corpus must still answer"
+    # probing every cell is exact: match brute force
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(df, queries, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    assert approx == exact
+
+
+def test_string_vec_ids_supported(spark):
+    """Regression: the GEMM paths hardcoded `long` id schemas /
+    np.int64 arrays, so string (e.g. url) vec ids crashed or nulled at
+    the Arrow boundary. All four paths must carry the caller's id type
+    through and agree with each other."""
+    from sifr_project_java_ontology_processing_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_decontaminate,
+        neardup_pairs,
+    )
+
+    df_long, _ = _emb_df(spark, n=12)
+    df = df_long.select(
+        F.concat(F.lit("url-"), F.format_string("%02d", "vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding")
+
+    got_b = {(r["query_id"], r["rank"], r["neighbor_id"])
+             for r in brute_force_topk(df, queries, k=3, mode="broadcast").collect()}
+    got_s = {(r["query_id"], r["rank"], r["neighbor_id"])
+             for r in brute_force_topk(df, queries, k=3, mode="sharded",
+                                       num_shards=3).collect()}
+    assert got_b and got_b == got_s
+    assert all(isinstance(q, str) and isinstance(nb, str) for q, _, nb in got_b)
+
+    nd_b = {(r["vec_a"], r["vec_b"]) for r in
+            neardup_pairs(df, threshold=0.3, mode="broadcast").collect()}
+    nd_k = {(r["vec_a"], r["vec_b"]) for r in
+            neardup_pairs(df, threshold=0.3, mode="blocked", num_blocks=3).collect()}
+    assert nd_b == nd_k and all(a < b for a, b in nd_b)
+
+    dec = embedding_decontaminate(df, df.limit(3)).collect()
+    assert len(dec) == 12 and all(isinstance(r["vec_id"], str) for r in dec)

@@ -87,7 +87,9 @@ def test_chapter_range_join(spark):
     # reference takes the FIRST chapter with hi >= code (min hi)
     assert got["A01.1"] == "ch1"
     assert got["J02.9"] == "ch2"
-    assert got["Z99.9"] is None
+    # reference-parity: a code above every hi falls back to the FIRST
+    # chapter (getChapterURI's rangeURI default), not to null
+    assert got["Z99.9"] == "ch1"
 
 
 def test_generate_skos_triples(spark):

@@ -184,3 +184,20 @@ def test_plan_zero_shuffle_broadcast_apply(graph):
     assert "SortMergeJoin" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan  # anti, semi, anti
+
+
+def test_prefix_keyword_inside_literal_survives(graph):
+    """Regression: PREFIX declarations were stripped with a global
+    re.sub that also deleted matching text from INSIDE quoted string
+    literals, silently corrupting the inserted value."""
+    lit = "see PREFIX ex: <http://e/> docs"
+    out = apply_update(
+        graph,
+        f'PREFIX ex: <http://ex/p/> '
+        f'INSERT DATA {{ <http://ex/a> ex:note "{lit}" }}',
+    )
+    notes = {
+        r.obj
+        for r in out.where(F.col("pred") == f"{EX}note").collect()
+    }
+    assert notes == {lit}
