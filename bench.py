@@ -155,7 +155,11 @@ def main() -> int:
                 "triples_per_sec": round(n_triples / kg_sec, 1),
                 "pages_per_sec": round(n_pages / kg_sec, 1),
                 "amplify": AMPLIFY,
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                # ACTUAL parallelism used, from the live session — the
+                # env default is local[*], so echoing "32" when unset
+                # would misstate the measurement on a non-32-core host
+                "cpus": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
             }
         )
     )

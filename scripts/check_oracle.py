@@ -62,6 +62,13 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd filter would otherwise skip EVERYTHING and print
+        # "all queries match" having verified zero queries
+        raise SystemExit(
+            f"unknown query name(s): {sorted(unknown)} — not in queries()"
+        )
     failures = []
     for name, fn in queries.items():
         if only and name not in only:

@@ -6,14 +6,21 @@ co-tenanted single-memory-system box lands below the 0.8 gate, decide
 whether the ENGINE or the BOX is the limiter. This script runs the
 engine's actual per-page work (html→text extraction + trie mention
 scan — the exact functions the fused Spark operator calls) under plain
-``multiprocessing`` with the process pool pinned to exactly N cores,
-at N and 4N. There is no JVM, no Arrow, no shuffle, no scheduler: any
-efficiency loss measured here is the hardware/co-tenant ceiling, and
-the Spark pair can at best match it.
+``multiprocessing`` with an N-worker pool, at N and 4N. There is no
+JVM, no Arrow, no shuffle, no scheduler: any efficiency loss measured
+here is the hardware/co-tenant ceiling, and the Spark pair can at best
+match it.
 
-Method mirrors scaling_bench.py: fresh pool per point, taskset pinning
-(random offset), interleaved order, best of K, pre-run 1-min load
-recorded. Prints one JSON line; appends a row to BENCH/SCALING_NOTES.md.
+Method mirrors scaling_bench.py: fresh pool per point, interleaved
+order, best of K, pre-run 1-min load recorded. ROUND-4 KERNEL NOTE:
+this kernel (6.18.x-fc) does not enforce sched_setaffinity — the
+taskset mask below is advisory only (kept for kernels that do enforce
+it). The effective bound is the POOL SIZE: N single-threaded workers ≈
+N compute lanes, the same lane-emulation stance as scaling_bench.py's
+-XX:ActiveProcessorCount method. Rows recorded in
+BENCH/SCALING_NOTES.md before 2026-08-17 were measured under an
+enforcing kernel (actually pinned); later rows are lane-bounded only.
+Prints one JSON line; appends a row to BENCH/SCALING_NOTES.md.
 
 Usage: python scripts/cpu_ceiling_probe.py [n_pages] [repeats] [levels]
 """

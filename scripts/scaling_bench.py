@@ -137,7 +137,13 @@ def main() -> int:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    n_docs_base = 5000 if "sf0.1" in sf_dir else 500
+    # real doc count from the parquet footer (a hardcoded per-sf guess
+    # made every pages/sec figure wrong for any other scale dir)
+    import pyarrow.parquet as pq
+
+    n_docs_base = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
     n_pages = n_docs_base * amplify
 
     levels = (
@@ -194,7 +200,9 @@ def main() -> int:
         with open(os.path.join(REPO, "BENCH", "SCALING_PAIRS.md"), "w") as f:
             f.write(
                 f"# Scaling pairs {levels} at {n_pages:,} pages "
-                f"({sf_dir}, best of {repeats}, loads {loads})\n\n"
+                f"({sf_dir}, best of {repeats}, loads {loads}; "
+                "ActiveProcessorCount+local[N] lane emulation — see "
+                "BENCH/BASELINE.md round-4 methodology note)\n\n"
                 "| job | pair (N→4N) | N sec | 4N sec | N pages/s | "
                 "4N pages/s | speedup | scaling efficiency |\n"
                 "|---|---|---|---|---|---|---|---|\n"
@@ -207,13 +215,21 @@ def main() -> int:
             )
         return 0
 
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured numbers (this engine)
+    # default-levels run: ALSO a standalone report — BENCH/BASELINE.md
+    # is hand-curated per round (historical taskset-era rows + the
+    # round-4 kernel-change note) and must never be clobbered by a
+    # generated file whose methodology text could drift from the code.
+    with open(os.path.join(REPO, "BENCH", "SCALING_RUN.md"), "w") as f:
+        f.write(f"""# BENCH/SCALING_RUN — autogenerated scaling measurement
 
 Scaling evidence for the north_rule's two-cluster-size criterion,
 sandbox form: the same job, same input ({n_pages:,} pages =
-documents×{amplify} from {sf_dir}), 2×cores input partitions (two waves), warm-up pass excluded, fresh JVM per run pinned with taskset to exactly N cores
-(random offset), interleaved level order, best of {repeats} runs per point (this host is
+documents×{amplify} from {sf_dir}), 2×cores input partitions (two
+waves), warm-up pass excluded, fresh JVM per run emulating N cores
+in-process (-XX:ActiveProcessorCount={{N}} + local[N] task slots +
+single-threaded BLAS; this kernel does not enforce taskset/cgroup
+affinity — see the round-4 methodology note in BENCH/BASELINE.md),
+interleaved level order, best of {repeats} runs per point (this host is
 co-tenanted; 1-min load before each run: {loads}).
 
 | job | pair (N→4N) | N sec | 4N sec | N pages/s | 4N pages/s | speedup | scaling efficiency |

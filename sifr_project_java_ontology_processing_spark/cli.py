@@ -70,11 +70,17 @@ def cmd_enrich(args: argparse.Namespace) -> int:
     if args.disambiguate:
         out = disambiguate(out, concept_descriptions(labels), umls_concepts, lat=args.lat)
     out.write.mode("overwrite").parquet(f"{args.out}/cascade")
-    stage_counters(out).write.mode("overwrite").parquet(f"{args.out}/counters")
-    write_reject_file(reject_sink(out), f"{args.out}/concepts_without_cui")
+    # downstream sinks read the COMMITTED cascade back (cheap parquet
+    # scan) — referencing the lazy plan would re-run the full cascade +
+    # match_fallback + disambiguate once per sink (same round-3 finding
+    # cmd_curate fixed)
+    committed = spark.read.parquet(f"{args.out}/cascade")
+    stage_counters(committed).write.mode("overwrite").parquet(f"{args.out}/counters")
+    write_reject_file(reject_sink(committed), f"{args.out}/concepts_without_cui")
     if args.code_pref_label:
         promoted = promote_code_to_pref(
-            labels, out.select("concept_iri", "code").where(F.col("code").isNotNull())
+            labels,
+            committed.select("concept_iri", "code").where(F.col("code").isNotNull()),
         )
         promoted.write.mode("overwrite").parquet(f"{args.out}/labels_with_code_pref")
     print(f"enrichment written to {args.out}")
@@ -97,7 +103,13 @@ def cmd_skosgen(args: argparse.Namespace) -> int:
     chapters = read_chapters(spark, args.chapters) if args.chapters else None
     triples = generate_skos(dictionary, corpus, chapters, mode=mode, lang=args.lang)
     triples.write.mode("overwrite").parquet(f"{args.out}/triples")
-    write_ntriples(triples, f"{args.out}/ntriples", single_file=args.single_file)
+    # serialize from the committed parquet, not the lazy plan (one
+    # generate_skos execution, not two)
+    write_ntriples(
+        spark.read.parquet(f"{args.out}/triples"),
+        f"{args.out}/ntriples",
+        single_file=args.single_file,
+    )
     print(f"skos model written to {args.out}")
     return 0
 
@@ -184,9 +196,18 @@ def cmd_kg(args: argparse.Namespace) -> int:
             broadcast_labels=not args.no_broadcast_labels,
         )
     else:
+        # Resumable by default (north_rule: "resumable from checkpoint
+        # with per-partition lineage + metrics"): without a store,
+        # every sink below (triples, edges, metrics subtrees) would
+        # re-execute the full page-extraction + mention-detection UDF
+        # pipeline — ~5x the necessary compute at corpus scale.
+        # --no-checkpoint opts back into the lazy single-shot mode.
+        checkpoint_dir = args.checkpoint_dir
+        if checkpoint_dir is None and not args.no_checkpoint:
+            checkpoint_dir = f"{args.out}/_stages"
         store = (
-            StageStore(spark, args.checkpoint_dir, args.run_id)
-            if args.checkpoint_dir else None
+            StageStore(spark, checkpoint_dir, args.run_id)
+            if checkpoint_dir else None
         )
         result = run_kg_pipeline(
             spark, pages, labels, mappings, umls_concepts, umls_semtypes,
@@ -204,7 +225,24 @@ def cmd_kg(args: argparse.Namespace) -> int:
 
     write_triples(result.triples, f"{args.out}/triples")
     write_nodes(result.nodes, f"{args.out}/nodes")
-    write_edges(result.edges, f"{args.out}/edges")
+    if args.prev_run_id or args.checkpoint_dir or not args.no_checkpoint:
+        # a StageStore materializes the shared stages, so the edges
+        # plan reads committed snapshots — no recompute
+        write_edges(result.edges, f"{args.out}/edges")
+    else:
+        # --no-checkpoint: edges are a projection of the triples just
+        # committed — read them back (cheap pruned parquet scan)
+        # instead of re-running the extraction pipeline a second time
+        committed = spark.read.parquet(f"{args.out}/triples")
+        write_edges(
+            committed.where(~F.col("obj_is_literal")).select(
+                F.col("subj").alias("src"),
+                F.col("obj").alias("dst"),
+                "pred",
+                "src_url",
+            ),
+            f"{args.out}/edges",
+        )
     result.metrics.write.mode("overwrite").parquet(f"{args.out}/metrics")
     if result.scored_mentions is not None:
         result.scored_mentions.write.mode("overwrite").parquet(
@@ -335,7 +373,7 @@ def _looks_like_rdf_file(path: str) -> bool:
     for ext in (".gz", ".bz2"):
         if p.endswith(ext):
             p = p[: -len(ext)]
-    return p.endswith((".nt", ".ttl", ".rdf", ".owl", ".xml", ".n3"))
+    return p.endswith((".nt", ".ttl", ".rdf", ".owl", ".xml", ".n3", ".nq", ".xrdf"))
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -381,7 +419,11 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--umls-concepts", dest="umls_concepts", required=True)
     k.add_argument("--umls-semtypes", dest="umls_semtypes", required=True)
     k.add_argument("--out", required=True)
-    k.add_argument("--checkpoint-dir", default=None)
+    k.add_argument("--checkpoint-dir", default=None,
+                   help="stage-snapshot root (default: <out>/_stages)")
+    k.add_argument("--no-checkpoint", action="store_true",
+                   help="disable stage snapshots (lazy single-shot plans; "
+                        "sinks recompute shared stages)")
     k.add_argument("--run-id", default="run0")
     k.add_argument("--prev-run-id", default=None,
                    help="incremental: reuse this prior run's committed "

@@ -38,9 +38,13 @@ _LABEL_WORDS = [
     "myopathy", "neuralgia", "otitis", "pleurisy", "quinsy", "rhinitis",
     "sepsis", "tachycardia", "ulcer", "vertigo", "wheeze", "xerosis",
 ]
+# NOTE: must stay disjoint from every label SHAPE, not just label
+# words — "acute"/"chronic" are banned because even-index concepts get
+# an "acute {word}" alt label, so filler "acute" right before a label
+# word would fuse into an unintended alt-label mention (longest match).
 _FILLER_WORDS = [
-    "report", "notes", "the", "patient", "with", "shows", "mild", "acute",
-    "chronic", "left", "right", "exam", "finding", "stable", "review",
+    "report", "notes", "the", "patient", "with", "shows", "mild", "noted",
+    "during", "left", "right", "exam", "finding", "stable", "review",
     "history", "plan", "follow", "visit", "result",
 ]
 _LANGS = ["en", "en", "en", "fr", ""]  # mostly en, some fr, some empty
@@ -216,7 +220,17 @@ def make_fixture(
     # ---- pages --------------------------------------------------------------
     epoch = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
     all_labels = sorted(
-        {lbl for (c, lbl, kind, lg) in fx.ontology_labels if kind in ("pref", "alt") and not lbl.startswith("C")}
+        {
+            lbl
+            for (c, lbl, kind, lg) in fx.ontology_labels
+            if kind in ("pref", "alt")
+            and not lbl.startswith("C")
+            # exclude the space-padded uppercase dedup-fodder variants:
+            # sorted() would otherwise rank them first and make them the
+            # hot_labels, giving hot pages double-space text instead of
+            # real surface forms
+            and lbl == lbl.strip()
+        }
     )
     hot_labels = all_labels[:2]
     for p in range(n_pages):

@@ -229,3 +229,45 @@ def test_cli_sparql_end_to_end(spark, tmp_path):
 
     # exactly-one-of --query/--query-file is enforced
     assert main(["sparql", "--triples", str(nt)]) == 2
+
+
+def test_cli_sparql_accepts_nquads_input(spark, tmp_path):
+    """Regression: _looks_like_rdf_file omitted .nq/.xrdf, so an
+    N-Quads --triples input was read as parquet and crashed even though
+    load_model dispatches .nq."""
+    from sifr_project_java_ontology_processing_spark.cli import (
+        _looks_like_rdf_file,
+        main,
+    )
+
+    assert _looks_like_rdf_file("g.nq")
+    assert _looks_like_rdf_file("g.nq.gz")
+    assert _looks_like_rdf_file("onto.xrdf")
+
+    nq = tmp_path / "g.nq"
+    nq.write_text(
+        '<http://ex/a> <http://ex/p> "one" <http://ex/g> .\n'
+        '<http://ex/b> <http://ex/p> "two" .\n'
+    )
+    # plain BGP sees only the DEFAULT graph (SPARQL dataset semantics)
+    out = tmp_path / "res"
+    rc = main([
+        "sparql", "--triples", str(nq),
+        "--query", "SELECT ?s ?v WHERE { ?s <http://ex/p> ?v } ORDER BY ?s",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    got = {(r["s"], r["v"]) for r in spark.read.parquet(str(out)).collect()}
+    assert got == {("http://ex/b", "two")}
+
+    # the named-graph quad is reachable via FROM
+    out_g = tmp_path / "res_g"
+    rc = main([
+        "sparql", "--triples", str(nq),
+        "--query", "SELECT ?s ?v FROM <http://ex/g> "
+                   "WHERE { ?s <http://ex/p> ?v }",
+        "--out", str(out_g),
+    ])
+    assert rc == 0
+    got_g = {(r["s"], r["v"]) for r in spark.read.parquet(str(out_g)).collect()}
+    assert got_g == {("http://ex/a", "one")}
