@@ -322,6 +322,8 @@ def skos_audit(
 OWL_INVERSEOF = expand("owl:inverseOf")
 OWL_SYMMETRIC = "http://www.w3.org/2002/07/owl#SymmetricProperty"
 OWL_TRANSITIVE = "http://www.w3.org/2002/07/owl#TransitiveProperty"
+OWL_EQCLASS = "http://www.w3.org/2002/07/owl#equivalentClass"
+OWL_EQPROP = "http://www.w3.org/2002/07/owl#equivalentProperty"
 _PSEP = "\x00"  # joins pred onto node ids for the pooled closure
 
 
@@ -340,6 +342,16 @@ def rdfs_plus_entail(
       (and symmetrically for Q, since inverseOf is its own inverse)
     * ``owl:SymmetricProperty``    — ``(x P y) ⇒ (y P x)``
     * ``owl:TransitiveProperty``   — ``(x P y) ∧ (y P z) ⇒ (x P z)``
+    * ``owl:equivalentClass``      — desugared to BIDIRECTIONAL
+      ``rdfs:subClassOf`` up front (OWL RL scm-eqc1), so the existing
+      rdfs11/rdfs9 machinery yields instance typing across the
+      equivalence; closed equivalences are re-derived at the end from
+      mutual subsumption (scm-eqc2: ``A⊑B ∧ B⊑A ⇒ A≡B``), which also
+      covers symmetry and transitivity of ≡. Reflexive ``A≡A`` pairs
+      (every cycle member subsumes itself through the cycle) are
+      filtered — they carry no information.
+    * ``owl:equivalentProperty``   — same treatment via
+      ``rdfs:subPropertyOf`` (scm-eqp1 / scm-eqp2).
 
     ``owl:sameAs`` is deliberately NOT expanded here: identity-merge
     is the canonicalization stage's job
@@ -366,6 +378,39 @@ def rdfs_plus_entail(
     transitive expansion (their inverses/compositions are not valid
     RDF)."""
     t = triples.select(*_TRIPLE_COLS)
+
+    # stratum 0: equivalence desugaring (scm-eqc1 / scm-eqp1). Must run
+    # BEFORE the subPropertyOf closure so equivalence-derived
+    # subPropertyOf edges participate in it. Equivalence assertions are
+    # schema-dim-sized.
+    def _eq_to_sub(eq_pred: str, sub_pred: str) -> DataFrame:
+        pairs = (
+            t.where((F.col("pred") == eq_pred) & ~F.col("obj_is_literal"))
+            .select("subj", "obj")
+            .distinct()
+        )
+        fwd = pairs.select(
+            "subj",
+            F.lit(sub_pred).alias("pred"),
+            "obj",
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+        rev = pairs.select(
+            F.col("obj").alias("subj"),
+            F.lit(sub_pred).alias("pred"),
+            F.col("subj").alias("obj"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+        return fwd.unionByName(rev)
+
+    # no distinct here: a desugared sub-axiom duplicating an asserted
+    # one is collapsed by the final rdfs_entail distinct; a fact-scale
+    # shuffle just to dedupe schema-sized additions would be waste
+    t = t.unionByName(_eq_to_sub(OWL_EQCLASS, RDFS_SUBCLASSOF)).unionByName(
+        _eq_to_sub(OWL_EQPROP, RDFS_SUBPROPERTYOF)
+    )
 
     # stratum 1: property hierarchy (reuse rdfs_entail's rules later;
     # here we only need the generalized assertions for owl expansion)
@@ -454,7 +499,41 @@ def rdfs_plus_entail(
     # (the inner rdfs7 pass is still needed — inverse/transitive-derived
     # assertions must be generalized too — but it reuses the checkpointed
     # subPropertyOf closure instead of re-running the closure job chain)
-    return rdfs_entail(g3, max_schema_depth=max_schema_depth, _sp=sp)
+    out = rdfs_entail(g3, max_schema_depth=max_schema_depth, _sp=sp)
+
+    # stratum 5: re-derive closed equivalences from mutual subsumption
+    # (scm-eqc2 / scm-eqp2) — this is how ≡'s own symmetry and
+    # transitivity materialize. Both sides of each self-join are the
+    # closed sub-hierarchy (schema-dim-sized), never the fact stream.
+    def _mutual(sub_pred: str, eq_pred: str) -> DataFrame:
+        sub = (
+            out.where((F.col("pred") == sub_pred) & ~F.col("obj_is_literal"))
+            .where(F.col("subj") != F.col("obj"))  # drop cycle reflexives
+            .select("subj", "obj")
+            .distinct()
+        )
+        rev = sub.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+        return sub.intersect(rev).select(
+            "subj",
+            F.lit(eq_pred).alias("pred"),
+            "obj",
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+
+    eq_derived = _mutual(RDFS_SUBCLASSOF, OWL_EQCLASS).unionByName(
+        _mutual(RDFS_SUBPROPERTYOF, OWL_EQPROP)
+    )
+    # dedupe ONLY against the (schema-sized) equivalence slice of the
+    # output — a global distinct would re-shuffle the whole fact-scale
+    # entailed graph for a handful of schema rows
+    existing_eq = out.where(
+        F.col("pred").isin(OWL_EQCLASS, OWL_EQPROP)
+    ).select("subj", "pred", "obj")
+    eq_new = eq_derived.join(
+        F.broadcast(existing_eq), ["subj", "pred", "obj"], "left_anti"
+    )
+    return out.unionByName(eq_new)
 
 
 _SCHEMA_PREDS = (

@@ -427,3 +427,61 @@ def test_incremental_meta_schema_delta_falls_back(spark):
     got = {(r.subj, r.pred, r.obj) for r in inc.collect()}
     assert ("A", RDFS_SUBCLASSOF, "B") in got
     assert ("x", RDF_TYPE, "B") in got
+
+
+def test_rdfs_plus_equivalent_class_and_property(spark):
+    """owl:equivalentClass/equivalentProperty — desugared to
+    bidirectional sub-axioms (scm-eqc1/eqp1), closed equivalences
+    re-derived from mutual subsumption (scm-eqc2/eqp2)."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_EQCLASS,
+        OWL_EQPROP,
+        rdfs_plus_entail,
+    )
+
+    asserted = [
+        _iri("A", OWL_EQCLASS, "B"),
+        _iri("B", OWL_EQCLASS, "C"),       # chain: transitivity of ≡
+        _iri("x", RDF_TYPE, "A"),
+        _iri("p", OWL_EQPROP, "q"),
+        _iri("s", "p", "o"),
+        # mutual subsumption WITHOUT an asserted equivalence (scm-eqc2)
+        _iri("M", RDFS_SUBCLASSOF, "N"),
+        _iri("N", RDFS_SUBCLASSOF, "M"),
+    ]
+    out = {
+        (r.subj, r.pred, r.obj)
+        for r in rdfs_plus_entail(_triples(spark, asserted)).collect()
+    }
+    # instance typing crosses the equivalence in every direction
+    assert {("x", RDF_TYPE, "B"), ("x", RDF_TYPE, "C")} <= out
+    # both subClassOf directions materialized
+    assert {("A", RDFS_SUBCLASSOF, "B"), ("B", RDFS_SUBCLASSOF, "A"),
+            ("A", RDFS_SUBCLASSOF, "C"), ("C", RDFS_SUBCLASSOF, "A")} <= out
+    # ≡ symmetry + transitivity via scm-eqc2
+    assert {("B", OWL_EQCLASS, "A"), ("A", OWL_EQCLASS, "C"),
+            ("C", OWL_EQCLASS, "A")} <= out
+    # mutual subsumption alone derives ≡
+    assert {("M", OWL_EQCLASS, "N"), ("N", OWL_EQCLASS, "M")} <= out
+    # no reflexive A ≡ A noise from the cycle
+    assert not any(s == o and p == OWL_EQCLASS for s, p, o in out)
+    # property side: assertion carried across ≡ via rdfs7
+    assert {("s", "q", "o"), ("q", OWL_EQPROP, "p"),
+            ("p", RDFS_SUBPROPERTYOF, "q"), ("q", RDFS_SUBPROPERTYOF, "p")} <= out
+
+
+def test_rdfs_plus_equivalence_idempotent(spark):
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_EQCLASS,
+        rdfs_plus_entail,
+    )
+
+    asserted = [
+        _iri("A", OWL_EQCLASS, "B"),
+        _iri("x", RDF_TYPE, "A"),
+    ]
+    once = rdfs_plus_entail(_triples(spark, asserted))
+    rows1 = {(r.subj, r.pred, r.obj) for r in once.collect()}
+    twice = rdfs_plus_entail(once.select(*once.columns))
+    rows2 = {(r.subj, r.pred, r.obj) for r in twice.collect()}
+    assert rows1 == rows2
