@@ -138,3 +138,24 @@ def cascade_oracle(fx):
                 tuis, tstage = [], "remaining_without_tui"
         out[c] = (code, cuis, stage, tuis, tstage)
     return out
+
+
+def union_find_oracle(edges):
+    """Independent union-find canonicalization oracle (path-halving
+    find, min-root-wins merge) → {node: canonical} for every node seen
+    in ``edges``. Shared by the CC tests and the pipeline golden so the
+    two suites cannot drift apart."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}

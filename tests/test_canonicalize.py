@@ -14,21 +14,7 @@ from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
 )
 
 
-def _uf_oracle(edges: list[tuple[str, str]]) -> dict[str, str]:
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return {n: find(n) for n in parent}
+from .oracle import union_find_oracle as _uf_oracle
 
 
 def _check(spark, edges):

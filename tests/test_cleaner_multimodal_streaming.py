@@ -461,4 +461,9 @@ def test_streaming_dedup_null_text_matches_batch_hash(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = sorted(r["doc_id"] for r in spark.read.parquet(str(tmp_path / "nout")).collect())
-    assert len(got) == 2 and got[1] == 2 and got[0] in (0, 1), got
+    # docs 0/1/3 form ONE zero-content group arriving in one micro-batch:
+    # the survivor is whichever row the dedup state sees first (arbitrary
+    # within a batch — part-file/task order is not guaranteed), so any of
+    # the three may win; doc 2 always survives
+    assert len(got) == 2 and 2 in got, got
+    assert (set(got) - {2}).pop() in (0, 1, 3), got

@@ -170,9 +170,11 @@ def test_bgp_star_chain_join(tiny_triples):
           ?n skos:prefLabel ?nl .
           ?n <http://ex/region> ?r .
           ?r skos:prefLabel ?rl .
-        } ORDER BY ?n
+        } ORDER BY ?n ?rl
         """,
     ).collect()
+    # ORDER BY must determine every row fully — the two n2 rows tie on
+    # ?n alone and Spark gives no order guarantee among equal sort keys
     got = [(r["n"], r["nl"], r["rl"]) for r in out]
     assert got == [
         ("n1", "alpha", "west"),

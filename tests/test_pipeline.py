@@ -26,24 +26,13 @@ from sifr_project_java_ontology_processing_spark.plans.kg_pipeline import (
 )
 from sifr_project_java_ontology_processing_spark.sources.stage_store import StageStore
 
-from .oracle import cascade_oracle, mentions_oracle
+from .oracle import cascade_oracle, mentions_oracle, union_find_oracle
 
 
 def _uf(edges):
-    parent = {}
-
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return lambda x: find(x) if x in parent else x
+    # shared union-find oracle; identity for nodes outside any mapping
+    m = union_find_oracle(edges)
+    return lambda x: m.get(x, x)
 
 
 def golden_triples(fx) -> set[tuple[str, str, str]]:

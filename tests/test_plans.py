@@ -275,6 +275,10 @@ def test_triangle_count_no_cartesian_and_reuses_oriented(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "InMemoryTableScan" in plan, plan
     spark.catalog.clearCache()  # release the lazy path's oriented cache
-    # default path: result is checkpointed (cache released inside)
+    # default path: result is checkpointed (cache released inside) — the
+    # plan must be a materialized-RDD scan, NOT the live join tree. (An
+    # earlier 'or "Scan" in plan2' disjunct made this gate vacuous:
+    # every physical plan contains 'Scan'.)
     plan2 = _plan(triangle_count(e))
-    assert "ExistingRDD" in plan2 or "LogicalRDD" in plan2 or "Scan" in plan2, plan2
+    assert "ExistingRDD" in plan2 or "LogicalRDD" in plan2, plan2
+    assert "SortMergeJoin" not in plan2 and "ShuffledHashJoin" not in plan2, plan2

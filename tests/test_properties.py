@@ -109,9 +109,9 @@ def test_turtle_serialize_parse_roundtrip(rows):
 @settings(max_examples=150, deadline=None)
 @given(st.text(max_size=300))
 def test_turtle_parser_never_hangs_or_segfaults(s):
-    """Arbitrary garbage either parses or raises ValueError /
-    NotImplementedError — never an unbounded loop or a non-ValueError
-    crash (the strict-ingestion contract)."""
+    """Arbitrary garbage either parses or raises ValueError — never
+    an unbounded loop or any other exception type (the strict-ingestion
+    contract)."""
     from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
         parse_turtle_text,
     )

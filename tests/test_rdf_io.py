@@ -62,8 +62,8 @@ def test_ntriples_gz_and_comments(spark, tmp_path):
     by_pred = {}
     for r in rows:
         by_pred.setdefault(r["pred"], []).append(r)
-    assert by_pred["http://p/q"][0]["obj"] == "v"
-    # typed literal: datatype suffix stripped (P5 strip_xsd_type semantics)
+    # typed literal: datatype suffix stripped (P5 strip_xsd_type
+    # semantics); set comparison — collect() row order is not guaranteed
     assert {r["obj"] for r in by_pred["http://p/q"]} == {"v", "typed"}
     assert by_pred["http://p/r"][0]["obj"] == "_:blank1"
     assert by_pred["http://p/r"][0]["obj_is_literal"] is False

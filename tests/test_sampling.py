@@ -55,8 +55,8 @@ def test_upsample_copy_counts(spark):
     for r in out:
         by_id.setdefault(r["doc_id"], []).append(r["copy"])
     for i in range(200):
-        expect = 3 if _kept(i, 43, 0.3 + 1e-12) else 2
-        # threshold arithmetic: frac=0.3 exactly as the operator computes
+        # threshold arithmetic: frac = 2.3 - 2 exactly as the operator
+        # computes it (NOT a literal 0.3 — float subtraction differs)
         expect = 2 + (1 if _kept(i, 43, 2.3 - 2) else 0)
         assert sorted(by_id[i]) == list(range(expect)), (i, by_id[i])
     # rate < 1 degenerates to a sample with copy=0

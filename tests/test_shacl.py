@@ -22,7 +22,7 @@ def test_validate_shapes_all_constraints(spark):
         ("c1", "x:label", "GOOD-1", "en", True),
         _iri("c1", "x:in", "s1"),
         _iri("s1", RDF_TYPE, "x:Scheme"),
-        # c2: no label (min), two scheme links (max ok: max on label only)
+        # c2: no label (min_count violation); its single scheme link is fine
         _iri("c2", RDF_TYPE, "x:Concept"),
         _iri("c2", "x:in", "s1"),
         # c3: two labels (max violation), one fails the pattern
