@@ -722,3 +722,75 @@ def functional_violations(triples: DataFrame) -> DataFrame:
         .withColumn("kind", F.lit("inverse_functional"))
     )
     return f_out.unionByName(i_out)
+
+
+def ifp_entity_resolution(
+    triples: DataFrame,
+    *,
+    max_group: int | None = 10_000,
+) -> DataFrame:
+    """Entity resolution from inverse-functional-property collisions:
+    ``P a owl:InverseFunctionalProperty ∧ x P v ∧ y P v ⇒ x owl:sameAs
+    y`` — the OWL prp-ifp rule, resolved the way the rest of this
+    engine handles identity: as a CANONICAL-IRI MERGE MAP, not
+    materialized sameAs cliques (same stance as rdfs_plus_entail's
+    sameAs note). → (iri, canonical_iri) for every NON-CANONICAL member
+    of a merged component (roots and singletons absent — compose with
+    ``canonicalize.canonical_mapping`` semantics: nodes outside the map
+    are their own canonical).
+
+    Unlike ``functional_violations``'s IFP audit, the shared value here
+    may be ANY RDF term — the classic IFP keys (mbox, homepage, ISBN)
+    are often literals; full term identity (lexical form + lang +
+    literal flag) is the join key.
+
+    Scale shape: broadcast IFP-predicate semi-join slices the fact
+    stream; per (pred, value) collision group, a min-subject HUB emits
+    a STAR of k-1 edges — NEVER the O(k²) clique; the components are
+    identical, pair volume is linear. ``max_group`` skips collision
+    groups larger than the cap — a value shared by millions of subjects
+    (empty string, "n/a") is a data-quality artifact, and merging its
+    subjects would both be wrong and create the giant-component skew
+    this engine salts against elsewhere. Components close transitively
+    across predicates and values via ``connected_components`` (hybrid
+    driver/distributed, checkpointed rounds)."""
+    from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    t = triples.select(*_TRIPLE_COLS)
+    ifp = (
+        t.where(
+            (F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_INVERSE_FUNCTIONAL)
+        )
+        .select(F.col("subj").alias("_p"))
+        .distinct()
+    )
+    slice_ = (
+        t.join(F.broadcast(ifp), t["pred"] == ifp["_p"])
+        .select(
+            "pred",
+            F.concat_ws(
+                "\x1f",
+                F.col("obj"),
+                F.coalesce(F.col("obj_lang"), F.lit("")),
+                F.col("obj_is_literal").cast("string"),
+            ).alias("_val"),
+            "subj",
+        )
+        .dropDuplicates(["pred", "_val", "subj"])
+    )
+    hubs = (
+        slice_.groupBy("pred", "_val")
+        .agg(F.min("subj").alias("_hub"), F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+    )
+    if max_group is not None:
+        hubs = hubs.where(F.col("_n") <= max_group)
+    edges = (
+        slice_.join(hubs, ["pred", "_val"])
+        .where(F.col("subj") != F.col("_hub"))
+        .select(F.col("_hub").alias("src"), F.col("subj").alias("dst"))
+        .distinct()
+    )
+    return connected_components(edges)

@@ -485,3 +485,51 @@ def test_rdfs_plus_equivalence_idempotent(spark):
     twice = rdfs_plus_entail(once.select(*once.columns))
     rows2 = {(r.subj, r.pred, r.obj) for r in twice.collect()}
     assert rows1 == rows2
+
+
+def test_ifp_entity_resolution(spark):
+    """IFP collisions → canonical merge map (prp-ifp as identity merge):
+    literal-valued keys merge, components close transitively across
+    different values/predicates, non-IFP sharing never merges, and
+    oversize collision groups are skipped."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_INVERSE_FUNCTIONAL,
+        ifp_entity_resolution,
+    )
+
+    mbox, isbn, other = "p:mbox", "p:isbn", "p:tag"
+    asserted = [
+        _iri(mbox, RDF_TYPE, OWL_INVERSE_FUNCTIONAL),
+        _iri(isbn, RDF_TYPE, OWL_INVERSE_FUNCTIONAL),
+        # literal-valued IFP key shared by a and b
+        ("a", mbox, "x@e.org", None, True),
+        ("b", mbox, "x@e.org", None, True),
+        # b and c share a DIFFERENT key under a different IFP → one
+        # component {a, b, c} via transitivity
+        ("b", isbn, "978-1", None, True),
+        ("c", isbn, "978-1", None, True),
+        # duplicate assertion by ONE subject is not a collision
+        ("d", mbox, "only@e.org", None, True),
+        ("d", mbox, "only@e.org", None, True),
+        # sharing under a non-IFP predicate must not merge
+        ("e", other, "shared", None, True),
+        ("f", other, "shared", None, True),
+        # lang/literal-flag are part of value identity: no collision
+        ("g", mbox, "same", "en", True),
+        ("h", mbox, "same", "fr", True),
+    ]
+    got = {
+        (r["iri"], r["canonical_iri"])
+        for r in ifp_entity_resolution(_triples(spark, asserted)).collect()
+    }
+    assert got == {("b", "a"), ("c", "a")}  # root maps by absence
+
+    # max_group cap: a key shared by 3 subjects is skipped at cap 2
+    capped = [
+        _iri(mbox, RDF_TYPE, OWL_INVERSE_FUNCTIONAL),
+        ("a", mbox, "junk", None, True),
+        ("b", mbox, "junk", None, True),
+        ("c", mbox, "junk", None, True),
+    ]
+    out = ifp_entity_resolution(_triples(spark, capped), max_group=2).collect()
+    assert out == []
