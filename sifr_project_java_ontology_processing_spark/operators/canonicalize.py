@@ -172,6 +172,66 @@ def canonical_mapping(
     )
 
 
+def apply_canonical_map(
+    triples: DataFrame,
+    mapping: DataFrame,
+    *,
+    drop_self_loops: bool = True,
+) -> DataFrame:
+    """Rewrite a TRIPLES frame by a canonical-IRI merge map
+    (``(iri, canonical_iri)``, e.g. from ``canonical_mapping`` or
+    ``inference.ifp_entity_resolution``): subjects always rewrite;
+    objects rewrite only when ``obj_is_literal`` is false. Nodes absent
+    from the map are their own canonical (left join + coalesce — the
+    map holds only non-canonical members).
+
+    ``drop_self_loops`` removes identity edges MERGING CREATES
+    (canon(s) == canon(o) on a non-literal triple whose endpoints
+    differed before) — two distinct nodes collapsing onto one canonical
+    leave a meaningless self-reference — while preserving self-loops
+    already asserted in the input.
+
+    Scale shape: the map is component-members-sized (a dimension);
+    two broadcast left joins, zero fact-stream shuffles. This is the
+    same rewrite kg_pipeline applies inline to its six triple kinds,
+    exposed as a standalone operator so ER outputs compose:
+    detect (IFP / mappings) → components → rewrite."""
+    m = F.broadcast(mapping.select("iri", "canonical_iri"))
+    t = triples.join(
+        m.withColumnRenamed("iri", "subj").withColumnRenamed(
+            "canonical_iri", "_cs"
+        ),
+        "subj",
+        "left",
+    ).join(
+        m.withColumnRenamed("iri", "obj").withColumnRenamed(
+            "canonical_iri", "_co"
+        ),
+        "obj",
+        "left",
+    )
+    new_subj = F.coalesce("_cs", "subj")
+    new_obj = F.when(F.col("obj_is_literal"), F.col("obj")).otherwise(
+        F.coalesce("_co", "obj")
+    )
+    extra = [c for c in triples.columns if c not in ("subj", "pred", "obj")]
+    out = t.select(
+        new_subj.alias("subj"),
+        "pred",
+        new_obj.alias("obj"),
+        *extra,
+        # created-by-merge = endpoints differed before, agree after
+        (
+            ~F.col("obj_is_literal")
+            & (F.col("subj") != F.col("obj"))
+            & (new_subj == new_obj)
+        ).alias("_merged_loop"),
+    )
+    if drop_self_loops:
+        out = out.where(~F.col("_merged_loop"))
+    return out.drop("_merged_loop")
+
+
 # --------------------------------------------------------------------------
 # Skew handling: salted two-stage aggregation (north_rule requirement)
 # --------------------------------------------------------------------------

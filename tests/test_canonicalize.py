@@ -112,3 +112,67 @@ def test_salted_join_equals_plain_join(spark):
     # the join key includes the salt → the shuffle spreads the hot key
     plan = salted_join(facts, dim, "k", salt_buckets=8)._jdf.queryExecution().optimizedPlan().toString()
     assert "_salt" in plan
+
+
+def test_apply_canonical_map(spark):
+    """Standalone rewrite of a triples frame by a merge map: subjects
+    always, IRI objects only; merge-created self-loops drop while
+    asserted self-loops survive; unmapped nodes pass through."""
+    from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
+        apply_canonical_map,
+    )
+
+    S = "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean"
+    triples = spark.createDataFrame(
+        [
+            ("b", "p", "x", None, False),        # subj rewrites b→a
+            ("x", "p", "b", None, False),        # obj rewrites b→a
+            ("b", "lbl", "b", None, True),       # literal 'b' must NOT rewrite
+            ("a", "p", "b", None, False),        # both sides → a: merge loop, drops
+            ("z", "p", "z", None, False),        # asserted self-loop survives
+            ("u", "p", "v", None, False),        # unmapped passthrough
+        ],
+        S,
+    )
+    mapping = spark.createDataFrame([("b", "a")], "iri string, canonical_iri string")
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_is_literal)
+        for r in apply_canonical_map(triples, mapping).collect()
+    }
+    assert got == {
+        ("a", "p", "x", False),
+        ("x", "p", "a", False),
+        ("a", "lbl", "b", True),
+        ("z", "p", "z", False),
+        ("u", "p", "v", False),
+    }
+    # drop_self_loops=False keeps the merge-created loop
+    kept = apply_canonical_map(triples, mapping, drop_self_loops=False)
+    assert ("a", "p", "a") in {(r.subj, r.pred, r.obj) for r in kept.collect()}
+
+
+def test_ifp_resolution_composes_with_rewrite(spark):
+    """End-to-end ER: IFP collision → components → rewrite."""
+    from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
+        apply_canonical_map,
+    )
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_INVERSE_FUNCTIONAL,
+        RDF_TYPE,
+        ifp_entity_resolution,
+    )
+
+    S = "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean"
+    triples = spark.createDataFrame(
+        [
+            ("p:mbox", RDF_TYPE, OWL_INVERSE_FUNCTIONAL, None, False),
+            ("n2", "p:mbox", "k@e", None, True),
+            ("n1", "p:mbox", "k@e", None, True),
+            ("n2", "p:knows", "n9", None, False),
+        ],
+        S,
+    )
+    merged = apply_canonical_map(triples, ifp_entity_resolution(triples))
+    got = {(r.subj, r.pred, r.obj) for r in merged.collect()}
+    assert ("n1", "p:knows", "n9") in got          # n2 rewrote to n1
+    assert not any(s == "n2" for s, _, _ in got)   # n2 fully absorbed
