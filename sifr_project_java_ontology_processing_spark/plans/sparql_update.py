@@ -22,6 +22,16 @@ Supported forms (documented subset):
   EXISTS / MINUS / property paths).
 * ``op1 ; op2 ; ...`` — a sequence, applied left to right (SPARQL
   update-request semantics: each operation sees the previous result).
+* Named graphs, on a QUADS frame (triples + nullable ``graph`` column,
+  e.g. from ``read_nquads``): ``GRAPH <g> { ... }`` blocks inside
+  INSERT/DELETE DATA label their rows; ``WITH <g>`` before a templated
+  op makes g the active graph (WHERE matches inside g, templates
+  insert/delete inside g); a plain WHERE on a quads frame matches the
+  DEFAULT graph and its GRAPH blocks the named view — exactly
+  execute_bgp's dataset convention. Quad identity (delete/insert set
+  joins) includes the graph label null-safely. On a plain triples
+  frame, graph-targeted ops raise; graph-less updates behave
+  identically on both frame shapes.
 
 Scale design — why this is the 100 TB shape:
 
@@ -74,16 +84,22 @@ _TRIPLE_COLS = ("subj", "pred", "obj", "obj_lang", "obj_is_literal")
 class UpdateOp:
     """One parsed update operation."""
 
-    # ground rows for the DATA forms: (subj, pred, obj, lang, is_literal)
+    # ground rows for the DATA forms:
+    # (subj, pred, obj, lang, is_literal, graph-or-None)
     insert_rows: list[tuple] = field(default_factory=list)
     delete_rows: list[tuple] = field(default_factory=list)
     # template+WHERE forms
     delete_template: list[Pattern] | None = None
     insert_template: list[Pattern] | None = None
     where: Branch | None = None
+    # WITH <iri>: the active graph — WHERE matches inside it, templates
+    # insert/delete inside it (None = default graph)
+    graph: str | None = None
 
 
-def _ground_rows(patterns: list[Pattern], ctx: str) -> list[tuple]:
+def _ground_rows(
+    patterns: list[Pattern], ctx: str, graph: str | None = None
+) -> list[tuple]:
     rows = []
     for s, p, o in patterns:
         for t, pos in ((s, "subject"), (p, "predicate")):
@@ -100,6 +116,7 @@ def _ground_rows(patterns: list[Pattern], ctx: str) -> list[tuple]:
                 o.value,
                 o.lang if o.kind == "literal" else None,
                 o.kind == "literal",
+                graph,
             )
         )
     # set-dedupe here (driver-side, the block is literal text) so the
@@ -112,8 +129,14 @@ def _parse_template(p: _P, ctx: str) -> list[Pattern]:
     p.expect("{")
     b = Branch()
     _parse_group(p, b)
-    if b.filters or b.optionals or b.binds or b.values or b.exists or b.minus:
-        raise ValueError(f"UPDATE: {ctx} template must be plain triples")
+    if (
+        b.filters or b.optionals or b.binds or b.values or b.exists
+        or b.minus or b.graphs
+    ):
+        raise ValueError(
+            f"UPDATE: {ctx} template must be plain triples "
+            "(target a named graph with WITH <iri>)"
+        )
     for s, pr, o in b.patterns:
         if pr.kind not in ("iri", "var"):
             raise ValueError(f"UPDATE: {ctx} template predicates must be IRIs or vars")
@@ -132,6 +155,22 @@ def parse_update(text: str) -> list[UpdateOp]:
     while p.peek() is not None:
         tok = p.next().lower()
         op = UpdateOp()
+        if tok == "with":
+            # WITH <iri>: active graph for the following templated op
+            gterm = p.term()
+            if gterm.kind != "iri":
+                raise ValueError("UPDATE: WITH needs an <IRI>")
+            op.graph = gterm.value
+            if p.peek() is None:
+                raise ValueError("UPDATE: WITH needs an operation")
+            tok = p.next().lower()
+            if tok not in ("insert", "delete") or (
+                p.peek() and p.peek().lower() == "data"
+            ):
+                raise ValueError(
+                    "UPDATE: WITH applies to templated INSERT/DELETE ops "
+                    "(use GRAPH blocks inside DATA forms)"
+                )
         if tok in ("insert", "delete") and p.peek() and p.peek().lower() == "data":
             p.next()
             p.expect("{")
@@ -140,6 +179,12 @@ def parse_update(text: str) -> list[UpdateOp]:
             if b.filters or b.optionals or b.binds or b.values or b.exists or b.minus:
                 raise ValueError("UPDATE: DATA block must be plain triples")
             rows = _ground_rows(b.patterns, tok.upper())
+            # GRAPH <g> { ... } sub-blocks: ground rows labeled with g
+            for gterm, gpats in b.graphs:
+                if gterm.kind != "iri":
+                    raise ValueError("UPDATE: GRAPH in DATA needs an <IRI>")
+                rows += _ground_rows(gpats, tok.upper(), graph=gterm.value)
+            rows = list(dict.fromkeys(rows))
             if tok == "insert":
                 op.insert_rows = rows
             else:
@@ -175,34 +220,58 @@ def parse_update(text: str) -> list[UpdateOp]:
     return ops
 
 
-def _rows_frame(triples: DataFrame, rows: list[tuple]) -> DataFrame:
-    return triples.sparkSession.createDataFrame(
-        rows,
+def _rows_frame(
+    triples: DataFrame, rows: list[tuple], *, quads: bool
+) -> DataFrame:
+    ddl = (
         "`subj` string, `pred` string, `obj` string, "
-        "`obj_lang` string, `obj_is_literal` boolean",
+        "`obj_lang` string, `obj_is_literal` boolean"
+    )
+    if quads:
+        return triples.sparkSession.createDataFrame(
+            rows, ddl + ", `graph` string"
+        )
+    return triples.sparkSession.createDataFrame(
+        [r[:5] for r in rows], ddl
     )
 
 
-def _identity_cond(l: str, r: str):  # noqa: E741 - l/r read naturally here
+def _identity_cond(l: str, r: str, *, quads: bool = False):  # noqa: E741
     c = F.col
-    return (
+    cond = (
         (c(f"{l}.subj") == c(f"{r}.subj"))
         & (c(f"{l}.pred") == c(f"{r}.pred"))
         & (c(f"{l}.obj") == c(f"{r}.obj"))
         & c(f"{l}.obj_lang").eqNullSafe(c(f"{r}.obj_lang"))
         & (c(f"{l}.obj_is_literal") == c(f"{r}.obj_is_literal"))
     )
+    if quads:
+        # quad identity includes the graph label (NULL = default graph,
+        # compared null-safely like obj_lang)
+        cond = cond & c(f"{l}.graph").eqNullSafe(c(f"{r}.graph"))
+    return cond
 
 
 def _apply_one(
     triples: DataFrame, op: UpdateOp, *, hint_broadcast: bool
 ) -> DataFrame:
+    quads = "graph" in triples.columns
+    if not quads and (
+        op.graph is not None
+        or any(r[5] is not None for r in op.insert_rows)
+        or any(r[5] is not None for r in op.delete_rows)
+    ):
+        raise ValueError(
+            "UPDATE: graph-targeted operation (WITH / GRAPH) needs a "
+            "quads frame (triples + 'graph' column, e.g. read_nquads)"
+        )
+    cols = (*_TRIPLE_COLS, "graph") if quads else _TRIPLE_COLS
     deletes: DataFrame | None = None
     inserts: DataFrame | None = None
     if op.delete_rows:
-        deletes = _rows_frame(triples, op.delete_rows)
+        deletes = _rows_frame(triples, op.delete_rows, quads=quads)
     if op.insert_rows:
-        inserts = _rows_frame(triples, op.insert_rows)
+        inserts = _rows_frame(triples, op.insert_rows, quads=quads)
     if op.where is not None:
         want_meta = frozenset(
             t.value
@@ -211,33 +280,62 @@ def _apply_one(
             for t in (pat[2],)
             if t.kind == "var"
         )
-        acc, bound = _exec_branch(triples, op.where, want_meta)
+        # Dataset views mirror execute_bgp's convention: on a quads
+        # frame, plain WHERE patterns match the DEFAULT graph (NULL
+        # label) and GRAPH blocks the named view. WITH <g> swaps the
+        # active graph to g (per SPARQL WITH semantics); GRAPH blocks
+        # inside a WITH-scoped WHERE would need the full dataset, so
+        # they are rejected as out of subset.
+        src, named = triples, None
+        if quads:
+            if op.graph is not None:
+                if op.where.graphs:
+                    raise ValueError(
+                        "UPDATE: GRAPH inside a WITH-scoped WHERE is not supported"
+                    )
+                src = triples.where(
+                    F.col("graph").eqNullSafe(F.lit(op.graph))
+                ).select(*_TRIPLE_COLS)
+            else:
+                src = triples.where(F.col("graph").isNull()).select(
+                    *_TRIPLE_COLS
+                )
+                named = triples.where(F.col("graph").isNotNull())
+        acc, bound = _exec_branch(src, op.where, want_meta, named)
         if op.delete_template:
             deletes = _emit_construct(acc, op.delete_template, bound)
         if op.insert_template:
             inserts = _emit_construct(acc, op.insert_template, bound)
+        if quads and deletes is not None and "graph" not in deletes.columns:
+            deletes = deletes.withColumn(
+                "graph", F.lit(op.graph).cast("string")
+            )
+        if quads and inserts is not None and "graph" not in inserts.columns:
+            inserts = inserts.withColumn(
+                "graph", F.lit(op.graph).cast("string")
+            )
 
-    kept = triples.select(*_TRIPLE_COLS)
+    kept = triples.select(*cols)
     if deletes is not None:
         d = F.broadcast(deletes) if hint_broadcast else deletes
         kept = kept.alias("l").join(
-            d.alias("r"), _identity_cond("l", "r"), "left_anti"
+            d.alias("r"), _identity_cond("l", "r", quads=quads), "left_anti"
         )
     if inserts is not None:
         # already set-deduped: DATA rows in the parser, template inserts
         # by _emit_construct's distinct() (a CONSTRUCT result is a graph)
-        ins = inserts.select(*_TRIPLE_COLS)
+        ins = inserts.select(*cols)
         ins_b = F.broadcast(ins) if hint_broadcast else ins
         # which inserts already exist POST-delete (re-inserting a deleted
         # triple must re-add it) — broadcast semi probe, small output
         # (≤ |inserts| up to base-side duplicates, which the anti join
         # below tolerates on its right side)
         existing = kept.alias("l").join(
-            ins_b.alias("r"), _identity_cond("l", "r"), "left_semi"
+            ins_b.alias("r"), _identity_cond("l", "r", quads=quads), "left_semi"
         )
         new = ins.alias("l").join(
             (F.broadcast(existing) if hint_broadcast else existing).alias("r"),
-            _identity_cond("l", "r"),
+            _identity_cond("l", "r", quads=quads),
             "left_anti",
         )
         kept = kept.unionByName(new)

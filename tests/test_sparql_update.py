@@ -201,3 +201,117 @@ def test_prefix_keyword_inside_literal_survives(graph):
         for r in out.where(F.col("pred") == f"{EX}note").collect()
     }
     assert notes == {lit}
+
+
+QROWS = [
+    ("http://ex/a", f"{EX}knows", "http://ex/b", None, False, None),
+    ("http://ex/a", f"{SKOS}prefLabel", "Alpha", "en", True, None),
+    ("http://ex/a", f"{EX}knows", "http://ex/c", None, False, "http://g/one"),
+    ("http://ex/c", f"{SKOS}prefLabel", "Gamma", None, True, "http://g/one"),
+    ("http://ex/d", f"{EX}knows", "http://ex/a", None, False, "http://g/two"),
+]
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    return spark.createDataFrame(
+        QROWS,
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean, graph string",
+    ).cache()
+
+
+def _qset(df):
+    return {
+        (r.subj, r.pred, r.obj, r.obj_lang, r.obj_is_literal, r.graph)
+        for r in df.collect()
+    }
+
+
+def test_insert_data_graph_blocks(quads):
+    out = apply_update(
+        quads,
+        'INSERT DATA { <http://ex/n> <http://ex/p> "v" . '
+        'GRAPH <http://g/one> { <http://ex/n> <http://ex/p> "v" } }',
+    )
+    got = _qset(out)
+    assert ("http://ex/n", "http://ex/p", "v", None, True, None) in got
+    assert ("http://ex/n", "http://ex/p", "v", None, True, "http://g/one") in got
+    assert len(got) == len(QROWS) + 2
+
+
+def test_delete_data_is_graph_scoped(quads):
+    # deleting the default-graph row leaves the same triple in g/one
+    out = apply_update(
+        quads,
+        f"DELETE DATA {{ <http://ex/a> <{EX}knows> <http://ex/b> }}",
+    )
+    got = _qset(out)
+    assert ("http://ex/a", f"{EX}knows", "http://ex/b", None, False, None) not in got
+    assert ("http://ex/a", f"{EX}knows", "http://ex/c", None, False, "http://g/one") in got
+    # the named-graph twin requires the GRAPH block
+    out2 = apply_update(
+        quads,
+        f"DELETE DATA {{ GRAPH <http://g/one> {{ "
+        f"<http://ex/a> <{EX}knows> <http://ex/c> }} }}",
+    )
+    got2 = _qset(out2)
+    assert ("http://ex/a", f"{EX}knows", "http://ex/c", None, False, "http://g/one") not in got2
+    assert len(got2) == len(QROWS) - 1
+
+
+def test_with_scopes_where_and_templates(quads):
+    """WITH <g>: WHERE matches inside g only; inserts land in g."""
+    out = apply_update(
+        quads,
+        f"WITH <http://g/one> "
+        f"INSERT {{ ?s <{EX}mentioned> ?o . }} "
+        f"WHERE {{ ?s <{EX}knows> ?o }}",
+    )
+    got = _qset(out)
+    # derived from g/one's (a knows c); default-graph (a knows b) and
+    # g/two's (d knows a) must NOT contribute
+    assert ("http://ex/a", f"{EX}mentioned", "http://ex/c", None, False, "http://g/one") in got
+    assert len(got) == len(QROWS) + 1
+
+
+def test_plain_where_matches_default_graph_only(quads):
+    out = apply_update(
+        quads,
+        f"INSERT {{ ?s <{EX}seen> ?o . }} WHERE {{ ?s <{EX}knows> ?o }}",
+    )
+    got = _qset(out)
+    assert ("http://ex/a", f"{EX}seen", "http://ex/b", None, False, None) in got
+    assert len(got) == len(QROWS) + 1  # only the default-graph match
+
+
+def test_graph_block_in_where_with_default_template(quads):
+    out = apply_update(
+        quads,
+        f"INSERT {{ ?s <{EX}linked> ?o . }} "
+        f"WHERE {{ GRAPH <http://g/two> {{ ?s <{EX}knows> ?o }} }}",
+    )
+    got = _qset(out)
+    assert ("http://ex/d", f"{EX}linked", "http://ex/a", None, False, None) in got
+    assert len(got) == len(QROWS) + 1
+
+
+def test_graph_update_on_triples_frame_raises(graph):
+    with pytest.raises(ValueError, match="quads frame"):
+        apply_update(
+            graph,
+            'INSERT DATA { GRAPH <http://g/x> { <http://s> <http://p> "v" } }',
+        )
+    with pytest.raises(ValueError, match="quads frame"):
+        apply_update(
+            graph,
+            f"WITH <http://g/x> DELETE {{ ?s <{EX}knows> ?o . }} "
+            f"WHERE {{ ?s <{EX}knows> ?o }}",
+        )
+
+
+def test_with_data_form_rejected(quads):
+    with pytest.raises(ValueError, match="WITH applies"):
+        apply_update(
+            quads, 'WITH <http://g/x> INSERT DATA { <http://s> <http://p> "v" }'
+        )
