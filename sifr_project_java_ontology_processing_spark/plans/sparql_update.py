@@ -32,6 +32,12 @@ Supported forms (documented subset):
   joins) includes the graph label null-safely. On a plain triples
   frame, graph-targeted ops raise; graph-less updates behave
   identically on both frame shapes.
+* Graph management (§3.2): ``CLEAR/DROP [SILENT] GRAPH <g> | DEFAULT
+  | NAMED | ALL`` (DROP ≡ CLEAR — a graph exists exactly while it has
+  rows) and ``COPY/MOVE/ADD [SILENT] src TO dst`` (COPY replaces dst,
+  ADD set-unions into it, MOVE also clears src; src = dst is a no-op
+  per spec). All are pure filters/unions over the quads frame — the
+  only join is ADD's anti-join, hinted like the insert path.
 
 Scale design — why this is the 100 TB shape:
 
@@ -95,6 +101,13 @@ class UpdateOp:
     # WITH <iri>: the active graph — WHERE matches inside it, templates
     # insert/delete inside it (None = default graph)
     graph: str | None = None
+    # graph management (SPARQL 1.1 Update §3.2), quads frames only:
+    # ("clear", target) with target an IRI | "DEFAULT" | "NAMED" | "ALL",
+    # or ("copy"|"move"|"add", src, dst) with src/dst an IRI | "DEFAULT".
+    # DROP ≡ CLEAR here: a graph exists exactly while it has rows (no
+    # empty-graph registry), which is also why SILENT is accepted and
+    # ignored — there is nothing to be non-silent about.
+    manage: tuple | None = None
 
 
 def _ground_rows(
@@ -152,9 +165,49 @@ def parse_update(text: str) -> list[UpdateOp]:
     prefixes.update(declared)
     p = _P(_tokenize(body), prefixes)
     ops: list[UpdateOp] = []
+    def _graph_ref(p: _P, ctx: str, *, clear_forms: bool) -> str:
+        nxt = p.peek()
+        if nxt is None:
+            raise ValueError(f"UPDATE: {ctx} needs a graph reference")
+        low = nxt.lower()
+        if low == "graph":
+            p.next()
+            t = p.term()
+            if t.kind != "iri":
+                raise ValueError(f"UPDATE: {ctx} GRAPH needs an <IRI>")
+            return t.value
+        if low == "default":
+            p.next()
+            return "DEFAULT"
+        if clear_forms and low in ("named", "all"):
+            p.next()
+            return low.upper()
+        # bare <iri>: legal per the COPY/MOVE/ADD grammar (GraphOrDefault
+        # ::= DEFAULT | GRAPH? iri); accepted for CLEAR/DROP too as a
+        # harmless superset of GraphRefAll
+        t = p.term()
+        if t.kind != "iri":
+            raise ValueError(f"UPDATE: {ctx} needs GRAPH <iri> | DEFAULT")
+        return t.value
+
     while p.peek() is not None:
         tok = p.next().lower()
         op = UpdateOp()
+        if tok in ("clear", "drop", "copy", "move", "add"):
+            if p.peek() and p.peek().lower() == "silent":
+                p.next()
+            if tok in ("clear", "drop"):
+                op.manage = ("clear", _graph_ref(p, tok.upper(), clear_forms=True))
+            else:
+                src = _graph_ref(p, tok.upper(), clear_forms=False)
+                if p.peek() is None or p.next().lower() != "to":
+                    raise ValueError(f"UPDATE: {tok.upper()} needs 'TO'")
+                dst = _graph_ref(p, tok.upper(), clear_forms=False)
+                op.manage = (tok, src, dst)
+            ops.append(op)
+            if p.peek() == ";":
+                p.next()
+            continue
         if tok == "with":
             # WITH <iri>: active graph for the following templated op
             gterm = p.term()
@@ -252,10 +305,62 @@ def _identity_cond(l: str, r: str, *, quads: bool = False):  # noqa: E741
     return cond
 
 
+def _apply_manage(
+    quads_df: DataFrame, manage: tuple, *, hint_broadcast: bool
+) -> DataFrame:
+    g = F.col("graph")
+
+    def _sel(ref: str):  # rows IN the referenced graph
+        return g.isNull() if ref == "DEFAULT" else g.eqNullSafe(F.lit(ref))
+
+    if manage[0] == "clear":
+        target = manage[1]
+        if target == "ALL":
+            return quads_df.where(F.lit(False))
+        if target == "NAMED":
+            return quads_df.where(g.isNull())
+        return quads_df.where(~_sel(target))
+    kind, src, dst = manage
+    if src == dst:
+        return quads_df  # COPY/MOVE/ADD g TO g is a no-op
+    dst_lit = F.lit(None).cast("string") if dst == "DEFAULT" else F.lit(dst)
+    relabeled = quads_df.where(_sel(src)).withColumn("graph", dst_lit)
+    if kind == "copy":
+        # dst is REPLACED by src's content
+        return quads_df.where(~_sel(dst)).unionByName(relabeled)
+    if kind == "move":
+        return (
+            quads_df.where(~_sel(dst) & ~_sel(src)).unionByName(relabeled)
+        )
+    # add: set-union into dst — anti-join the relabeled src rows against
+    # the existing dst slice (hinted broadcast like the insert path;
+    # pass hint_broadcast=False when dst is the big side and AQE should
+    # pick the strategy)
+    existing = quads_df.where(_sel(dst))
+    ex = F.broadcast(existing) if hint_broadcast else existing
+    new = relabeled.alias("l").join(
+        ex.alias("r"),
+        _identity_cond("l", "r", quads=True),
+        "left_anti",
+    )
+    return quads_df.unionByName(new)
+
+
 def _apply_one(
     triples: DataFrame, op: UpdateOp, *, hint_broadcast: bool
 ) -> DataFrame:
     quads = "graph" in triples.columns
+    if op.manage is not None:
+        if not quads:
+            raise ValueError(
+                "UPDATE: graph management (CLEAR/DROP/COPY/MOVE/ADD) needs "
+                "a quads frame (triples + 'graph' column)"
+            )
+        return _apply_manage(
+            triples.select(*_TRIPLE_COLS, "graph"),
+            op.manage,
+            hint_broadcast=hint_broadcast,
+        )
     if not quads and (
         op.graph is not None
         or any(r[5] is not None for r in op.insert_rows)

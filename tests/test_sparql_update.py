@@ -315,3 +315,50 @@ def test_with_data_form_rejected(quads):
         apply_update(
             quads, 'WITH <http://g/x> INSERT DATA { <http://s> <http://p> "v" }'
         )
+
+
+QROWS_SET = {tuple(r) for r in QROWS}
+
+
+def test_graph_management_ops(quads):
+    """CLEAR / DROP / COPY / MOVE / ADD over the quads frame."""
+    # CLEAR GRAPH <g>
+    got = _qset(apply_update(quads, "CLEAR GRAPH <http://g/one>"))
+    assert not any(g == "http://g/one" for *_, g in got) and len(got) == 3
+    # DROP SILENT ≡ CLEAR
+    assert got == _qset(apply_update(quads, "DROP SILENT GRAPH <http://g/one>"))
+    # CLEAR DEFAULT keeps only named rows
+    got_d = _qset(apply_update(quads, "CLEAR DEFAULT"))
+    assert all(g is not None for *_, g in got_d) and len(got_d) == 3
+    # CLEAR NAMED keeps only the default graph
+    got_n = _qset(apply_update(quads, "CLEAR NAMED"))
+    assert all(g is None for *_, g in got_n) and len(got_n) == 2
+    # CLEAR ALL
+    assert _qset(apply_update(quads, "CLEAR ALL")) == set()
+
+    # COPY replaces dst with src content
+    got_c = _qset(apply_update(quads, "COPY DEFAULT TO GRAPH <http://g/two>"))
+    two = {(s, p, o) for s, p, o, _l, _il, g in got_c if g == "http://g/two"}
+    dflt = {(s, p, o) for s, p, o, _l, _il, g in QROWS_SET if g is None}
+    assert two == dflt and len(got_c) == 2 + 2 + 2  # default + g/one + copied
+
+    # ADD set-unions (no replacement, no duplicates on repeat)
+    got_a = _qset(apply_update(quads, "ADD DEFAULT TO <http://g/two> ; "
+                                      "ADD DEFAULT TO <http://g/two>"))
+    two_a = {x for x in got_a if x[5] == "http://g/two"}
+    assert len(two_a) == 3  # original 1 + 2 added
+    assert len(got_a) == len(QROWS_SET) + 2
+
+    # MOVE clears src and replaces dst
+    got_m = _qset(apply_update(quads, "MOVE GRAPH <http://g/one> TO DEFAULT"))
+    assert not any(g == "http://g/one" for *_, g in got_m)
+    new_default = {(s, p, o) for s, p, o, _l, _il, g in got_m if g is None}
+    src_was = {(s, p, o) for s, p, o, _l, _il, g in QROWS_SET if g == "http://g/one"}
+    assert new_default == src_was  # default REPLACED by g/one content
+    # COPY g TO g is a no-op
+    assert _qset(apply_update(quads, "COPY GRAPH <http://g/one> TO <http://g/one>")) == QROWS_SET
+
+    # management on a triples frame raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="quads frame"):
+        apply_update(quads.drop("graph"), "CLEAR ALL")
