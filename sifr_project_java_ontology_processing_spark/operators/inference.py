@@ -724,10 +724,42 @@ def functional_violations(triples: DataFrame) -> DataFrame:
     return f_out.unionByName(i_out)
 
 
+def _collision_star_edges(
+    slice_: DataFrame, max_group: int | None
+) -> DataFrame:
+    """(key..., member) → star edges (min-member hub, k-1 edges per
+    collision group); groups above ``max_group`` members are skipped.
+    ``slice_`` columns: any number of key columns plus ``member``."""
+    keys = [c for c in slice_.columns if c != "member"]
+    slice_ = slice_.dropDuplicates([*keys, "member"])
+    hubs = (
+        slice_.groupBy(*keys)
+        .agg(F.min("member").alias("_hub"), F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+    )
+    if max_group is not None:
+        hubs = hubs.where(F.col("_n") <= max_group)
+    return (
+        slice_.join(hubs, keys)
+        .where(F.col("member") != F.col("_hub"))
+        .select(F.col("_hub").alias("src"), F.col("member").alias("dst"))
+        .distinct()
+    )
+
+
+def _declared_props(t: DataFrame, type_iri: str) -> DataFrame:
+    return (
+        t.where((F.col("pred") == RDF_TYPE) & (F.col("obj") == type_iri))
+        .select(F.col("subj").alias("_p"))
+        .distinct()
+    )
+
+
 def ifp_entity_resolution(
     triples: DataFrame,
     *,
     max_group: int | None = 10_000,
+    include_functional: bool = False,
 ) -> DataFrame:
     """Entity resolution from inverse-functional-property collisions:
     ``P a owl:InverseFunctionalProperty ∧ x P v ∧ y P v ⇒ x owl:sameAs
@@ -753,44 +785,39 @@ def ifp_entity_resolution(
     subjects would both be wrong and create the giant-component skew
     this engine salts against elsewhere. Components close transitively
     across predicates and values via ``connected_components`` (hybrid
-    driver/distributed, checkpointed rounds)."""
+    driver/distributed, checkpointed rounds).
+
+    ``include_functional=True`` adds the prp-fp twin: a FUNCTIONAL
+    property asserted twice on one subject merges its IRI values
+    (``x P a ∧ x P b ⇒ a sameAs b``); both rule families contribute
+    edges to the same component closure."""
     from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
         connected_components,
     )
 
     t = triples.select(*_TRIPLE_COLS)
-    ifp = (
-        t.where(
-            (F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_INVERSE_FUNCTIONAL)
+    ifp = _declared_props(t, OWL_INVERSE_FUNCTIONAL)
+    ifp_slice = t.join(F.broadcast(ifp), t["pred"] == ifp["_p"]).select(
+        "pred",
+        F.concat_ws(
+            "\x1f",
+            F.col("obj"),
+            F.coalesce(F.col("obj_lang"), F.lit("")),
+            F.col("obj_is_literal").cast("string"),
+        ).alias("_key"),
+        F.col("subj").alias("member"),
+    )
+    edges = _collision_star_edges(ifp_slice, max_group)
+    if include_functional:
+        # prp-fp: (P functional) ∧ (x P a) ∧ (x P b) ⇒ a sameAs b —
+        # merges the IRI VALUES this time (a functional property with
+        # two distinct LITERAL values is an inconsistency, which
+        # functional_violations reports; literals cannot be merged)
+        fp = _declared_props(t, OWL_FUNCTIONAL)
+        fp_slice = (
+            t.where(~F.col("obj_is_literal"))
+            .join(F.broadcast(fp), t["pred"] == fp["_p"])
+            .select("pred", F.col("subj").alias("_key"), F.col("obj").alias("member"))
         )
-        .select(F.col("subj").alias("_p"))
-        .distinct()
-    )
-    slice_ = (
-        t.join(F.broadcast(ifp), t["pred"] == ifp["_p"])
-        .select(
-            "pred",
-            F.concat_ws(
-                "\x1f",
-                F.col("obj"),
-                F.coalesce(F.col("obj_lang"), F.lit("")),
-                F.col("obj_is_literal").cast("string"),
-            ).alias("_val"),
-            "subj",
-        )
-        .dropDuplicates(["pred", "_val", "subj"])
-    )
-    hubs = (
-        slice_.groupBy("pred", "_val")
-        .agg(F.min("subj").alias("_hub"), F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > 1)
-    )
-    if max_group is not None:
-        hubs = hubs.where(F.col("_n") <= max_group)
-    edges = (
-        slice_.join(hubs, ["pred", "_val"])
-        .where(F.col("subj") != F.col("_hub"))
-        .select(F.col("_hub").alias("src"), F.col("subj").alias("dst"))
-        .distinct()
-    )
+        edges = edges.unionByName(_collision_star_edges(fp_slice, max_group))
     return connected_components(edges)

@@ -533,3 +533,40 @@ def test_ifp_entity_resolution(spark):
     ]
     out = ifp_entity_resolution(_triples(spark, capped), max_group=2).collect()
     assert out == []
+
+
+def test_fp_value_merge(spark):
+    """include_functional: a functional property asserted twice on one
+    subject merges its IRI values (prp-fp); literal double-assertion is
+    an inconsistency for the audit, never a merge; cross-family edges
+    (IFP + FP) close into one component."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_FUNCTIONAL,
+        OWL_INVERSE_FUNCTIONAL,
+        ifp_entity_resolution,
+    )
+
+    fp, ifp = "p:primary", "p:mbox"
+    asserted = [
+        _iri(fp, RDF_TYPE, OWL_FUNCTIONAL),
+        _iri(ifp, RDF_TYPE, OWL_INVERSE_FUNCTIONAL),
+        _iri("x", fp, "A"),
+        _iri("x", fp, "B"),                 # prp-fp: A ≡ B
+        ("y", fp, "lit1", None, True),
+        ("y", fp, "lit2", None, True),      # inconsistency, NOT a merge
+        ("B", ifp, "k@e", None, True),
+        ("C", ifp, "k@e", None, True),      # IFP: B ≡ C → {A,B,C}
+    ]
+    got = {
+        (r["iri"], r["canonical_iri"])
+        for r in ifp_entity_resolution(
+            _triples(spark, asserted), include_functional=True
+        ).collect()
+    }
+    assert got == {("B", "A"), ("C", "A")}
+    # default (IFP only): just B≡C
+    got2 = {
+        (r["iri"], r["canonical_iri"])
+        for r in ifp_entity_resolution(_triples(spark, asserted)).collect()
+    }
+    assert got2 == {("C", "B")}
