@@ -207,3 +207,71 @@ def repetition_ratios(
         F.round(dup_frac, 6).alias("dup_bigram_frac"),
         F.round(top_frac, 6).alias("top_token_frac"),
     )
+
+
+def _nfkc_clean(s: str) -> str:
+    """Pure function: one document's normalization (tested directly;
+    the distributed twin maps it over Arrow batches)."""
+    import re as _re
+    import unicodedata as _u
+
+    s = _u.normalize("NFKC", s)
+    # drop control/format chars (Cc/Cf: zero-width spaces/joiners, BOM,
+    # bidi marks, raw control bytes) EXCEPT \n and \t, which carry
+    # document structure
+    s = "".join(
+        ch
+        for ch in s
+        if ch in "\n\t" or _u.category(ch) not in ("Cc", "Cf")
+    )
+    s = _re.sub(r"[ \t]+", " ", s)       # space/tab runs → one space
+    s = _re.sub(r" ?\n ?", "\n", s)      # spaces hugging a newline
+    s = _re.sub(r"\n{3,}", "\n\n", s)    # 3+ blank lines → one blank
+    return s.strip()
+
+
+def normalize_corpus(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode text normalization — the standard pre-tokenization pass
+    of a training-data pipeline (task mandate, text-analysis family):
+
+    * NFKC normalization (ligatures ``ﬁ``→``fi``, fullwidth ``Ａ``→A,
+      circled digits, compatibility forms) so dedup/token counts see
+      one lexical form per grapheme;
+    * control/format characters stripped (zero-width space/joiner,
+      BOM, bidi embedding marks — classic web-crawl junk that splits
+      tokens invisibly) with ``\\n``/``\\t`` preserved as structure;
+    * whitespace canonicalized: space/tab runs collapse to one space,
+      spaces hugging newlines drop, ≥3 consecutive newlines collapse
+      to a paragraph break, outer whitespace trimmed.
+
+    → every input row with ``text`` replaced by its normalized form and
+    ``text_changed`` marking rows the pass altered (cheap drift metric:
+    ``sum(text_changed)`` per partition rides the lineage table).
+    NULL text stays NULL (``text_changed`` false) — the same
+    never-drop-rows stance as curate_corpus.
+
+    Scale shape: map-only ``mapInPandas`` (Arrow batches; unicodedata
+    is per-string Python, ~1M docs/s/core on web-length texts), zero
+    shuffle, columns beyond (id, text) pass through untouched."""
+    import pandas as pd
+
+    out_fields = []
+    for f in docs.schema.fields:
+        out_fields.append(f"`{f.name}` {f.dataType.simpleString()}")
+    schema = ", ".join(out_fields) + ", `text_changed` boolean"
+    names = [f.name for f in docs.schema.fields]
+
+    def _batches(it):
+        for pdf in it:
+            texts = pdf[text_col]
+            norm = texts.map(lambda s: _nfkc_clean(s) if s is not None else None)
+            out = pdf[names].copy()
+            out[text_col] = norm
+            out["text_changed"] = [
+                a is not None and a != b for a, b in zip(texts, norm)
+            ]
+            yield out
+
+    return docs.mapInPandas(_batches, schema=schema)

@@ -196,3 +196,41 @@ def test_curate_corpus_null_text_not_dropped(spark):
     assert got[2] == ("quality", 2)   # keeper of the empty-content group
     assert got[3] == ("exact_dup", 2)
     assert got[4] == ("exact_dup", 2)
+
+
+def test_nfkc_clean_pure():
+    from sifr_project_java_ontology_processing_spark.operators.textanalysis import (
+        _nfkc_clean,
+    )
+
+    # NFKC folds: ligature, fullwidth, circled digit, compatibility space
+    assert _nfkc_clean("ﬁle Ａ ① x y") == "file A 1 x y"
+    # zero-width junk and BOM vanish; bidi marks vanish
+    assert _nfkc_clean("a​b﻿c‪d") == "abcd"
+    # structure preserved, whitespace canonicalized
+    assert _nfkc_clean("a  \t b\n\n\n\nc \n d") == "a b\n\nc\nd"
+    # raw control chars stripped, \t kept as a space-class char
+    assert _nfkc_clean("x\x07y\tz") == "x\x07y z".replace("\x07", "") == "xy z"
+
+
+def test_normalize_corpus_distributed(spark):
+    from sifr_project_java_ontology_processing_spark.operators.textanalysis import (
+        _nfkc_clean,
+        normalize_corpus,
+    )
+
+    rows = [
+        (1, "ﬁne​ text", "en"),
+        (2, "already clean", "en"),
+        (3, None, "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: (r["text"], r["text_changed"], r["lang"])
+           for r in normalize_corpus(docs).collect()}
+    assert got[1] == (_nfkc_clean("ﬁne​ text"), True, "en")
+    assert got[1][0] == "fine text"
+    assert got[2] == ("already clean", False, "en")
+    assert got[3] == (None, False, "fr")   # NULL survives, unchanged
+    # map-only: no shuffle in the plan
+    plan = normalize_corpus(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
