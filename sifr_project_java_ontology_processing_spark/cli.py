@@ -21,6 +21,7 @@ import argparse
 import sys
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def _spark(app: str) -> SparkSession:
@@ -30,8 +31,6 @@ def _spark(app: str) -> SparkSession:
 
 
 def cmd_enrich(args: argparse.Namespace) -> int:
-    from pyspark.sql import functions as F
-
     from sifr_project_java_ontology_processing_spark.operators.cascade import (
         cui_cascade,
         reject_sink,
@@ -167,6 +166,39 @@ def cmd_clean(args: argparse.Namespace) -> int:
     return 0
 
 
+def _kg_run_fingerprint(args: argparse.Namespace) -> str:
+    """Deterministic run id from the INPUTS and plan-shaping flags.
+
+    StageStore resume is keyed on (run_id, stage name) markers only —
+    with checkpointing now on by default, a fixed default run id would
+    silently serve STALE snapshots when the user reruns into the same
+    --out with different inputs or flags. Fingerprinting (path + file
+    sizes/mtimes where locally statable + flags) means: same inputs →
+    true crash-resume; anything changed → a fresh stage namespace.
+    An explicit --run-id still overrides (the documented sharp knife
+    for cross-invocation resume on remote storage)."""
+    import hashlib
+    import os
+
+    parts: list[str] = []
+    for path in (args.pages, args.labels, args.mappings,
+                 args.umls_concepts, args.umls_semtypes):
+        parts.append(path)
+        if os.path.isfile(path):
+            st = os.stat(path)
+            parts.append(f"{st.st_size}:{int(st.st_mtime)}")
+        elif os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for fn in sorted(files):
+                    st = os.stat(os.path.join(root, fn))
+                    parts.append(f"{fn}:{st.st_size}:{int(st.st_mtime)}")
+    parts.append(
+        f"dc={args.disambiguate};mc={args.match};sl={args.score_links};"
+        f"nbl={args.no_broadcast_labels}"
+    )
+    return "auto-" + hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def cmd_kg(args: argparse.Namespace) -> int:
     from sifr_project_java_ontology_processing_spark.plans.kg_pipeline import (
         run_kg_pipeline,
@@ -188,7 +220,7 @@ def cmd_kg(args: argparse.Namespace) -> int:
 
         result = run_kg_pipeline_incremental(
             spark, pages, labels, mappings, umls_concepts, umls_semtypes,
-            store_root=args.checkpoint_dir, run_id=args.run_id,
+            store_root=args.checkpoint_dir, run_id=args.run_id or "run0",
             prev_run_id=args.prev_run_id,
             disambiguate_cuis=args.disambiguate,
             match_cuis=args.match,
@@ -205,13 +237,16 @@ def cmd_kg(args: argparse.Namespace) -> int:
         checkpoint_dir = args.checkpoint_dir
         if checkpoint_dir is None and not args.no_checkpoint:
             checkpoint_dir = f"{args.out}/_stages"
+        run_id = args.run_id or _kg_run_fingerprint(args)
+        if args.run_id is None and checkpoint_dir:
+            print(f"run id (input fingerprint): {run_id}")
         store = (
-            StageStore(spark, checkpoint_dir, args.run_id)
+            StageStore(spark, checkpoint_dir, run_id)
             if checkpoint_dir else None
         )
         result = run_kg_pipeline(
             spark, pages, labels, mappings, umls_concepts, umls_semtypes,
-            store=store, run_id=args.run_id,
+            store=store, run_id=run_id,
             disambiguate_cuis=args.disambiguate,
             match_cuis=args.match,
             score_links=args.score_links,
@@ -424,7 +459,10 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--no-checkpoint", action="store_true",
                    help="disable stage snapshots (lazy single-shot plans; "
                         "sinks recompute shared stages)")
-    k.add_argument("--run-id", default="run0")
+    k.add_argument("--run-id", default=None,
+                   help="stage namespace (default: auto fingerprint of "
+                        "inputs+flags, so changed inputs never resume "
+                        "stale snapshots)")
     k.add_argument("--prev-run-id", default=None,
                    help="incremental: reuse this prior run's committed "
                         "extraction/mentions, process only new pages")

@@ -177,6 +177,7 @@ def apply_canonical_map(
     mapping: DataFrame,
     *,
     drop_self_loops: bool = True,
+    dedup: bool = True,
 ) -> DataFrame:
     """Rewrite a TRIPLES frame by a canonical-IRI merge map
     (``(iri, canonical_iri)``, e.g. from ``canonical_mapping`` or
@@ -192,8 +193,11 @@ def apply_canonical_map(
     already asserted in the input.
 
     Scale shape: the map is component-members-sized (a dimension);
-    two broadcast left joins, zero fact-stream shuffles. This is the
-    same rewrite kg_pipeline applies inline to its six triple kinds,
+    two broadcast left joins for the rewrite itself, plus ONE
+    full-width shuffle for the default set-semantics dedup (merging
+    collapses distinct inputs onto identical rows; ``dedup=False``
+    skips it when a downstream distinct exists). This is the same
+    rewrite kg_pipeline applies inline to its six triple kinds,
     exposed as a standalone operator so ER outputs compose:
     detect (IFP / mappings) → components → rewrite."""
     m = F.broadcast(mapping.select("iri", "canonical_iri"))
@@ -229,7 +233,15 @@ def apply_canonical_map(
     )
     if drop_self_loops:
         out = out.where(~F.col("_merged_loop"))
-    return out.drop("_merged_loop")
+    out = out.drop("_merged_loop")
+    if dedup:
+        # merging can collapse DISTINCT input triples onto one row
+        # ((b,p,x) and (a,p,x) with b→a) — a graph is a set, so dedupe.
+        # One full-width shuffle, the same cost class as any distinct;
+        # pass dedup=False when a downstream stage distincts anyway
+        # (kg_pipeline's triple assembly does).
+        out = out.dropDuplicates()
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -503,11 +503,29 @@ def rdfs_plus_entail(
 
     # stratum 5: re-derive closed equivalences from mutual subsumption
     # (scm-eqc2 / scm-eqp2) — this is how ≡'s own symmetry and
-    # transitivity materialize. Both sides of each self-join are the
-    # closed sub-hierarchy (schema-dim-sized), never the fact stream.
+    # transitivity materialize. Extract the schema-dim-sized slice
+    # (sub-hierarchies + asserted equivalences) from `out` ONCE and
+    # lazily checkpoint it: the self-joins below would otherwise each
+    # re-evaluate the un-checkpointed fact-scale entailed plan just to
+    # read a handful of schema rows (out itself still feeds the final
+    # union — two fact-stream evaluations total, not five). LAZY
+    # checkpoint (same as rdfs_entail's strata): materializes bottom-up
+    # on the first action, so building this plan stays job-free.
+    schema_slice = (
+        out.where(
+            F.col("pred").isin(
+                RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF, OWL_EQCLASS, OWL_EQPROP
+            )
+            & ~F.col("obj_is_literal")
+        )
+        .select("subj", "pred", "obj")
+        .repartition(4)
+        .localCheckpoint(eager=False)
+    )
+
     def _mutual(sub_pred: str, eq_pred: str) -> DataFrame:
         sub = (
-            out.where((F.col("pred") == sub_pred) & ~F.col("obj_is_literal"))
+            schema_slice.where(F.col("pred") == sub_pred)
             .where(F.col("subj") != F.col("obj"))  # drop cycle reflexives
             .select("subj", "obj")
             .distinct()
@@ -524,12 +542,12 @@ def rdfs_plus_entail(
     eq_derived = _mutual(RDFS_SUBCLASSOF, OWL_EQCLASS).unionByName(
         _mutual(RDFS_SUBPROPERTYOF, OWL_EQPROP)
     )
-    # dedupe ONLY against the (schema-sized) equivalence slice of the
-    # output — a global distinct would re-shuffle the whole fact-scale
-    # entailed graph for a handful of schema rows
-    existing_eq = out.where(
+    # dedupe ONLY against the (schema-sized) equivalence slice — a
+    # global distinct would re-shuffle the whole fact-scale entailed
+    # graph for a handful of schema rows
+    existing_eq = schema_slice.where(
         F.col("pred").isin(OWL_EQCLASS, OWL_EQPROP)
-    ).select("subj", "pred", "obj")
+    )
     eq_new = eq_derived.join(
         F.broadcast(existing_eq), ["subj", "pred", "obj"], "left_anti"
     )

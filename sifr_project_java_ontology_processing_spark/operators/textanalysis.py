@@ -230,9 +230,7 @@ def _nfkc_clean(s: str) -> str:
     return s.strip()
 
 
-def normalize_corpus(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
+def normalize_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Unicode text normalization — the standard pre-tokenization pass
     of a training-data pipeline (task mandate, text-analysis family):
 

@@ -151,6 +151,23 @@ def test_apply_canonical_map(spark):
     assert ("a", "p", "a") in {(r.subj, r.pred, r.obj) for r in kept.collect()}
 
 
+def test_apply_canonical_map_set_semantics(spark):
+    """Distinct inputs collapsing onto one canonical row dedupe by
+    default (a graph is a set); dedup=False keeps the raw multiplicity
+    for callers with a downstream distinct."""
+    from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
+        apply_canonical_map,
+    )
+
+    S = "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean"
+    triples = spark.createDataFrame(
+        [("b", "p", "x", None, False), ("a", "p", "x", None, False)], S
+    )
+    mapping = spark.createDataFrame([("b", "a")], "iri string, canonical_iri string")
+    assert apply_canonical_map(triples, mapping).count() == 1
+    assert apply_canonical_map(triples, mapping, dedup=False).count() == 2
+
+
 def test_ifp_resolution_composes_with_rewrite(spark):
     """End-to-end ER: IFP collision → components → rewrite."""
     from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
