@@ -338,6 +338,58 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ingest(args: argparse.Namespace) -> int:
+    """Bulk RDF → partitioned parquet graph tables: the migration entry
+    point for a reference user's existing model files. ``--in`` takes
+    anything ``load_model`` reads (N-Triples, full Turtle, RDF/XML,
+    N-Quads, .gz/.bz2, globs); N-Quads input (a ``graph`` column) lands
+    in the graph-partitioned quads layout, everything else in the
+    pred_kind-partitioned triples layout — both are the pruning-friendly
+    tables ``sparql``/BGP scans expect."""
+    from sifr_project_java_ontology_processing_spark.sources.graph_sink import (
+        write_quads,
+        write_triples,
+    )
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import load_model
+
+    spark = _spark("sifr-ingest")
+    model = load_model(spark, args.in_path)
+    if "graph" in model.columns:
+        write_quads(model, args.out)
+        kind = "quads"
+    else:
+        write_triples(model, args.out)
+        kind = "triples"
+    n = spark.read.parquet(args.out).count()
+    print(f"ingested {n} {kind} rows to {args.out}")
+    return 0
+
+
+def cmd_export(args: argparse.Namespace) -> int:
+    """Inverse of ``ingest``: a parquet triples/quads table → an RDF
+    text serialization (.nt / .ttl / .nq). The serializers are
+    distributed sinks; ``--single-file`` coalesces for tools that want
+    one document."""
+    from sifr_project_java_ontology_processing_spark.sources.rdf_sink import (
+        write_nquads,
+        write_ntriples,
+        write_turtle,
+    )
+
+    spark = _spark("sifr-export")
+    df = spark.read.parquet(args.triples)
+    if args.format == "nquads":
+        if "graph" not in df.columns:
+            df = df.withColumn("graph", F.lit(None).cast("string"))
+        write_nquads(df, args.out, single_file=args.single_file)
+    elif args.format == "turtle":
+        write_turtle(df, args.out, single_file=args.single_file)
+    else:
+        write_ntriples(df, args.out, single_file=args.single_file)
+    print(f"exported {args.format} to {args.out}")
+    return 0
+
+
 def cmd_sparql(args: argparse.Namespace) -> int:
     """SPARQL over a materialized graph: the Jena-ARQ capability every
     reference user has (any loaded Model is queryable) as a
@@ -487,6 +539,25 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--format", choices=["parquet", "ntriples"], default="parquet")
     sp.add_argument("--show-rows", type=int, default=50)
     sp.set_defaults(fn=cmd_sparql)
+
+    ig = sub.add_parser(
+        "ingest", help="RDF file(s) → partitioned parquet graph tables"
+    )
+    ig.add_argument("--in", dest="in_path", required=True,
+                    help="RDF input load_model can read "
+                         "(.nt/.ttl/.rdf/.owl/.xrdf/.nq[.gz|.bz2], globs)")
+    ig.add_argument("--out", required=True)
+    ig.set_defaults(fn=cmd_ingest)
+
+    ex = sub.add_parser(
+        "export", help="parquet triples/quads table → RDF serialization"
+    )
+    ex.add_argument("--triples", required=True, help="parquet table path")
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--format", choices=["ntriples", "turtle", "nquads"],
+                    default="ntriples")
+    ex.add_argument("--single-file", action="store_true")
+    ex.set_defaults(fn=cmd_export)
 
     pr = sub.add_parser("profile", help="single-pass column profiling of a parquet table")
     pr.add_argument("--table", required=True)

@@ -271,3 +271,53 @@ def test_cli_sparql_accepts_nquads_input(spark, tmp_path):
     assert rc == 0
     got_g = {(r["s"], r["v"]) for r in spark.read.parquet(str(out_g)).collect()}
     assert got_g == {("http://ex/a", "one")}
+
+
+def test_cli_ingest_export_roundtrip(spark, tmp_path):
+    """ingest: RDF file → partitioned parquet graph tables; export: the
+    inverse. Triples land pred_kind-partitioned, N-Quads land
+    graph-partitioned; a full circle preserves the graph exactly."""
+    from sifr_project_java_ontology_processing_spark.cli import main
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        load_model,
+        read_nquads,
+    )
+
+    nt = tmp_path / "g.nt"
+    nt.write_text(
+        '<http://ex/a> <http://ex/p> "one"@en .\n'
+        '<http://ex/a> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex/T> .\n'
+    )
+    pq = tmp_path / "tbl"
+    assert main(["ingest", "--in", str(nt), "--out", str(pq)]) == 0
+    import os
+    # pred_kind partition directories exist (pruning layout)
+    assert any(d.startswith("pred_kind=") for d in os.listdir(pq))
+    back = spark.read.parquet(str(pq))
+    assert back.count() == 2
+
+    out_nt = tmp_path / "export_nt"
+    assert main(["export", "--triples", str(pq), "--out", str(out_nt)]) == 0
+    reread = load_model(spark, str(out_nt) + "/*")
+    got = {(r.subj, r.pred, r.obj, r.obj_lang, r.obj_is_literal)
+           for r in reread.collect()}
+    assert got == {
+        ("http://ex/a", "http://ex/p", "one", "en", True),
+        ("http://ex/a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://ex/T", None, False),
+    }
+
+    # quads circle: .nq ingest → graph-partitioned table → nquads export
+    nq = tmp_path / "g.nq"
+    nq.write_text(
+        '<http://ex/a> <http://ex/p> "one" .\n'
+        '<http://ex/b> <http://ex/p> "two" <http://g/one> .\n'
+    )
+    pq2 = tmp_path / "tbl2"
+    assert main(["ingest", "--in", str(nq), "--out", str(pq2)]) == 0
+    assert any(d.startswith("graph=") for d in os.listdir(pq2))
+    out_nq = tmp_path / "export_nq"
+    assert main(["export", "--triples", str(pq2), "--out", str(out_nq),
+                 "--format", "nquads"]) == 0
+    q = {(r.subj, r.obj, r.graph) for r in read_nquads(spark, str(out_nq) + "/*").collect()}
+    assert q == {("http://ex/a", "one", None), ("http://ex/b", "two", "http://g/one")}
