@@ -56,8 +56,11 @@ with per-level checkpointing, the CC/pagerank scale shape; ``*``
 adds the zero-length identity over every term in the graph, per
 SPARQL). Modifiers compose per element, so ``^a+/b`` works.
 Closure endpoints compare on the lexical form (lang tags do not
-discriminate path ends). Nested groups, parenthesized paths and
-alternation of non-trivial paths stay out of scope.
+discriminate path ends). Negated property sets ``!iri`` /
+``!(a|b|c)`` match any predicate outside the set (one NOT-IN scan;
+``^!(...)`` composes, inverse MEMBERS and closures of a negated set
+do not). Nested groups, parenthesized paths and alternation of
+non-trivial paths stay out of scope.
 
 Query forms beyond SELECT: ``CONSTRUCT { template } WHERE {...}``
 returns a schemas.TRIPLES-shaped frame (object variables carry
@@ -471,6 +474,48 @@ def _parse_path(p: _P) -> list[PathElt]:
         if p.peek() == "^":
             p.next()
             inv = True
+        if p.peek() == "!":
+            # negated property set: !iri or !(iri|iri|...) — matches any
+            # predicate NOT in the set (one NOT-IN-filtered scan).
+            # Inversion composes (^!(...) = inverse edges with excluded
+            # predicates); inverse MEMBERS (!(^iri)) stay out of subset.
+            p.next()
+            negs: list[str] = []
+            if p.peek() == "(":
+                p.next()
+                while True:
+                    if p.peek() == "^":
+                        raise ValueError(
+                            "BGP: inverse members in a negated property "
+                            "set are not supported"
+                        )
+                    t2 = p.term()
+                    if t2.kind != "iri":
+                        raise ValueError(
+                            "BGP: negated property sets need plain IRIs"
+                        )
+                    negs.append(t2.value)
+                    if p.peek() == "|":
+                        p.next()
+                        continue
+                    p.expect(")")
+                    break
+            else:
+                t2 = p.term()
+                if t2.kind != "iri":
+                    raise ValueError(
+                        "BGP: negated property sets need plain IRIs"
+                    )
+                negs.append(t2.value)
+            if p.peek() in ("+", "*", "?"):
+                raise ValueError(
+                    "BGP: closure of a negated property set is not supported"
+                )
+            elts.append((inv, Term("iri_neg", negs[0], alts=tuple(negs)), None))
+            if p.peek() == "/":
+                p.next()
+                continue
+            return elts
         t = p.term()
         if t.kind == "var":
             if inv or elts or p.peek() in ("/", "|", "+"):
@@ -967,6 +1012,9 @@ def _pattern_frame(
         # alternation: ONE scan with an IN filter (pushdown-eligible,
         # prunes multiple predicate partitions in one pass)
         df = df.where(F.col("pred").isin(*p.alts))
+    elif p.kind == "iri_neg":
+        # negated property set: NOT IN over the excluded predicates
+        df = df.where(~F.col("pred").isin(*p.alts))
     if o.kind == "iri":
         df = df.where((F.col("obj") == o.value) & (~F.col("obj_is_literal")))
     elif o.kind == "literal":

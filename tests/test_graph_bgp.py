@@ -1007,3 +1007,38 @@ def test_prefix_keyword_inside_filter_literal(spark):
         'SELECT ?s WHERE { ?s <http://ex/note> ?n . FILTER(?n = "' + lit + '") }',
     ).collect()
     assert [r["s"] for r in got] == ["http://ex/a"]
+
+
+def test_negated_property_set(spark):
+    """!iri / !(a|b): any predicate OUTSIDE the set; composes with ^
+    and sequences; closure of a negated set rejected."""
+    df = spark.createDataFrame(
+        [
+            ("s", "http://ex/p", "x", None, False),
+            ("s", "http://ex/q", "y", None, False),
+            ("s", "http://ex/r", "z", None, False),
+            ("y", "http://ex/next", "w", None, False),
+        ],
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+    got = {r["o"] for r in execute_bgp(
+        df, "SELECT ?o WHERE { <s> !<http://ex/p> ?o }").collect()}
+    assert got == {"y", "z"}
+    got2 = {r["o"] for r in execute_bgp(
+        df, "SELECT ?o WHERE { <s> !(<http://ex/p>|<http://ex/r>) ?o }").collect()}
+    assert got2 == {"y"}
+    # sequence: exclude p, then follow next
+    got3 = {r["o"] for r in execute_bgp(
+        df,
+        "SELECT ?o WHERE { <s> !(<http://ex/p>|<http://ex/r>)/<http://ex/next> ?o }",
+    ).collect()}
+    assert got3 == {"w"}
+    # inverse composition: ^!(p) from x finds nothing; from y finds s
+    got4 = {r["s2"] for r in execute_bgp(
+        df, "SELECT ?s2 WHERE { <y> ^!<http://ex/p> ?s2 }").collect()}
+    assert got4 == {"s"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="closure of a negated"):
+        execute_bgp(df, "SELECT ?o WHERE { <s> !<http://ex/p>+ ?o }")
+    with _pytest.raises(ValueError, match="inverse members"):
+        execute_bgp(df, "SELECT ?o WHERE { <s> !(^<http://ex/p>) ?o }")
