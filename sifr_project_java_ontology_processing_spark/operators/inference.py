@@ -742,6 +742,136 @@ def functional_violations(triples: DataFrame) -> DataFrame:
     return f_out.unionByName(i_out)
 
 
+OWL_PROPERTY_CHAIN = "http://www.w3.org/2002/07/owl#propertyChainAxiom"
+_RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+_RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+_RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+
+
+def extract_property_chains(triples: DataFrame) -> list[tuple[str, list[str]]]:
+    """Collect ``(r, owl:propertyChainAxiom, (p1 p2 ...))`` axioms as
+    ``(r, [p1, p2, ...])`` — the RDF list (rdf:first/rdf:rest chains,
+    which both the Turtle ``( )`` and RDF/XML parseType=Collection
+    readers emit) is walked DRIVER-side: axioms are a schema dimension
+    (same stance as _schema_closure's driver path). Malformed lists
+    (missing first/rest, cycles) raise rather than silently shortening
+    a chain."""
+    t = triples.select(*_TRIPLE_COLS)
+    axioms = t.where(
+        (F.col("pred") == OWL_PROPERTY_CHAIN) & ~F.col("obj_is_literal")
+    ).select("subj", "obj").collect()
+    if not axioms:
+        return []
+    cells = {
+        (r["subj"], r["pred"]): r["obj"]
+        for r in t.where(
+            F.col("pred").isin(_RDF_FIRST, _RDF_REST) & ~F.col("obj_is_literal")
+        ).select("subj", "pred", "obj").collect()
+    }
+    chains: list[tuple[str, list[str]]] = []
+    for ax in axioms:
+        node, elems, seen = ax["obj"], [], set()
+        while node != _RDF_NIL:
+            if node in seen:
+                raise ValueError(f"propertyChainAxiom list cycle at {node!r}")
+            seen.add(node)
+            first = cells.get((node, _RDF_FIRST))
+            rest = cells.get((node, _RDF_REST))
+            if first is None or rest is None:
+                raise ValueError(
+                    f"malformed propertyChainAxiom list node {node!r} "
+                    "(missing rdf:first/rdf:rest)"
+                )
+            elems.append(first)
+            node = rest
+        if len(elems) < 2:
+            raise ValueError(
+                f"propertyChainAxiom for {ax['subj']!r} needs >= 2 elements"
+            )
+        chains.append((ax["subj"], elems))
+    return chains
+
+
+def apply_property_chains(
+    triples: DataFrame,
+    chains: "list[tuple[str, list[str]]] | None" = None,
+    *,
+    max_rounds: int = 5,
+) -> DataFrame:
+    """Materialize ``owl:propertyChainAxiom`` consequences (OWL RL
+    prp-spo2): for a chain ``r ⊒ p1 ∘ p2 ∘ ... ∘ pk``, every path
+    ``x -p1-> . -p2-> ... -pk-> y`` entails ``x r y``. Returns the
+    entailed graph (asserted ∪ derived, set semantics on the derived
+    slice).
+
+    ``chains`` defaults to ``extract_property_chains(triples)``; pass
+    them explicitly to replay axioms from a separate schema graph.
+
+    Scale shape: each chain is k-1 equi-joins of PREDICATE-FILTERED
+    slices of the fact stream (pushdown- and pred_kind-partition-
+    prunable — never a scan of the whole graph per hop); literal
+    objects cannot continue a path and are filtered before every hop.
+    Chains whose output predicate feeds another chain converge by
+    iterated rounds: each round derives over the graph so far, keeps
+    only genuinely-new rows (anti-join of the round's SMALL derived
+    slice against the chain-output slice of the accumulated graph —
+    never a shuffle of the untouched base), checkpoints the frontier,
+    and stops at the fixpoint (O(1) isEmpty probe) or ``max_rounds``
+    (cycles through chain outputs are bounded, same stance as
+    transitive_closure's cap)."""
+    t = triples.select(*_TRIPLE_COLS)
+    if chains is None:
+        chains = extract_property_chains(triples)
+    if not chains:
+        return t
+
+    def _derive(g: DataFrame) -> DataFrame:
+        iri = g.where(~F.col("obj_is_literal"))
+        outs = []
+        for r, elems in chains:
+            cur = iri.where(F.col("pred") == elems[0]).select(
+                F.col("subj").alias("_s"), F.col("obj").alias("_o")
+            )
+            for p in elems[1:]:
+                nxt = iri.where(F.col("pred") == p).select(
+                    F.col("subj").alias("_o"), F.col("obj").alias("_o2")
+                )
+                cur = cur.join(nxt, "_o").select(
+                    "_s", F.col("_o2").alias("_o")
+                )
+            outs.append(
+                cur.select(
+                    F.col("_s").alias("subj"),
+                    F.lit(r).alias("pred"),
+                    F.col("_o").alias("obj"),
+                    F.lit(None).cast("string").alias("obj_lang"),
+                    F.lit(False).alias("obj_is_literal"),
+                )
+            )
+        d = outs[0]
+        for o in outs[1:]:
+            d = d.unionByName(o)
+        return d.distinct()
+
+    g = t
+    for _ in range(max_rounds):
+        new = _derive(g)
+        # keep only rows not already asserted/derived — both anti-join
+        # sides keyed on the derived slice (chain outputs), never a
+        # shuffle of the untouched base graph
+        new = new.join(
+            g.where(F.col("pred").isin([r for r, _ in chains])).select(
+                "subj", "pred", "obj"
+            ),
+            ["subj", "pred", "obj"],
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        g = g.unionByName(new)
+    return g
+
+
 def _collision_star_edges(
     slice_: DataFrame, max_group: int | None
 ) -> DataFrame:

@@ -570,3 +570,68 @@ def test_fp_value_merge(spark):
         for r in ifp_entity_resolution(_triples(spark, asserted)).collect()
     }
     assert got2 == {("C", "B")}
+
+
+def test_property_chain_axioms(spark):
+    """owl:propertyChainAxiom (prp-spo2): hasParent∘hasParent ⇒
+    hasGrandparent; a chain whose output feeds ANOTHER chain converges
+    in iterated rounds; literals cannot continue a path; idempotent."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_PROPERTY_CHAIN,
+        _RDF_FIRST,
+        _RDF_NIL,
+        _RDF_REST,
+        apply_property_chains,
+        extract_property_chains,
+    )
+
+    P, GP, GGP = "p:hasParent", "p:hasGrandparent", "p:hasGreatGrandparent"
+
+    def _list(pred_chain, base):
+        rows = []
+        node = _RDF_NIL
+        for i, p in enumerate(reversed(pred_chain)):
+            nxt = f"_:{base}{len(pred_chain) - i}"
+            rows += [
+                _iri(nxt, _RDF_FIRST, p),
+                _iri(nxt, _RDF_REST, node),
+            ]
+            node = nxt
+        return node, rows
+
+    l1, rows1 = _list([P, P], "gp")
+    l2, rows2 = _list([GP, P], "ggp")
+    asserted = (
+        [_iri(GP, OWL_PROPERTY_CHAIN, l1), _iri(GGP, OWL_PROPERTY_CHAIN, l2)]
+        + rows1 + rows2
+        + [
+            _iri("a", P, "b"),
+            _iri("b", P, "c"),
+            _iri("c", P, "d"),
+            ("x", P, "not-a-node", None, True),  # literal: no continuation
+            _iri("y", P, "x"),
+        ]
+    )
+    df = _triples(spark, asserted)
+    chains = dict(extract_property_chains(df))
+    assert chains == {GP: [P, P], GGP: [GP, P]}
+
+    out = apply_property_chains(df)
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert {("a", GP, "c"), ("b", GP, "d")} <= got
+    # round 2: GGP from the DERIVED hasGrandparent
+    assert ("a", GGP, "d") in got
+    # literal objects never chain
+    assert not any(s == "y" and p in (GP, GGP) for s, p, o in got)
+    # idempotent: re-applying adds nothing
+    again = {(r.subj, r.pred, r.obj) for r in apply_property_chains(out).collect()}
+    assert again == got
+
+    # malformed list raises
+    import pytest as _pytest
+    bad = _triples(spark, [
+        _iri(GP, OWL_PROPERTY_CHAIN, "_:b1"),
+        _iri("_:b1", _RDF_FIRST, P),   # missing rdf:rest
+    ])
+    with _pytest.raises(ValueError, match="malformed"):
+        extract_property_chains(bad)
