@@ -360,8 +360,20 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     else:
         write_triples(model, args.out)
         kind = "triples"
-    n = spark.read.parquet(args.out).count()
+    try:
+        n = spark.read.parquet(args.out).count()
+    except Exception:
+        # a zero-row partitionBy write leaves only _SUCCESS (no part
+        # files) and the read-back cannot infer a schema — report the
+        # empty ingest plainly instead of crashing after a clean write
+        n = 0
     print(f"ingested {n} {kind} rows to {args.out}")
+    if n == 0:
+        print(
+            f"warning: {args.in_path} parsed to zero rows — the output "
+            "directory has no parquet files",
+            file=sys.stderr,
+        )
     return 0
 
 
@@ -378,6 +390,16 @@ def cmd_export(args: argparse.Namespace) -> int:
 
     spark = _spark("sifr-export")
     df = spark.read.parquet(args.triples)
+    if args.format != "nquads" and "graph" in df.columns:
+        # flattening a quads table into a triples serialization loses
+        # the named-graph partitioning irreversibly — say so instead of
+        # silently merging datasets
+        print(
+            "warning: input is a QUADS table; --format "
+            f"{args.format} flattens all named graphs into one document "
+            "(use --format nquads to keep graph labels)",
+            file=sys.stderr,
+        )
     if args.format == "nquads":
         if "graph" not in df.columns:
             df = df.withColumn("graph", F.lit(None).cast("string"))

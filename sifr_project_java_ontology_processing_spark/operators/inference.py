@@ -754,20 +754,43 @@ def extract_property_chains(triples: DataFrame) -> list[tuple[str, list[str]]]:
     which both the Turtle ``( )`` and RDF/XML parseType=Collection
     readers emit) is walked DRIVER-side: axioms are a schema dimension
     (same stance as _schema_closure's driver path). Malformed lists
-    (missing first/rest, cycles) raise rather than silently shortening
-    a chain."""
+    (missing first/rest, FORKED nodes with duplicate first/rest arcs,
+    cycles) raise rather than silently shortening or nondeterministically
+    picking a chain. The list-cell collect is capped at
+    ``_DRIVER_CLOSURE_MAX`` rows: a graph whose INSTANCE data carries
+    millions of RDF collections (OWL class expressions, SKOS ordered
+    collections) must pass ``chains=`` explicitly rather than OOM the
+    driver."""
     t = triples.select(*_TRIPLE_COLS)
     axioms = t.where(
         (F.col("pred") == OWL_PROPERTY_CHAIN) & ~F.col("obj_is_literal")
     ).select("subj", "obj").collect()
     if not axioms:
         return []
-    cells = {
-        (r["subj"], r["pred"]): r["obj"]
-        for r in t.where(
+    cell_rows = (
+        t.where(
             F.col("pred").isin(_RDF_FIRST, _RDF_REST) & ~F.col("obj_is_literal")
-        ).select("subj", "pred", "obj").collect()
-    }
+        )
+        .select("subj", "pred", "obj")
+        .limit(_DRIVER_CLOSURE_MAX + 1)
+        .collect()
+    )
+    if len(cell_rows) > _DRIVER_CLOSURE_MAX:
+        raise ValueError(
+            f"graph carries > {_DRIVER_CLOSURE_MAX} rdf:first/rdf:rest "
+            "cells — extract the chain axioms from the schema graph and "
+            "pass them via apply_property_chains(chains=...) instead of "
+            "walking instance-data collections driver-side"
+        )
+    cells: dict[tuple[str, str], str] = {}
+    for r in cell_rows:
+        key = (r["subj"], r["pred"])
+        if key in cells and cells[key] != r["obj"]:
+            raise ValueError(
+                f"forked propertyChainAxiom list node {r['subj']!r}: "
+                f"duplicate {r['pred']!r} arcs"
+            )
+        cells[key] = r["obj"]
     chains: list[tuple[str, list[str]]] = []
     for ax in axioms:
         node, elems, seen = ax["obj"], [], set()
@@ -854,21 +877,43 @@ def apply_property_chains(
         return d.distinct()
 
     g = t
+    converged = False
     for _ in range(max_rounds):
         new = _derive(g)
         # keep only rows not already asserted/derived — both anti-join
         # sides keyed on the derived slice (chain outputs), never a
-        # shuffle of the untouched base graph
+        # shuffle of the untouched base graph. Full RDF-term identity:
+        # obj_is_literal joins too, so an asserted LITERAL value on a
+        # chain-output predicate cannot suppress a genuinely new
+        # derived IRI triple with the same lexical object (derived
+        # rows are always is_literal=false, lang null).
         new = new.join(
             g.where(F.col("pred").isin([r for r, _ in chains])).select(
-                "subj", "pred", "obj"
+                "subj", "pred", "obj", "obj_is_literal"
             ),
-            ["subj", "pred", "obj"],
+            ["subj", "pred", "obj", "obj_is_literal"],
             "left_anti",
         ).localCheckpoint(eager=True)
         if new.isEmpty():
+            converged = True
             break
         g = g.unionByName(new)
+    if not converged:
+        # one O(1) probe past the cap: silence here would return an
+        # incomplete entailment with no signal (transitive_closure's
+        # cap raises for the same reason)
+        if not _derive(g).join(
+            g.where(F.col("pred").isin([r for r, _ in chains])).select(
+                "subj", "pred", "obj", "obj_is_literal"
+            ),
+            ["subj", "pred", "obj", "obj_is_literal"],
+            "left_anti",
+        ).isEmpty():
+            raise ValueError(
+                f"property chains did not reach a fixpoint within "
+                f"max_rounds={max_rounds} — raise max_rounds (self-feeding "
+                "chains derive one extra hop per round)"
+            )
     return g
 
 

@@ -635,3 +635,52 @@ def test_property_chain_axioms(spark):
     ])
     with _pytest.raises(ValueError, match="malformed"):
         extract_property_chains(bad)
+
+
+def test_property_chain_guards(spark):
+    """Round-cap overrun raises (not silent truncation); forked list
+    nodes raise; literal twin on a chain-output pred does not suppress
+    the derived IRI triple."""
+    import pytest as _pytest
+
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        apply_property_chains,
+        extract_property_chains,
+        OWL_PROPERTY_CHAIN,
+        _RDF_FIRST,
+        _RDF_REST,
+        _RDF_NIL,
+    )
+
+    S = [
+        _iri("a", "p:r", "n0"),
+    ] + [_iri(f"n{i}", "p:p", f"n{i+1}") for i in range(8)]
+    df = _triples(spark, S)
+    # self-feeding chain r ⊒ r∘p over an 8-hop path: needs 8 rounds
+    with _pytest.raises(ValueError, match="fixpoint"):
+        apply_property_chains(df, chains=[("p:r", ["p:r", "p:p"])], max_rounds=3)
+    out = apply_property_chains(df, chains=[("p:r", ["p:r", "p:p"])], max_rounds=10)
+    got = {(r.subj, r.obj) for r in out.where("pred = 'p:r'").collect()}
+    assert got == {("a", f"n{i}") for i in range(9)}
+
+    # forked list node raises
+    forked = _triples(spark, [
+        _iri("p:g", OWL_PROPERTY_CHAIN, "_:n1"),
+        _iri("_:n1", _RDF_FIRST, "p:p"),
+        _iri("_:n1", _RDF_FIRST, "p:q"),
+        _iri("_:n1", _RDF_REST, _RDF_NIL),
+    ])
+    with _pytest.raises(ValueError, match="forked"):
+        extract_property_chains(forked)
+
+    # literal twin: asserted ('x', g, 'z')@literal must not suppress
+    # the derived IRI triple ('x', g, <z>)
+    lit = _triples(spark, [
+        _iri("x", "p:p", "y"),
+        _iri("y", "p:p", "z"),
+        ("x", "p:g", "z", None, True),
+    ])
+    out2 = apply_property_chains(lit, chains=[("p:g", ["p:p", "p:p"])])
+    rows = [(r.obj_is_literal,) for r in out2.where(
+        "subj = 'x' and pred = 'p:g' and obj = 'z'").collect()]
+    assert sorted(rows) == [(False,), (True,)]

@@ -321,3 +321,24 @@ def test_cli_ingest_export_roundtrip(spark, tmp_path):
                  "--format", "nquads"]) == 0
     q = {(r.subj, r.obj, r.graph) for r in read_nquads(spark, str(out_nq) + "/*").collect()}
     assert q == {("http://ex/a", "one", None), ("http://ex/b", "two", "http://g/one")}
+
+
+def test_cli_ingest_empty_and_export_flatten_warning(spark, tmp_path, capsys):
+    from sifr_project_java_ontology_processing_spark.cli import main
+
+    empty = tmp_path / "empty.nt"
+    empty.write_text("# only a comment\n")
+    out = tmp_path / "tbl_empty"
+    assert main(["ingest", "--in", str(empty), "--out", str(out)]) == 0
+    cap = capsys.readouterr()
+    assert "ingested 0" in cap.out and "zero rows" in cap.err
+
+    # quads table exported as ntriples warns about the flatten
+    nq = tmp_path / "g.nq"
+    nq.write_text('<http://ex/a> <http://ex/p> "v" <http://g/one> .\n')
+    tbl = tmp_path / "tbl_q"
+    assert main(["ingest", "--in", str(nq), "--out", str(tbl)]) == 0
+    assert main(["export", "--triples", str(tbl), "--out",
+                 str(tmp_path / "flat")]) == 0
+    cap = capsys.readouterr()
+    assert "flattens all named graphs" in cap.err
