@@ -102,6 +102,9 @@ def pagerank(
                 F.col(reset_nodes.columns[0]).alias("node")
             ).distinct()
         )
+        # a seed with no edges must still appear with its (1-d) teleport
+        # floor — union it into the node universe before the left join
+        nodes = nodes.unionByName(seeds).distinct()
         nodes = nodes.join(
             seeds.withColumn("_r", F.lit(1.0)), "node", "left"
         ).select("node", F.coalesce("_r", F.lit(0.0)).alias("_r"))
@@ -397,6 +400,22 @@ def bfs_distances(
     return visited
 
 
+def _argmax_label(counted: DataFrame) -> DataFrame:
+    """Deterministic per-node argmax over (node, label, _c) WITHOUT a
+    window: max count per node (partial agg), join back on (node, _c),
+    min(label) tie-break. Every stage combines map-side, so rows
+    concentrate on no single task even when one node has millions of
+    distinct neighbor labels (LPA iteration 1, where labels = ids and
+    rows-per-node = degree). Kept as a helper so tests can gate the
+    physical plan (no Window node) before the checkpoint hides it."""
+    best = counted.groupBy("node").agg(F.max("_c").alias("_c"))
+    return (
+        counted.join(best, ["node", "_c"])
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     *,
@@ -415,15 +434,16 @@ def label_propagation(
 
     Scale shape: edges are symmetrized map-side, repartitioned on the
     join key ONCE and persisted (pagerank's discipline — per iteration
-    only the (node, label) frame shuffles); the per-node argmax is a
-    (neighbor-label count → row_number) pair of partial-agg + window
-    stages, skew-bounded by distinct labels per node, not raw degree.
-    Isolated nodes (no edges) never appear; nodes keep their current
-    label when in-neighbors exist but, per the left join, absence of
-    neighbors cannot occur post-symmetrization.
+    only the (node, label) frame shuffles); the per-node argmax is
+    SORT-FREE: max-count per node (partial agg), join back on
+    (node, _c), then min(label) for the deterministic tie-break — all
+    three stages combine map-side, so a 50M-degree hub at iteration 1
+    (when labels ARE node ids and rows-per-node = degree) never lands
+    in a single window task. Isolated nodes (no edges) never appear;
+    nodes keep their current label when in-neighbors exist but, per
+    the left join, absence of neighbors cannot occur
+    post-symmetrization.
     """
-    from pyspark.sql import Window
-
     n_part = partitions or int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
@@ -443,9 +463,6 @@ def label_propagation(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    win = Window.partitionBy("node").orderBy(
-        F.col("_c").desc(), F.col("label").asc()
-    )
     for _ in range(iterations):
         counted = (
             und.join(
@@ -456,12 +473,9 @@ def label_propagation(
             )
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("_c"))
-        )
-        labels = (
-            counted.withColumn("_rn", F.row_number().over(win))
-            .where(F.col("_rn") == 1)
-            .select("node", "label")
+            # consumed twice (max-count + join back): materialize once
             .localCheckpoint(eager=True)
         )
+        labels = _argmax_label(counted).localCheckpoint(eager=True)
     und.unpersist()
     return labels

@@ -5,9 +5,13 @@ synchronous LPA). Exact expected outputs on hand-checked graphs."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from sifr_project_java_ontology_processing_spark.operators.graph import (
+    _argmax_label,
     bfs_distances,
     label_propagation,
+    pagerank,
     triangle_count,
 )
 
@@ -110,3 +114,33 @@ def test_lpa_clique_converges_to_min_label(spark):
     rows = [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1 :]]
     out = {r.node: r.label for r in label_propagation(_edges(spark, rows), iterations=2).collect()}
     assert out == {n: "n1" for n in nodes}
+
+
+def test_lpa_argmax_plan_has_no_window(spark):
+    """Scale gate (round-5 VERDICT): the per-iteration argmax must be
+    the sort-free two-stage partial aggregate — a Window partitioned by
+    the raw node column serializes a hub's whole neighborhood into one
+    task at iteration 1. Inspect the physical plan pre-checkpoint."""
+    counted = spark.createDataFrame(
+        [("a", "x", 2), ("a", "y", 2), ("b", "x", 1)],
+        "node string, label string, _c long",
+    )
+    plan = _argmax_label(counted)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # and it still computes the deterministic (max count, min label) pick
+    out = {r.node: r.label for r in _argmax_label(counted).collect()}
+    assert out == {"a": "x", "b": "x"}
+
+
+def test_personalized_pagerank_edgeless_seed_keeps_teleport_floor(spark):
+    """ADVICE round-4: a reset/seed node with NO edges must still appear
+    in the output with its (1-d) teleport floor, not vanish."""
+    e = _edges(spark, [("a", "b")])
+    seeds = spark.createDataFrame([("z",)], "node string")
+    out = {
+        r.node: r.rank
+        for r in pagerank(e, reset_nodes=seeds, iterations=2, damping=0.85).collect()
+    }
+    assert "z" in out
+    assert abs(out["z"] - 0.15) < 1e-9  # no in-edges: rank = (1-d)*1.0
+    assert out["a"] == 0.0 and out["b"] == 0.0  # non-seeds, unreachable from z
