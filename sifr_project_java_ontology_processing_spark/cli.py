@@ -166,17 +166,56 @@ def cmd_clean(args: argparse.Namespace) -> int:
     return 0
 
 
-def _kg_run_fingerprint(args: argparse.Namespace) -> str:
+def _hadoop_stat_parts(spark, path: str) -> list[str] | None:
+    """(name:size:mtime) parts for a path that is not locally statable
+    (s3://, hdfs://, globs), via the Hadoop FileSystem API — the same
+    view Spark's readers use. Returns None when the path resolves to
+    nothing or the filesystem errors (caller falls back to a fresh
+    per-invocation run id rather than a stale path-string hash)."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        statuses = fs.globStatus(jpath)
+        if statuses is None or len(statuses) == 0:
+            return None
+        parts: list[str] = []
+        for st in statuses:
+            if st.isDirectory():
+                it = fs.listFiles(st.getPath(), True)
+                while it.hasNext():
+                    f = it.next()
+                    parts.append(
+                        f"{f.getPath().getName()}:{f.getLen()}:"
+                        f"{f.getModificationTime()}"
+                    )
+            else:
+                parts.append(
+                    f"{st.getPath().getName()}:{st.getLen()}:"
+                    f"{st.getModificationTime()}"
+                )
+        return sorted(parts)
+    except Exception:
+        return None
+
+
+def _kg_run_fingerprint(args: argparse.Namespace, spark=None) -> str | None:
     """Deterministic run id from the INPUTS and plan-shaping flags.
 
     StageStore resume is keyed on (run_id, stage name) markers only —
     with checkpointing now on by default, a fixed default run id would
     silently serve STALE snapshots when the user reruns into the same
     --out with different inputs or flags. Fingerprinting (path + file
-    sizes/mtimes where locally statable + flags) means: same inputs →
-    true crash-resume; anything changed → a fresh stage namespace.
-    An explicit --run-id still overrides (the documented sharp knife
-    for cross-invocation resume on remote storage)."""
+    sizes/mtimes + flags) means: same inputs → true crash-resume;
+    anything changed → a fresh stage namespace. An explicit --run-id
+    still overrides (the documented sharp knife for cross-invocation
+    resume on remote storage).
+
+    Paths that are not locally statable (s3://, hdfs://, globs) are
+    listed through the Hadoop FileSystem API; if that fails too the
+    function returns None and the caller uses a fresh per-invocation
+    run id — a path-string-only hash would silently resume stale stage
+    snapshots after remote content changed."""
     import hashlib
     import os
 
@@ -192,6 +231,11 @@ def _kg_run_fingerprint(args: argparse.Namespace) -> str:
                 for fn in sorted(files):
                     st = os.stat(os.path.join(root, fn))
                     parts.append(f"{fn}:{st.st_size}:{int(st.st_mtime)}")
+        else:
+            remote = _hadoop_stat_parts(spark, path) if spark is not None else None
+            if remote is None:
+                return None
+            parts.extend(remote)
     parts.append(
         f"dc={args.disambiguate};mc={args.match};sl={args.score_links};"
         f"nbl={args.no_broadcast_labels}"
@@ -205,6 +249,10 @@ def cmd_kg(args: argparse.Namespace) -> int:
     )
     from sifr_project_java_ontology_processing_spark.sources.stage_store import StageStore
 
+    if args.no_checkpoint and args.checkpoint_dir:
+        raise SystemExit(
+            "--no-checkpoint contradicts --checkpoint-dir; pass only one"
+        )
     spark = _spark("sifr-kg")
     pages = spark.read.parquet(args.pages)
     labels = spark.read.parquet(args.labels)
@@ -237,9 +285,22 @@ def cmd_kg(args: argparse.Namespace) -> int:
         checkpoint_dir = args.checkpoint_dir
         if checkpoint_dir is None and not args.no_checkpoint:
             checkpoint_dir = f"{args.out}/_stages"
-        run_id = args.run_id or _kg_run_fingerprint(args)
-        if args.run_id is None and checkpoint_dir:
-            print(f"run id (input fingerprint): {run_id}")
+        run_id = args.run_id
+        if run_id is None:
+            run_id = _kg_run_fingerprint(args, spark)
+            if run_id is None:
+                import uuid
+
+                run_id = "fresh-" + uuid.uuid4().hex[:12]
+                if checkpoint_dir:
+                    print(
+                        "WARNING: inputs not statable locally or via the "
+                        "Hadoop FileSystem — using a fresh per-invocation "
+                        f"run id {run_id} (no cross-invocation resume; "
+                        "pass --run-id to resume explicitly)"
+                    )
+            elif checkpoint_dir:
+                print(f"run id (input fingerprint): {run_id}")
         store = (
             StageStore(spark, checkpoint_dir, run_id)
             if checkpoint_dir else None

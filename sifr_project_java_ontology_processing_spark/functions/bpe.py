@@ -200,7 +200,11 @@ def token_id_table(merges: list[tuple[str, str]]) -> dict[str, int]:
     alone (no separate vocab artifact to ship)."""
     vocab = {f"{b:02x}": b for b in range(256)}
     for i, (a, b) in enumerate(merges):
-        vocab[a + b] = 256 + i
+        # two distinct merges can concatenate to the same byte string
+        # (('61','6263') and ('6162','63') → '616263'); the FIRST rank
+        # keeps its id so the mapping stays stable and every assigned
+        # id reachable — a later overwrite would orphan the earlier id
+        vocab.setdefault(a + b, 256 + i)
     return vocab
 
 

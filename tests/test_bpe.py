@@ -156,3 +156,19 @@ def test_token_ids_match_reference_and_roundtrip(spark):
         assert got[i] == ref, i
         decoded = bytes.fromhex("".join(inv[x] for x in got[i])).decode()
         assert decoded == "".join(pretokenize(t))
+
+
+def test_token_id_table_colliding_concat_keeps_first_rank():
+    """ADVICE round-4: ('61','6263') and ('6162','63') both concatenate
+    to '616263' — the FIRST rank's id must stay stable (later overwrite
+    would orphan an assigned id and break bijectivity)."""
+    from sifr_project_java_ontology_processing_spark.functions.bpe import token_id_table
+
+    merges = [("62", "63"), ("61", "6263"), ("61", "62"), ("6162", "63")]
+    vocab = token_id_table(merges)
+    assert vocab["6263"] == 256
+    assert vocab["616263"] == 257  # first producer (rank 1), not rank 3
+    assert vocab["6162"] == 258
+    # every assigned id maps to exactly one symbol
+    ids = list(vocab.values())
+    assert len(ids) == len(set(ids))

@@ -342,3 +342,57 @@ def test_cli_ingest_empty_and_export_flatten_warning(spark, tmp_path, capsys):
                  str(tmp_path / "flat")]) == 0
     cap = capsys.readouterr()
     assert "flattens all named graphs" in cap.err
+
+
+def test_kg_no_checkpoint_contradicts_checkpoint_dir(tmp_path):
+    """ADVICE round-4: --no-checkpoint used to be silently ignored when
+    --checkpoint-dir was also passed; now the combo errors up front."""
+    import pytest
+
+    from sifr_project_java_ontology_processing_spark.cli import main
+
+    with pytest.raises(SystemExit, match="contradicts"):
+        main([
+            "kg",
+            "--pages", "x", "--labels", "x", "--mappings", "x",
+            "--umls-concepts", "x", "--umls-semtypes", "x", "--out", "x",
+            "--checkpoint-dir", str(tmp_path), "--no-checkpoint",
+        ])
+
+
+def test_kg_fingerprint_glob_and_remote_paths(spark, tmp_path):
+    """ADVICE round-4 (medium): for paths that aren't locally statable
+    (globs, remote URIs) the fingerprint must reflect CONTENT via the
+    Hadoop FileSystem — or signal None for a fresh run id — never
+    degrade to a path-string-only hash that resumes stale stages."""
+    import argparse
+
+    from sifr_project_java_ontology_processing_spark.cli import _kg_run_fingerprint
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"aaaa")
+
+    def mkargs(pages):
+        return argparse.Namespace(
+            pages=pages, labels=str(d), mappings=str(d),
+            umls_concepts=str(d), umls_semtypes=str(d),
+            disambiguate=False, match=False, score_links=False,
+            no_broadcast_labels=False,
+        )
+
+    glob_path = str(tmp_path / "pag*")  # not isfile/isdir → Hadoop glob
+    fp1 = _kg_run_fingerprint(mkargs(glob_path), spark)
+    assert fp1 is not None and fp1.startswith("auto-")
+    # same content → same id (crash-resume works through the glob)
+    assert _kg_run_fingerprint(mkargs(glob_path), spark) == fp1
+    # content change behind the same glob → different id (no stale resume)
+    import os
+    import time
+
+    (d / "part-1.parquet").write_bytes(b"bbbbbb")
+    fp2 = _kg_run_fingerprint(mkargs(glob_path), spark)
+    assert fp2 != fp1
+    # unresolvable path (and no spark to ask) → None, caller goes fresh
+    assert _kg_run_fingerprint(mkargs(str(tmp_path / "nope*")), spark) is None
+    assert _kg_run_fingerprint(mkargs(glob_path), None) is None
