@@ -461,7 +461,27 @@ def _filter_to_sql(p: _P, *, bind: bool = False) -> str | tuple[str, str]:
             raise ValueError(f"BGP: unsupported token in FILTER: {t!r}")
     if bind:
         raise ValueError("BGP: BIND needs '... AS ?var'")
-    return " ".join(out)
+    return _numeric_comparisons(" ".join(out))
+
+
+_NUM_CMP_VAR_NUM = re.compile(
+    r"(`[^`]+`)\s*([<>]=?|!?=)\s*([+-]?\d+(?:\.\d+)?)(?![\d.])"
+)
+_NUM_CMP_NUM_VAR = re.compile(
+    r"(?<![\d.])([+-]?\d+(?:\.\d+)?)\s*([<>]=?|!?=)\s*(`[^`]+`)"
+)
+
+
+def _numeric_comparisons(sql: str) -> str:
+    """Variable-vs-number comparisons compare NUMERICALLY with SPARQL
+    type-error semantics: a binding whose lexical form is not numeric
+    makes the comparison a type error → the row is filtered, not a
+    query crash. Under Spark's ANSI mode the naive ``\\`v\\` > 5``
+    coerces with a STRICT cast that throws on the first 'banana';
+    try_cast yields NULL → false, which is also exactly what the
+    DuckDB oracle's TRY_CAST replays."""
+    sql = _NUM_CMP_VAR_NUM.sub(r"try_cast(\1 AS DOUBLE) \2 \3", sql)
+    return _NUM_CMP_NUM_VAR.sub(r"\1 \2 try_cast(\3 AS DOUBLE)", sql)
 
 
 def _parse_path(p: _P) -> list[PathElt]:
@@ -978,6 +998,7 @@ def _pattern_frame(
     pat: tuple[Term, Term, Term],
     want_meta: frozenset[str] = frozenset(),
     graph_var: str | None = None,
+    want_typed: frozenset[str] = frozenset(),
 ) -> tuple[DataFrame, set[str]]:
     """One scan per pattern: constants filtered (pushdown-eligible),
     variables projected under their names.
@@ -1047,6 +1068,22 @@ def _pattern_frame(
                     F.lit(None).cast("string").alias(f"__m_lang_{var}")
                 )
                 proj.append(F.lit(False).alias(f"__m_lit_{var}"))
+        if var in want_typed:
+            if src == "obj":
+                if "obj_datatype" in df.columns:
+                    # datatype-gated: only numeric ^^xsd: literals get
+                    # a numeric ordering value (Jena/ARQ semantics)
+                    tv = F.when(
+                        F.col("obj_datatype").isin(*sorted(_NUMERIC_XSD)),
+                        F.col("obj").try_cast("double"),
+                    )
+                else:
+                    # untyped frame (P5-stripped): numeric-looking
+                    # lexical forms compare numerically (try-cast)
+                    tv = F.col("obj").try_cast("double")
+            else:  # subject/predicate/graph position: never numeric
+                tv = F.lit(None).cast("double")
+            proj.append(tv.alias(f"__t_{var}"))
     out = df.select(*proj)
     return out, set(cols)
 
@@ -1126,22 +1163,27 @@ def _join_patterns(
     patterns: list[Pattern],
     want_meta: frozenset[str] = frozenset(),
     graph_var: str | None = None,
+    want_typed: frozenset[str] = frozenset(),
 ) -> tuple[DataFrame, set[str]]:
     """Join a pattern list in greedy connectivity order. With
     ``graph_var`` every pattern additionally binds the graph label, so
     the shared-variable join keys include it (same named graph)."""
     order = _greedy_order(patterns)
-    acc, bound = _pattern_frame(triples, patterns[order[0]], want_meta, graph_var)
+    acc, bound = _pattern_frame(
+        triples, patterns[order[0]], want_meta, graph_var, want_typed
+    )
     if graph_var is not None:
         bound = bound | {graph_var}
     for i in order[1:]:
-        nxt, nvars = _pattern_frame(triples, patterns[i], want_meta, graph_var)
+        nxt, nvars = _pattern_frame(
+            triples, patterns[i], want_meta, graph_var, want_typed
+        )
         if graph_var is not None:
             nvars = nvars | {graph_var}
         # a shared variable denotes ONE term, so duplicate companion
         # metadata from the right side is redundant — drop it
         dup_meta = [
-            c for c in nxt.columns if c.startswith("__m_") and c in acc.columns
+            c for c in nxt.columns if c.startswith(("__m_", "__t_")) and c in acc.columns
         ]
         if dup_meta:
             nxt = nxt.drop(*dup_meta)
@@ -1162,6 +1204,7 @@ def _exec_branch(
     b: Branch,
     want_meta: frozenset[str] = frozenset(),
     named: DataFrame | None = None,
+    want_typed: frozenset[str] = frozenset(),
 ) -> tuple[DataFrame, set[str]]:
     if named is None:
         # no named-graph view supplied: GRAPH patterns match nothing
@@ -1170,16 +1213,19 @@ def _exec_branch(
         )
     units: list[tuple[DataFrame, set[str]]] = []
     if b.patterns:
-        units.append(_join_patterns(triples, b.patterns, want_meta))
+        units.append(_join_patterns(triples, b.patterns, want_meta, want_typed=want_typed))
     for gterm, pats in b.graphs:
         if gterm.kind == "iri":
             # constant graph: one pushdown-eligible filter, then the
             # group is an ordinary BGP over that slice
             src = named.where(F.col("graph") == gterm.value).drop("graph")
-            units.append(_join_patterns(src, pats, want_meta))
+            units.append(_join_patterns(src, pats, want_meta, want_typed=want_typed))
         else:
             units.append(
-                _join_patterns(named, pats, want_meta, graph_var=gterm.value)
+                _join_patterns(
+                    named, pats, want_meta,
+                    graph_var=gterm.value, want_typed=want_typed,
+                )
             )
     for sq in b.subqueries:
         # evaluated independently over the same dataset; its projected
@@ -1190,7 +1236,7 @@ def _exec_branch(
     acc, bound = units[0]
     for nxt, nvars in units[1:]:
         dup_meta = [
-            c for c in nxt.columns if c.startswith("__m_") and c in acc.columns
+            c for c in nxt.columns if c.startswith(("__m_", "__t_")) and c in acc.columns
         ]
         if dup_meta:
             nxt = nxt.drop(*dup_meta)
@@ -1222,7 +1268,7 @@ def _exec_branch(
                 )
             odf = odf.where(F.expr(f))
         dup_meta = [
-            c for c in odf.columns if c.startswith("__m_") and c in acc.columns
+            c for c in odf.columns if c.startswith(("__m_", "__t_")) and c in acc.columns
         ]
         if dup_meta:
             odf = odf.drop(*dup_meta)
@@ -1286,7 +1332,7 @@ def _exec_branch(
     # metadata stays in the frame for CONSTRUCT emission)
     visible = {v for v in bound if not v.startswith("__p")}
     if visible != bound:
-        meta_cols = [c for c in acc.columns if c.startswith("__m_")]
+        meta_cols = [c for c in acc.columns if c.startswith(("__m_", "__t_"))]
         acc = acc.select(*sorted(visible), *meta_cols)
     return acc, visible
 
@@ -1349,14 +1395,35 @@ def _emit_construct(
     return out.distinct()
 
 
-def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
+def execute_bgp(
+    triples: DataFrame,
+    query: BGPQuery | str,
+    *,
+    typed_numerics: bool = False,
+) -> DataFrame:
     """Run a BGP SELECT over a triples DataFrame (schemas.TRIPLES
     shape). Accepts a parsed BGPQuery or SPARQL text.
 
     UNION branches execute independently and union by name with
     missing variables null-filled (SPARQL union semantics); OPTIONAL
     groups LEFT-join on their shared variables, new variables coming
-    back null where the group has no match."""
+    back null where the group has no match.
+
+    ``typed_numerics`` (opt-in; default preserves the documented
+    lexical behavior): ORDER BY and MIN/MAX compare bindings
+    NUMERICALLY the way Jena/ARQ does for ``xsd:integer``-family
+    literals. When the triples frame carries an ``obj_datatype``
+    column (rdf_io readers with ``keep_datatype=True``), only
+    numeric-``^^xsd:``-typed literals get a numeric value; frames
+    without the column fall back to try-cast of the lexical form
+    (any numeric-looking literal compares numerically). Numeric
+    bindings order before non-numeric ones; ties and non-numerics
+    break on the lexical form, keeping results deterministic and
+    relationally replayable (DuckDB: ``ORDER BY TRY_CAST(v AS
+    DOUBLE) NULLS LAST, v``). With DISTINCT the companion datatype
+    is gone post-projection, so ordering uses the lexical try-cast.
+    Comparison FILTERs against number literals (``?v > 5``) are
+    numeric in BOTH modes via SQL type coercion."""
     q = parse_sparql(query) if isinstance(query, str) else query
     # ---- dataset construction (quads-aware) ---------------------------
     # Convention: a ``graph`` column marks named-graph membership; NULL
@@ -1392,11 +1459,27 @@ def execute_bgp(triples: DataFrame, query: BGPQuery | str) -> DataFrame:
         named = triples.where(F.col("graph").isNotNull())
     else:
         default, named = triples, None
-    return _run_query(default, named, q)
+    return _run_query(default, named, q, typed=typed_numerics)
+
+
+# numeric XSD datatypes (XML Schema 1.1 numeric hierarchy): bindings
+# typed with one of these get a double-valued ordering companion
+_NUMERIC_XSD = frozenset(
+    f"http://www.w3.org/2001/XMLSchema#{t}"
+    for t in (
+        "integer", "decimal", "double", "float", "int", "long", "short",
+        "byte", "nonNegativeInteger", "positiveInteger", "negativeInteger",
+        "nonPositiveInteger", "unsignedLong", "unsignedInt",
+        "unsignedShort", "unsignedByte",
+    )
+)
 
 
 def _run_query(
-    triples: DataFrame, named: DataFrame | None, q: BGPQuery
+    triples: DataFrame,
+    named: DataFrame | None,
+    q: BGPQuery,
+    typed: bool = False,
 ) -> DataFrame:
     """Execute a parsed query over an already-constructed dataset
     (``triples`` = default-graph view, ``named`` = named-graph view).
@@ -1413,10 +1496,31 @@ def _run_query(
         for t in (pat[2],)
         if t.kind == "var"
     )
-    frames = [_exec_branch(triples, b, want_meta, named) for b in q.branches]
+    # typed-numeric ordering: only the variables ORDER BY / MIN / MAX
+    # actually compare need the `__t_` double companion from the
+    # pattern scan (DISTINCT projects companions away — lexical
+    # try-cast fallback applies there, see execute_bgp docstring)
+    want_typed: frozenset[str] = frozenset()
+    if typed:
+        want_typed = frozenset(
+            v for v, _ in q.order_by if not q.distinct
+        ) | frozenset(
+            var
+            for func, var, *_ in q.aggregates
+            if var and func in ("min", "max")
+        )
+    frames = [
+        _exec_branch(triples, b, want_meta, named, want_typed)
+        for b in q.branches
+    ]
     bound: set[str] = set().union(*(v for _, v in frames))
     all_meta = sorted(
-        {c for df, _ in frames for c in df.columns if c.startswith("__m_")}
+        {
+            c
+            for df, _ in frames
+            for c in df.columns
+            if c.startswith(("__m_", "__t_"))
+        }
     )
     aligned = []
     for df, dvars in frames:
@@ -1425,7 +1529,9 @@ def _run_query(
             F.col(c)
             if c in df.columns
             else (
-                F.lit(None).cast("string").alias(c)
+                F.lit(None).cast("double").alias(c)
+                if c.startswith("__t_")
+                else F.lit(None).cast("string").alias(c)
                 if c.startswith("__m_lang_")
                 else F.lit(False).alias(c)
             )
@@ -1505,6 +1611,20 @@ def _run_query(
             elif func == "sample":
                 # deterministic SAMPLE: the lexical minimum
                 e = F.min(F.col(var))
+            elif func in ("min", "max") and f"__t_{var}" in acc.columns:
+                # typed mode: the binding with the smallest/largest
+                # NUMERIC value wins; non-numeric bindings sort after
+                # every numeric one; lexical tie-break — deterministic
+                # and a pure partial aggregate (min_by/max_by combine
+                # map-side)
+                sign = 1.0 if func == "min" else -1.0
+                key = F.struct(
+                    F.coalesce(
+                        F.col(f"__t_{var}") * sign, F.lit(float("inf"))
+                    ).alias("n"),
+                    F.col(var).alias("l"),
+                )
+                e = F.min_by(F.col(var), key)
             else:  # min / max on the lexical form
                 e = F.min(F.col(var)) if func == "min" else F.max(F.col(var))
             aggs.append(e.alias(alias))
@@ -1520,6 +1640,27 @@ def _run_query(
             raise ValueError(f"BGP: SELECT expression would rebind ?{var}")
         acc = acc.withColumn(var, F.expr(sql))
         bound.add(var)
+    def _typed_sort_cols(frame: DataFrame) -> list:
+        # numeric value first (nulls — non-numeric bindings — last),
+        # lexical form as the deterministic tie-break
+        cols = []
+        for v, asc in q.order_by:
+            tcol = f"__t_{v}"
+            n = (
+                F.col(tcol)
+                if tcol in frame.columns
+                else F.col(v).try_cast("double")
+            )
+            cols.append(n.asc_nulls_last() if asc else n.desc_nulls_last())
+            cols.append(F.col(v).asc() if asc else F.col(v).desc())
+        return cols
+
+    if typed and q.order_by and not q.distinct:
+        # SPARQL orders BEFORE projection; sorting here keeps the
+        # datatype companions in scope (the projection below is a
+        # narrow map over the sorted frame — Catalyst compiles
+        # sort+project+limit to TakeOrderedAndProject)
+        acc = acc.orderBy(*_typed_sort_cols(acc))
     if q.select:
         missing_sel = [v for v in q.select if v not in bound]
         if missing_sel:
@@ -1530,9 +1671,17 @@ def _run_query(
     if q.distinct:
         acc = acc.distinct()
     if q.order_by:
-        acc = acc.orderBy(
-            *(F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order_by)
-        )
+        if typed and not q.distinct:
+            pass  # already ordered pre-projection with the companions
+        elif typed:
+            acc = acc.orderBy(*_typed_sort_cols(acc))
+        else:
+            acc = acc.orderBy(
+                *(
+                    F.col(v).asc() if asc else F.col(v).desc()
+                    for v, asc in q.order_by
+                )
+            )
     if q.offset is not None:
         # SPARQL slice: skip OFFSET rows, then take LIMIT
         acc = acc.offset(q.offset)

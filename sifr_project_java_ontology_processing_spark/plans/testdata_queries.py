@@ -100,6 +100,7 @@ _DRIVER_FIRST: list[str] = [
     "graph_personalized_pr",
     "graph_diff",
     "shacl_validate",
+    "sparql_typed_order",
 ]
 
 
@@ -4712,3 +4713,89 @@ def q_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         SHAPE_SCHEMA,
     )
     return validate_shapes(rows.unionByName(rt), shapes)
+
+
+# ===========================================================================
+# Round 5: SPARQL typed-numeric ordering
+# ===========================================================================
+
+_TYPED_ORDER_SPARQL = """
+PREFIX ex: <http://ex/>
+SELECT ?c ?b WHERE {
+  ?c ex:bal ?b .
+  FILTER(?b > 50000)
+} ORDER BY DESC(?b) ?c LIMIT 40
+"""
+
+
+@register(
+    "sparql_typed_order",
+    """
+    WITH t(c, b, dt) AS (
+      SELECT 'c:' || CAST(c_custkey AS VARCHAR),
+             CASE WHEN c_custkey % 7 = 0 THEN 'n/a'
+                  ELSE CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR)
+             END,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE 'http://www.w3.org/2001/XMLSchema#integer'
+             END
+      FROM customer
+      UNION ALL
+      SELECT 'c:' || CAST(c_custkey AS VARCHAR), '123456789', NULL
+      FROM customer WHERE c_custkey % 11 = 0
+    ),
+    f AS (
+      SELECT c, b,
+             CASE WHEN dt = 'http://www.w3.org/2001/XMLSchema#integer'
+                  THEN TRY_CAST(b AS DOUBLE) END AS n
+      FROM t
+      WHERE TRY_CAST(b AS DOUBLE) > 50000
+    )
+    SELECT c, b FROM f
+    ORDER BY n DESC NULLS LAST, b DESC,
+             TRY_CAST(c AS DOUBLE) ASC NULLS LAST, c ASC
+    LIMIT 40
+    """,
+)
+def q_sparql_typed_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL typed-numeric ordering (round-5 VERDICT ask #3 — the
+    Jena/ARQ behavior a SPARQL user expects for xsd:integer literals):
+    account balances as integer-cents literals typed
+    ``^^xsd:integer``, a 'n/a' untyped literal every 7th customer, and
+    a numeric-LOOKING but UNTYPED decoy ('123456789') every 11th.
+    ``execute_bgp(..., typed_numerics=True)`` must (a) order the
+    top-40 numerically (lexical ordering would rank '999xx' above
+    '10000xx' — different set, hash mismatch), (b) keep the decoy out
+    of the numeric ranks because its datatype column is NULL
+    (datatype-GATED casting, not blind try-cast), and (c) filter
+    ?b > 50000 numerically with type-error rows dropped, not crashed.
+    The oracle replays the exact (numeric NULLS LAST, lexical) sort
+    key in DuckDB."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    cust = _t(spark, sf_dir, "customer")
+    c_iri = F.concat(F.lit("c:"), F.col("c_custkey").cast("string"))
+    cents = F.round(F.col("c_acctbal") * 100).cast("long").cast("string")
+    is_na = F.col("c_custkey") % 7 == 0
+    base = cust.select(
+        c_iri.alias("subj"),
+        F.lit("http://ex/bal").alias("pred"),
+        F.when(is_na, F.lit("n/a")).otherwise(cents).alias("obj"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(True).alias("obj_is_literal"),
+        F.when(is_na, F.lit(None).cast("string"))
+        .otherwise(F.lit(XSD_INT))
+        .alias("obj_datatype"),
+    )
+    decoy = cust.where(F.col("c_custkey") % 11 == 0).select(
+        c_iri.alias("subj"),
+        F.lit("http://ex/bal").alias("pred"),
+        F.lit("123456789").alias("obj"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(True).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    return execute_bgp(
+        base.unionByName(decoy), _TYPED_ORDER_SPARQL, typed_numerics=True
+    )

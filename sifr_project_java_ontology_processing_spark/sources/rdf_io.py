@@ -54,7 +54,8 @@ from pyspark.sql import functions as F
 # subject: <iri> or _:blank ; predicate: <iri> ; object: rest
 _NT_LINE_RX = r"^[ \t]*(<[^>]*>|_:[^ \t]+)[ \t]+<([^>]*)>[ \t]+(.*?)[ \t]*\.[ \t]*$"
 # literal object: "..." with escaped chars, then optional @lang / ^^<dt>
-_NT_LIT_RX = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^<[^>]*>)?$'
+# (group 3 captures the datatype IRI for keep_datatype readers)
+_NT_LIT_RX = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^<([^>]*)>)?$'
 # a bare (non-literal) term: IRI or blank node — shared by the strict
 # N-Triples object check and the N-Quads graph-slot check
 _NQ_TERM_RX = r"^(<[^>]*>|_:[^ \t]+)$"
@@ -104,11 +105,19 @@ def _strip_angle(col: Column) -> Column:
     return F.regexp_replace(col, r"^<(.*)>$", r"$1")
 
 
-def parse_ntriples_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
+def parse_ntriples_lines(
+    lines: DataFrame, line_col: str = "value", keep_datatype: bool = False
+) -> DataFrame:
     """Lines → TRIPLES-schema rows. Pure expressions (regexp_extract +
     conditional unescape); comments/blank lines dropped. Unparseable
     non-comment lines come out with subj NULL — callers (read_ntriples)
-    decide whether that is an error."""
+    decide whether that is an error.
+
+    ``keep_datatype`` appends an ``obj_datatype`` column (the
+    ``^^<dt>`` IRI; NULL for untyped literals and non-literals) instead
+    of the default P5-stripped shape — the opt-in carrier for SPARQL
+    typed-numeric ordering (plans/bgp.py ``typed_numerics``). Default
+    stays the 6-column TRIPLES schema every other consumer expects."""
     line = F.col(line_col)
     content = lines.where(
         (F.trim(line) != "") & ~F.trim(line).startswith("#")
@@ -129,7 +138,7 @@ def parse_ntriples_lines(lines: DataFrame, line_col: str = "value") -> DataFrame
     )
     lit_body = F.regexp_extract(obj_raw, _NT_LIT_RX, 1)
     lit_lang = F.regexp_extract(obj_raw, _NT_LIT_RX, 2)
-    parsed = content.select(
+    cols = [
         F.when(bad, None).otherwise(_strip_angle(subj_raw)).alias("subj"),
         F.when(bad, None).otherwise(pred).alias("pred"),
         F.when(is_lit, _unescape_literal(lit_body))
@@ -138,17 +147,30 @@ def parse_ntriples_lines(lines: DataFrame, line_col: str = "value") -> DataFrame
         F.when(is_lit & (lit_lang != ""), lit_lang).alias("obj_lang"),
         is_lit.alias("obj_is_literal"),
         F.lit(None).cast("string").alias("src_url"),
-        line.alias("_raw"),
-    )
+    ]
+    if keep_datatype:
+        lit_dt = F.regexp_extract(obj_raw, _NT_LIT_RX, 3)
+        cols.append(
+            F.when(is_lit & (lit_dt != ""), lit_dt).alias("obj_datatype")
+        )
+    parsed = content.select(*cols, line.alias("_raw"))
     return parsed
 
 
-def read_ntriples(spark: SparkSession, path: str, strict: bool = True) -> DataFrame:
+def read_ntriples(
+    spark: SparkSession,
+    path: str,
+    strict: bool = True,
+    keep_datatype: bool = False,
+) -> DataFrame:
     """N-Triples file(s) → TRIPLES DataFrame. ``path`` may be a file,
     directory, or glob; .gz/.bz2 decode transparently
     (OntologyLoader.java:83-92 parity). With ``strict`` (default) an
-    unparseable non-comment line raises instead of vanishing."""
-    parsed = parse_ntriples_lines(spark.read.text(path))
+    unparseable non-comment line raises instead of vanishing.
+    ``keep_datatype``: see parse_ntriples_lines."""
+    parsed = parse_ntriples_lines(
+        spark.read.text(path), keep_datatype=keep_datatype
+    )
     if strict:
         bad = parsed.where(F.col("subj").isNull()).select("_raw").limit(5)
         bad_rows = bad.collect()

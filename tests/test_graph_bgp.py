@@ -1042,3 +1042,105 @@ def test_negated_property_set(spark):
         execute_bgp(df, "SELECT ?o WHERE { <s> !<http://ex/p>+ ?o }")
     with _pytest.raises(ValueError, match="inverse members"):
         execute_bgp(df, "SELECT ?o WHERE { <s> !(^<http://ex/p>) ?o }")
+
+
+# ---------------------------------------------------------------------------
+# Typed-numeric literals (round-5 VERDICT ask #3)
+# ---------------------------------------------------------------------------
+
+_TYPED_NT = [
+    '<http://x/a> <http://x/val> "9"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    '<http://x/b> <http://x/val> "10"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    '<http://x/c> <http://x/val> "2.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .',
+    '<http://x/d> <http://x/val> "banana" .',
+    '<http://x/e> <http://x/val> "7"@en .',
+]
+
+
+def _typed_triples(spark):
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        parse_ntriples_lines,
+    )
+
+    lines = spark.createDataFrame([(l,) for l in _TYPED_NT], "value string")
+    return parse_ntriples_lines(lines, keep_datatype=True).drop("_raw")
+
+
+def test_keep_datatype_column(spark):
+    t = _typed_triples(spark)
+    dts = {r.obj: r.obj_datatype for r in t.collect()}
+    assert dts["9"] == "http://www.w3.org/2001/XMLSchema#integer"
+    assert dts["2.5"] == "http://www.w3.org/2001/XMLSchema#decimal"
+    assert dts["banana"] is None
+    assert dts["7"] is None  # lang-tagged, not datatyped
+    # default shape untouched: no obj_datatype column
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        parse_ntriples_lines,
+    )
+
+    lines = spark.createDataFrame([(l,) for l in _TYPED_NT], "value string")
+    assert "obj_datatype" not in parse_ntriples_lines(lines).columns
+
+
+def test_typed_order_by_numeric_first(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _typed_triples(spark)
+    q = "SELECT ?s ?v WHERE { ?s <http://x/val> ?v } ORDER BY ?v LIMIT 3"
+    typed = [r.v for r in execute_bgp(t, q, typed_numerics=True).collect()]
+    assert typed == ["2.5", "9", "10"]  # numeric order, non-numerics after
+    # default stays lexical (oracle-stable)
+    lex = [r.v for r in execute_bgp(t, q).collect()]
+    assert lex == ["10", "2.5", "7"]
+
+
+def test_typed_order_desc_nonnumeric_last(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _typed_triples(spark)
+    q = "SELECT ?v WHERE { ?s <http://x/val> ?v } ORDER BY DESC(?v)"
+    out = [r.v for r in execute_bgp(t, q, typed_numerics=True).collect()]
+    assert out[:3] == ["10", "9", "2.5"]
+    assert set(out[3:]) == {"banana", "7"}  # non-numeric tail
+
+
+def test_typed_min_max_aggregates(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _typed_triples(spark)
+    q = "SELECT (MIN(?v) AS ?mn) (MAX(?v) AS ?mx) WHERE { ?s <http://x/val> ?v }"
+    row = execute_bgp(t, q, typed_numerics=True).collect()[0]
+    assert (row.mn, row.mx) == ("2.5", "10")
+    lex = execute_bgp(t, q).collect()[0]
+    assert (lex.mn, lex.mx) == ("10", "banana")
+
+
+def test_typed_untyped_frame_falls_back_to_trycast(spark):
+    """On a P5-stripped frame (no obj_datatype) typed mode interprets
+    numeric-looking lexical forms numerically via try-cast."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _typed_triples(spark).drop("obj_datatype")
+    q = "SELECT ?v WHERE { ?s <http://x/val> ?v } ORDER BY ?v LIMIT 4"
+    out = [r.v for r in execute_bgp(t, q, typed_numerics=True).collect()]
+    assert out == ["2.5", "7", "9", "10"]  # "7"@en is numeric-looking here
+
+
+def test_typed_filter_comparison_numeric(spark):
+    """FILTER (?v > n) compares numerically in both modes via SQL
+    coercion — '9' > 5 is true, '10' > 5 is true (not lexical)."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _typed_triples(spark)
+    q = "SELECT ?s WHERE { ?s <http://x/val> ?v FILTER(?v > 5) }"
+    out = {r.s for r in execute_bgp(t, q, typed_numerics=True).collect()}
+    assert out == {"http://x/a", "http://x/b", "http://x/e"}
+
+
+def test_typed_order_with_distinct_uses_lexical_trycast(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _typed_triples(spark)
+    q = "SELECT DISTINCT ?v WHERE { ?s <http://x/val> ?v } ORDER BY ?v LIMIT 4"
+    out = [r.v for r in execute_bgp(t, q, typed_numerics=True).collect()]
+    assert out == ["2.5", "7", "9", "10"]
