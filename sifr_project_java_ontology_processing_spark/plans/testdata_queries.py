@@ -101,6 +101,7 @@ _DRIVER_FIRST: list[str] = [
     "graph_diff",
     "shacl_validate",
     "sparql_typed_order",
+    "rdfs_plus_entail_incremental",
 ]
 
 
@@ -4100,9 +4101,7 @@ def q_nquads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "rdfs_plus_entailment",
-    f"""
+_RDFS_PLUS_SQL = f"""
     WITH e AS (
       SELECT DISTINCT 'n:' || CAST(p_partkey // 10 AS VARCHAR) AS s,
              'n:' || CAST(p_partkey AS VARCHAR) AS o
@@ -4136,8 +4135,10 @@ def q_nquads_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT s, 'p:adjacent', o FROM adj_sym
       UNION ALL SELECT o, '{_RDF_TYPE_IRI}', 'c:Node' FROM clo
     )
-    """,
-)
+    """
+
+
+@register("rdfs_plus_entailment", _RDFS_PLUS_SQL)
 def q_rdfs_plus_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFS-Plus / OWL-lite materialization (inference.rdfs_plus_entail):
     the part decimal tree as a TRANSITIVE ``p:contains`` (pooled
@@ -4148,12 +4149,30 @@ def q_rdfs_plus_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the 4-level closure and states the mirrors/types
     closed-form."""
     from sifr_project_java_ontology_processing_spark.operators.inference import (
+        rdfs_plus_entail,
+    )
+
+    contains, adjacent, static = _rdfs_plus_fixture(spark, sf_dir)
+    return rdfs_plus_entail(
+        contains.drop("_k")
+        .unionByName(adjacent.drop("_k"))
+        .unionByName(static),
+        max_transitive_depth=6,
+    )
+
+
+def _rdfs_plus_fixture(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The rdfs_plus_entailment asserted graph, shared by the full and
+    incremental gates. contains/adjacent carry a ``_k`` split key
+    (partkey / nationkey) so the incremental twin can peel a delta."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
         OWL_INVERSEOF,
         OWL_SYMMETRIC,
         OWL_TRANSITIVE,
         RDFS_RANGE,
         RDF_TYPE,
-        rdfs_plus_entail,
     )
 
     part = _t(spark, sf_dir, "part").where(F.col("p_partkey") > 0)
@@ -4170,19 +4189,23 @@ def q_rdfs_plus_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     contains = part.select(
+        F.col("p_partkey").alias("_k"),
         row(
             F.concat(F.lit("n:"), F.expr("p_partkey div 10").cast("string")),
             "p:contains",
             F.concat(F.lit("n:"), F.col("p_partkey").cast("string")),
-        ).alias("t")
-    ).select("t.*").distinct()
+        ).alias("t"),
+    ).select("_k", "t.*").dropDuplicates(
+        ["subj", "pred", "obj", "obj_lang", "obj_is_literal"]
+    )
     adjacent = nat.select(
+        F.col("n_nationkey").alias("_k"),
         row(
             F.concat(F.lit("a:"), F.col("n_nationkey").cast("string")),
             "p:adjacent",
             F.concat(F.lit("a:"), ((F.col("n_nationkey") + 1) % 25).cast("string")),
-        ).alias("t")
-    ).select("t.*")
+        ).alias("t"),
+    ).select("_k", "t.*")
     static = spark.createDataFrame(
         [
             ("p:contains", RDF_TYPE, OWL_TRANSITIVE, None, False),
@@ -4192,10 +4215,41 @@ def q_rdfs_plus_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
     )
-    return rdfs_plus_entail(
-        contains.unionByName(adjacent).unionByName(static),
-        max_transitive_depth=6,
+    return contains, adjacent, static
+
+
+@register("rdfs_plus_entail_incremental", _RDFS_PLUS_SQL)
+def q_rdfs_plus_entail_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-naive incremental maintenance for the PLUS tier
+    (inference.rdfs_plus_entail_delta — round-5 VERDICT ask #4): the
+    rdfs_plus_entailment fixture is SPLIT — every 7th part's
+    ``p:contains`` edge and every 5th nation's symmetric ``p:adjacent``
+    edge arrive as a later instance-only delta batch. The delta
+    touches the TRANSITIVE and SYMMETRIC properties, which the plain
+    RDFS delta operator would bounce to a full re-entailment; here the
+    new closure pairs come from bridging the delta through the old
+    closure (C ∪ (C?ΔC?)+ — broadcast joins + a closure job over
+    delta-incident pairs only) and must hash-identically equal the
+    one-shot materialization (same oracle SQL as rdfs_plus_entailment)."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        rdfs_plus_entail,
+        rdfs_plus_entail_delta,
     )
+
+    contains, adjacent, static = _rdfs_plus_fixture(spark, sf_dir)
+    base = (
+        contains.where(F.col("_k") % 7 != 0)
+        .drop("_k")
+        .unionByName(adjacent.where(F.col("_k") % 5 != 0).drop("_k"))
+        .unionByName(static)
+    )
+    delta = (
+        contains.where(F.col("_k") % 7 == 0)
+        .drop("_k")
+        .unionByName(adjacent.where(F.col("_k") % 5 == 0).drop("_k"))
+    )
+    entailed = rdfs_plus_entail(base, max_transitive_depth=6)
+    return rdfs_plus_entail_delta(entailed, delta, max_transitive_depth=6)
 
 
 @register(
