@@ -18,6 +18,23 @@ Shape row schema (one row per (shape, property) constraint set —
   pattern        string? — regex on the value's lexical form (sh:pattern)
   class_iri      string? — values must be rdf:typed this (sh:class)
 
+Extended columns (SHAPE_SCHEMA_EXT; shapes tables without them
+validate unchanged — constraints are read per-row with .get()):
+
+  datatype       string? — sh:datatype. Values must be literals of
+      this datatype. When the triples frame carries an
+      ``obj_datatype`` column (rdf_io ``keep_datatype=True``) the
+      check is exact RDF 1.1 (untagged plain literal = xsd:string,
+      lang-tagged = rdf:langString); on a P5-stripped frame the
+      LEXICAL SPACE is checked for the common XSD types
+      (string/integer/decimal/double/boolean/date/dateTime) and other
+      datatypes only require literal-ness (documented subset).
+  in_values      array<string>? — sh:in on the lexical form (compiles
+      to a pushdown-eligible IN filter).
+  min_length     long? — sh:minLength on the lexical form of literals
+      AND IRIs (per SHACL both are in scope).
+  max_length     long? — sh:maxLength, same scope.
+
 Report: (focus, shape_id, path, constraint_name, value) — one row per
 violation; count violations carry the offending cardinality as value.
 
@@ -42,8 +59,27 @@ SHAPE_SCHEMA = (
     "shape_id string, target_class string, path string, min_count long, "
     "max_count long, node_kind string, pattern string, class_iri string"
 )
+SHAPE_SCHEMA_EXT = SHAPE_SCHEMA + (
+    ", datatype string, in_values array<string>, "
+    "min_length long, max_length long"
+)
 
 _REPORT_COLS = ["focus", "shape_id", "path", "constraint_name", "value"]
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+# lexical spaces for sh:datatype on a datatype-stripped frame
+_LEXICAL_RX = {
+    f"{_XSD}integer": r"^[+-]?\d+$",
+    f"{_XSD}decimal": r"^[+-]?(\d+(\.\d*)?|\.\d+)$",
+    f"{_XSD}double": r"^([+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|[+-]?INF|NaN)$",
+    f"{_XSD}boolean": r"^(true|false|1|0)$",
+    f"{_XSD}date": r"^-?\d{4,}-\d{2}-\d{2}(Z|[+-]\d{2}:\d{2})?$",
+    f"{_XSD}dateTime": (
+        r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?"
+        r"(Z|[+-]\d{2}:\d{2})?$"
+    ),
+}
 
 
 def _report(focus_col, shape_id: str, path: str, constraint: str, value_col):
@@ -67,8 +103,13 @@ def validate_shapes(triples: DataFrame, shapes: DataFrame) -> DataFrame:
         F.col("subj").alias("_node"), F.col("obj").alias("_cls")
     )
 
+    has_dt_col = "obj_datatype" in triples.columns
+    if has_dt_col:
+        t = triples.select(*_TRIPLE_COLS, "obj_datatype")
+
     parts: list[DataFrame] = []
-    for s in shape_rows:
+    for row_ in shape_rows:
+        s = row_.asDict()
         focus = types.where(F.col("_cls") == s["target_class"]).select(
             F.col("_node").alias("_focus")
         ).distinct()
@@ -120,6 +161,59 @@ def validate_shapes(triples: DataFrame, shapes: DataFrame) -> DataFrame:
                     *_report(
                         F.col("subj"), s["shape_id"], s["path"],
                         "pattern", F.col("obj"),
+                    )
+                )
+            )
+        if s.get("datatype") is not None:
+            want = s["datatype"]
+            if has_dt_col:
+                eff = F.coalesce(
+                    F.col("obj_datatype"),
+                    F.when(
+                        F.col("obj_lang").isNotNull(), F.lit(_RDF_LANGSTRING)
+                    ).otherwise(F.lit(f"{_XSD}string")),
+                )
+                ok = F.col("obj_is_literal") & (eff == want)
+            else:
+                ok = F.col("obj_is_literal")
+                if want == f"{_XSD}string":
+                    # a lang-tagged literal is rdf:langString, not string
+                    ok = ok & F.col("obj_lang").isNull()
+                elif want in _LEXICAL_RX:
+                    ok = ok & F.col("obj").rlike(_LEXICAL_RX[want])
+                # other datatypes: literal-ness only (documented subset)
+            parts.append(
+                vals.where(~ok).select(
+                    *_report(
+                        F.col("subj"), s["shape_id"], s["path"],
+                        "datatype", F.col("obj"),
+                    )
+                )
+            )
+        if s.get("in_values") is not None:
+            parts.append(
+                vals.where(~F.col("obj").isin(*list(s["in_values"]))).select(
+                    *_report(
+                        F.col("subj"), s["shape_id"], s["path"],
+                        "in", F.col("obj"),
+                    )
+                )
+            )
+        if s.get("min_length") is not None:
+            parts.append(
+                vals.where(F.length("obj") < s["min_length"]).select(
+                    *_report(
+                        F.col("subj"), s["shape_id"], s["path"],
+                        "min_length", F.col("obj"),
+                    )
+                )
+            )
+        if s.get("max_length") is not None:
+            parts.append(
+                vals.where(F.length("obj") > s["max_length"]).select(
+                    *_report(
+                        F.col("subj"), s["shape_id"], s["path"],
+                        "max_length", F.col("obj"),
                     )
                 )
             )

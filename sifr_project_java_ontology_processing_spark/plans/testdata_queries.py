@@ -4695,6 +4695,22 @@ def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 's_within', 'x:within',
            'class', 'x:bad'
     FROM nation WHERE n_nationkey % 6 = 0 AND n_nationkey % 4 <> 0
+    UNION ALL
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 's_code', 'x:code',
+           'datatype', 'X' || CAST(n_nationkey AS VARCHAR)
+    FROM nation WHERE n_nationkey % 9 = 0
+    UNION ALL
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 's_seg', 'x:seg',
+           'in', 'odd-size'
+    FROM nation WHERE n_nationkey % 8 = 0
+    UNION ALL
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 's_tag', 'x:tag',
+           'min_length', 'ab'
+    FROM nation WHERE n_nationkey % 10 = 0
+    UNION ALL
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR), 's_tag', 'x:tag',
+           'max_length', 'toolongtag'
+    FROM nation WHERE n_nationkey % 11 = 0 AND n_nationkey % 10 <> 0
     """,
 )
 def q_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4703,13 +4719,16 @@ def q_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted defects for every constraint kind — missing names
     (minCount), doubled names (maxCount), lowercased names (pattern),
     dropped region links (minCount), links to an untyped node
-    (sh:class). The compiled per-shape plan must find exactly the
-    planted set, which the oracle states closed-form."""
+    (sh:class) — plus the round-5 extended constraints: non-integer
+    codes (sh:datatype lexical space), an out-of-list segment (sh:in),
+    and too-short/too-long tags (sh:minLength/maxLength). The compiled
+    per-shape plan must find exactly the planted set, which the oracle
+    states closed-form."""
     from sifr_project_java_ontology_processing_spark.operators.inference import (
         RDF_TYPE,
     )
     from sifr_project_java_ontology_processing_spark.operators.shacl import (
-        SHAPE_SCHEMA,
+        SHAPE_SCHEMA_EXT,
         validate_shapes,
     )
 
@@ -4748,6 +4767,27 @@ def q_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
                             False,
                         ),
                     ),
+                    trip(
+                        n_iri, "x:code",
+                        F.when(
+                            k % 9 == 0, F.concat(F.lit("X"), k.cast("string"))
+                        ).otherwise((k + 1000).cast("string")),
+                        True,
+                    ),
+                    trip(
+                        n_iri, "x:seg",
+                        F.when(k % 8 == 0, F.lit("odd-size"))
+                        .when(k % 2 == 0, F.lit("small"))
+                        .otherwise(F.lit("big")),
+                        True,
+                    ),
+                    trip(
+                        n_iri, "x:tag",
+                        F.when(k % 10 == 0, F.lit("ab"))
+                        .when(k % 11 == 0, F.lit("toolongtag"))
+                        .otherwise(F.concat(F.lit("tag"), k.cast("string"))),
+                        True,
+                    ),
                 ),
                 lambda x: x.isNotNull(),
             )
@@ -4759,12 +4799,21 @@ def q_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             RDF_TYPE, F.lit("x:Region"), False,
         ).alias("t")
     ).select("t.*")
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
     shapes = spark.createDataFrame(
         [
-            ("s_name", "x:Nation", "x:name", 1, 1, "Literal", "^NATION", None),
-            ("s_within", "x:Nation", "x:within", 1, None, "IRI", None, "x:Region"),
+            ("s_name", "x:Nation", "x:name", 1, 1, "Literal", "^NATION",
+             None, None, None, None, None),
+            ("s_within", "x:Nation", "x:within", 1, None, "IRI", None,
+             "x:Region", None, None, None, None),
+            ("s_code", "x:Nation", "x:code", None, None, None, None,
+             None, XSD_INT, None, None, None),
+            ("s_seg", "x:Nation", "x:seg", None, None, None, None,
+             None, None, ["small", "big"], None, None),
+            ("s_tag", "x:Nation", "x:tag", None, None, None, None,
+             None, None, None, 3, 6),
         ],
-        SHAPE_SCHEMA,
+        SHAPE_SCHEMA_EXT,
     )
     return validate_shapes(rows.unionByName(rt), shapes)
 

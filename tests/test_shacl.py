@@ -94,3 +94,112 @@ def test_duplicate_assertions_do_not_inflate_counts(spark):
         ).count()
         == 0
     )
+
+
+def test_extended_constraints_datatype_in_lengths(spark):
+    """Round-5 widening: sh:datatype / sh:in / sh:minLength /
+    sh:maxLength (SHAPE_SCHEMA_EXT). Lexical-space datatype checks on
+    a P5-stripped frame; exact RDF 1.1 checks when the frame carries
+    obj_datatype."""
+    from sifr_project_java_ontology_processing_spark.operators.shacl import (
+        SHAPE_SCHEMA_EXT,
+        validate_shapes,
+    )
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        ("n1", RDF_T, "c:N", None, False),
+        ("n2", RDF_T, "c:N", None, False),
+        ("n3", RDF_T, "c:N", None, False),
+        ("n1", "p:age", "42", None, True),
+        ("n2", "p:age", "forty", None, True),       # bad integer lexical
+        ("n3", "p:age", "i:someiri", None, False),  # not a literal
+        ("n1", "p:status", "open", None, True),
+        ("n2", "p:status", "weird", None, True),    # not in sh:in list
+        ("n1", "p:code", "ABCDE", None, True),
+        ("n2", "p:code", "AB", None, True),         # too short
+        ("n3", "p:code", "ABCDEFGHIJ", None, True), # too long
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+    shapes = spark.createDataFrame(
+        [
+            ("s_age", "c:N", "p:age", None, None, None, None, None,
+             f"{XSD}integer", None, None, None),
+            ("s_status", "c:N", "p:status", None, None, None, None, None,
+             None, ["open", "closed"], None, None),
+            ("s_code", "c:N", "p:code", None, None, None, None, None,
+             None, None, 3, 8),
+        ],
+        SHAPE_SCHEMA_EXT,
+    )
+    rep = {
+        (r.focus, r.constraint_name, r.value)
+        for r in validate_shapes(t, shapes).collect()
+    }
+    assert rep == {
+        ("n2", "datatype", "forty"),
+        ("n3", "datatype", "i:someiri"),
+        ("n2", "in", "weird"),
+        ("n2", "min_length", "AB"),
+        ("n3", "max_length", "ABCDEFGHIJ"),
+    }
+
+
+def test_datatype_exact_with_obj_datatype_column(spark):
+    from sifr_project_java_ontology_processing_spark.operators.shacl import (
+        SHAPE_SCHEMA_EXT,
+        validate_shapes,
+    )
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        ("n1", RDF_T, "c:N", None, False, None),
+        ("n2", RDF_T, "c:N", None, False, None),
+        ("n3", RDF_T, "c:N", None, False, None),
+        ("n4", RDF_T, "c:N", None, False, None),
+        # typed integer: ok
+        ("n1", "p:age", "42", None, True, f"{XSD}integer"),
+        # numeric-looking but UNTYPED (plain = xsd:string): violation
+        ("n2", "p:age", "42", None, True, None),
+        # lang-tagged (rdf:langString): violation
+        ("n3", "p:age", "42", "en", True, None),
+        # typed with the WRONG datatype: violation
+        ("n4", "p:age", "42", None, True, f"{XSD}decimal"),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean, obj_datatype string",
+    )
+    shapes = spark.createDataFrame(
+        [("s_age", "c:N", "p:age", None, None, None, None, None,
+          f"{XSD}integer", None, None, None)],
+        SHAPE_SCHEMA_EXT,
+    )
+    rep = {(r.focus, r.constraint_name) for r in validate_shapes(t, shapes).collect()}
+    assert rep == {("n2", "datatype"), ("n3", "datatype"), ("n4", "datatype")}
+
+
+def test_core_schema_shapes_still_validate(spark):
+    """Shapes tables in the 8-column CORE schema (no extended columns)
+    keep validating unchanged — constraints are read with .get()."""
+    from sifr_project_java_ontology_processing_spark.operators.shacl import (
+        SHAPE_SCHEMA,
+        validate_shapes,
+    )
+
+    RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    t = spark.createDataFrame(
+        [("n1", RDF_T, "c:N", None, False)],
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+    shapes = spark.createDataFrame(
+        [("s", "c:N", "p:x", 1, None, None, None, None)], SHAPE_SCHEMA
+    )
+    rep = [(r.focus, r.constraint_name, r.value) for r in validate_shapes(t, shapes).collect()]
+    assert rep == [("n1", "min_count", "0")]
