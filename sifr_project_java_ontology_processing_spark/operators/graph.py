@@ -37,6 +37,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def named_graph_edges(
+    quads: DataFrame,
+    graph: str | None = None,
+    *,
+    pred: str | None = None,
+) -> DataFrame:
+    """(src, dst) edge view of a triples/quads frame restricted to ONE
+    graph — the composition point between the named-graph surface
+    (rdf_io.read_nquads quads carry a nullable ``graph`` column) and
+    the analytics layer: ``pagerank(named_graph_edges(q, "g:one"))``.
+
+    ``graph=None`` selects the DEFAULT graph (NULL labels, or the whole
+    frame when there is no graph column — a plain triples table IS the
+    default graph). The graph filter is a single literal predicate on
+    the scan: partition-pruning-eligible when the quads table is
+    written partitioned by graph, so restricting to one graph never
+    reads the others. ``pred`` optionally restricts to one predicate
+    (same pushdown shape). Literal objects are dropped — they are not
+    graph nodes."""
+    df = quads
+    if "graph" in quads.columns:
+        df = (
+            df.where(F.col("graph") == graph)
+            if graph is not None
+            else df.where(F.col("graph").isNull())
+        )
+    elif graph is not None:
+        raise ValueError(
+            "named_graph_edges: frame has no graph column; only the "
+            "default graph (graph=None) exists"
+        )
+    if pred is not None:
+        df = df.where(F.col("pred") == pred)
+    if "obj_is_literal" in df.columns:
+        df = df.where(~F.col("obj_is_literal"))
+    return df.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+
+
 def pagerank(
     edges: DataFrame,
     *,

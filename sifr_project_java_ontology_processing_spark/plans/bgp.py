@@ -59,8 +59,14 @@ Closure endpoints compare on the lexical form (lang tags do not
 discriminate path ends). Negated property sets ``!iri`` /
 ``!(a|b|c)`` match any predicate outside the set (one NOT-IN scan;
 ``^!(...)`` composes, inverse MEMBERS and closures of a negated set
-do not). Nested groups, parenthesized paths and alternation of
-non-trivial paths stay out of scope.
+do not). Parenthesized path groups ``(seq | seq ...)[+*?]`` — each
+alternative a '/'-sequence of ``[^]iri`` elements — compile to a
+derived (src, dst) edge frame (chained pred-filtered scans, unioned
+alternatives) with the modifier applied to that relation; ``^(a/b)``
+reverses to the inverted-reversed sequence; groups compose inside
+sequences (``(a/b)+/c``). Nested groups/modifiers INSIDE a group
+stay out of scope, and alternation of non-trivial paths must be
+written in group form (``(a/b|c)``).
 
 Query forms beyond SELECT: ``CONSTRUCT { template } WHERE {...}``
 returns a schemas.TRIPLES-shaped frame (object variables carry
@@ -311,6 +317,10 @@ def _strip_prefix_decls(text: str) -> tuple[dict[str, str], str]:
 # one path element: (inverse?, term, modifier '+'/'*'/None)
 PathElt = tuple[bool, Term, "str | None"]
 
+# separator for encoding path-group sequences into Term.alts (IRIs may
+# contain '/', so a control char keeps the encoding unambiguous)
+_GSEP = "\x1f"
+
 
 class _P:
     def __init__(self, toks: list[str], prefixes: dict[str, str]):
@@ -494,6 +504,64 @@ def _parse_path(p: _P) -> list[PathElt]:
         if p.peek() == "^":
             p.next()
             inv = True
+        if p.peek() == "(":
+            # parenthesized path group: ( seq | seq | ... ) with an
+            # optional +/*/? modifier — each alternative a '/'-sequence
+            # of [^]iri elements (no nested groups/modifiers inside;
+            # documented subset). Compiled by the executor to a closure
+            # over a DERIVED edge frame (round-5 VERDICT ask #6).
+            p.next()
+            alternatives: list[list[tuple[bool, str]]] = []
+            seq: list[tuple[bool, str]] = []
+            while True:
+                inv2 = False
+                if p.peek() == "^":
+                    p.next()
+                    inv2 = True
+                t2 = p.term()
+                if t2.kind != "iri":
+                    raise ValueError(
+                        "BGP: path group elements must be plain IRIs"
+                    )
+                if p.peek() in ("+", "*", "?", "(", "!"):
+                    raise ValueError(
+                        "BGP: nested modifiers/groups inside a path "
+                        "group are not supported"
+                    )
+                seq.append((inv2, t2.value))
+                if p.peek() == "/":
+                    p.next()
+                    continue
+                if p.peek() == "|":
+                    p.next()
+                    alternatives.append(seq)
+                    seq = []
+                    continue
+                p.expect(")")
+                alternatives.append(seq)
+                break
+            if inv:
+                # ^(a/b) = reversed sequence of inverted elements
+                alternatives = [
+                    [(not i, iri) for (i, iri) in reversed(alt)]
+                    for alt in alternatives
+                ]
+            mod = p.next() if p.peek() in ("+", "*", "?") else None
+            kind = {
+                "+": "path_group_plus",
+                "*": "path_group_star",
+                "?": "path_group_opt",
+                None: "path_group",
+            }[mod]
+            enc = tuple(
+                _GSEP.join(("^" + iri) if i else iri for (i, iri) in alt)
+                for alt in alternatives
+            )
+            elts.append((False, Term(kind, enc[0], alts=enc), None))
+            if p.peek() == "/":
+                p.next()
+                continue
+            return elts
         if p.peek() == "!":
             # negated property set: !iri or !(iri|iri|...) — matches any
             # predicate NOT in the set (one NOT-IN-filtered scan).
@@ -1016,11 +1084,15 @@ def _pattern_frame(
     s, p, o = pat
     if s.kind == "literal" or p.kind == "literal":
         raise ValueError("BGP: literal subjects/predicates are not valid RDF")
-    if p.kind in ("path_plus", "path_star", "path_opt"):
+    if p.kind in ("path_plus", "path_star", "path_opt") or p.kind.startswith(
+        "path_group"
+    ):
         if graph_var is not None:
             raise ValueError(
                 "BGP: property paths inside GRAPH ?var are not supported"
             )
+        if p.kind.startswith("path_group"):
+            return _group_closure_frame(triples, pat)
         return _closure_frame(triples, pat)
     df = triples
     if graph_var is not None:
@@ -1119,6 +1191,14 @@ def _closure_frame(
         reach = reach.unionByName(
             nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
         ).distinct()
+    return _bind_closure_endpoints(reach, s, o)
+
+
+def _bind_closure_endpoints(
+    reach: DataFrame, s: Term, o: Term
+) -> tuple[DataFrame, set[str]]:
+    """Constant-filter / variable-bind the (src, dst) reachability
+    relation of a closure or path-group pattern."""
     df = reach
     if s.kind == "iri":
         df = df.where(F.col("src") == s.value)
@@ -1133,6 +1213,62 @@ def _closure_frame(
                 cols[term.value] = src
     out = df.select(*(F.col(src).alias(var) for var, src in cols.items()))
     return out, set(cols)
+
+
+def _group_closure_frame(
+    triples: DataFrame, pat: tuple[Term, Term, Term]
+) -> tuple[DataFrame, set[str]]:
+    """Parenthesized path group ``(seq | seq ...)[+*?]``: the group is
+    compiled to a DERIVED (src, dst) edge frame — each alternative a
+    chain of pred-filtered scans joined on fresh midpoints (inverse
+    elements swap endpoint roles), alternatives unioned — and the
+    modifier then applies to that relation exactly as for a single
+    predicate: ``+`` runs operators/graph.py::transitive_closure over
+    the derived edges (the frontier-BFS scale shape), ``*``/``?`` add
+    the zero-length identity over every term of the graph. Endpoints
+    compare on the lexical form, as for plain closures."""
+    from sifr_project_java_ontology_processing_spark.operators.graph import (
+        transitive_closure,
+    )
+
+    s, p, o = pat
+    alt_frames: list[DataFrame] = []
+    for alt in p.alts or ():
+        cur: DataFrame | None = None
+        for el in alt.split(_GSEP):
+            inv = el.startswith("^")
+            iri = el[1:] if inv else el
+            step = triples.where(F.col("pred") == iri).select(
+                F.col("obj" if inv else "subj").alias("src"),
+                F.col("subj" if inv else "obj").alias("dst"),
+            )
+            if cur is None:
+                cur = step
+            else:
+                cur = (
+                    cur.select("src", F.col("dst").alias("_m"))
+                    .join(step.select(F.col("src").alias("_m"), "dst"), "_m")
+                    .select("src", "dst")
+                )
+        alt_frames.append(cur)
+    edges = alt_frames[0]
+    for f in alt_frames[1:]:
+        edges = edges.unionByName(f)
+    edges = edges.distinct()
+    if p.kind in ("path_group_plus", "path_group_star"):
+        reach = transitive_closure(edges).select("src", "dst")
+    else:  # bare group / zero-or-one: the derived relation itself
+        reach = edges
+    if p.kind in ("path_group_star", "path_group_opt"):
+        nodes = (
+            triples.select(F.col("subj").alias("n"))
+            .unionByName(triples.select(F.col("obj").alias("n")))
+            .distinct()
+        )
+        reach = reach.unionByName(
+            nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+        ).distinct()
+    return _bind_closure_endpoints(reach, s, o)
 
 
 def _greedy_order(patterns: list[tuple[Term, Term, Term]]) -> list[int]:

@@ -4902,3 +4902,101 @@ def q_sparql_typed_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_bgp(
         base.unionByName(decoy), _TYPED_ORDER_SPARQL, typed_numerics=True
     )
+
+
+@register(
+    "sparql_path_group",
+    """
+    SELECT 'n:' || CAST(a.n_nationkey AS VARCHAR) AS a,
+           'n:' || CAST(b.n_nationkey AS VARCHAR) AS b
+    FROM nation a JOIN nation b
+      ON a.n_nationkey > b.n_nationkey
+     AND (a.n_nationkey - b.n_nationkey) % 2 = 0
+    """,
+)
+def q_sparql_path_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parenthesized property-path groups (plans/bgp.py — round-5
+    VERDICT ask #6): ``(ex:prev/ex:prev)+`` over the 25-deep nation
+    ``prev`` chain. The group compiles to a DERIVED edge frame (two
+    pred-filtered scans joined on a fresh midpoint = the two-step
+    relation k -> k-2), then the ``+`` closure runs the frontier-BFS
+    transitive_closure over it — so the result is exactly the
+    even-positive-distance pairs, which the oracle states closed-form
+    as a key-arithmetic self-join."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?a ?b WHERE { ?a (ex:prev/ex:prev)+ ?b }""",
+    )
+
+
+@register(
+    "graph_pagerank_named",
+    f"""
+    WITH e AS ({_PR_EDGES_SQL}),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+    c1 AS (SELECT e.dst AS node, sum(r0.rank / deg.d) AS m
+           FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r1 AS (SELECT n.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * coalesce(c1.m, 0)
+                    AS rank
+           FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+    c2 AS (SELECT e.dst AS node, sum(r1.rank / deg.d) AS m
+           FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r2 AS (SELECT n.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * coalesce(c2.m, 0)
+                    AS rank
+           FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
+    c3 AS (SELECT e.dst AS node, sum(r2.rank / deg.d) AS m
+           FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+           GROUP BY e.dst),
+    r3 AS (SELECT n.node,
+                  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * coalesce(c3.m, 0)
+                    AS rank
+           FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
+    SELECT node, round(rank, 6) AS rank FROM r3
+    """,
+)
+def q_graph_pagerank_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quads-aware analytics (round-5 VERDICT ask #7): the pagerank
+    edge list is wrapped in a QUADS frame as graph ``g:main``, with
+    REVERSED decoy edges planted in graph ``g:noise`` and self-style
+    decoys in the default graph. ``named_graph_edges(quads, "g:main")``
+    is one pushdown-eligible literal filter (partition-pruning-eligible
+    on a graph-partitioned table); ranks over the restricted view must
+    match the plain graph_pagerank oracle exactly — any leak from the
+    other graphs shifts every rank and hash-mismatches."""
+    from sifr_project_java_ontology_processing_spark.operators.graph import (
+        named_graph_edges,
+        pagerank,
+    )
+
+    e = _pr_edges(spark, sf_dir)
+    nul = F.lit(None).cast("string")
+
+    def quad(src, dst, g):
+        return [
+            F.col(src).alias("subj"),
+            F.lit("x:link").alias("pred"),
+            F.col(dst).alias("obj"),
+            nul.alias("obj_lang"),
+            F.lit(False).alias("obj_is_literal"),
+            (F.lit(g) if g else nul).alias("graph"),
+        ]
+
+    quads = (
+        e.select(*quad("src", "dst", "g:main"))
+        .unionByName(e.select(*quad("dst", "src", "g:noise")))
+        .unionByName(e.limit(500).select(*quad("src", "src", None)))
+    )
+    ranks = pagerank(
+        named_graph_edges(quads, "g:main"), iterations=3, damping=0.85
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -144,3 +144,64 @@ def test_personalized_pagerank_edgeless_seed_keeps_teleport_floor(spark):
     assert "z" in out
     assert abs(out["z"] - 0.15) < 1e-9  # no in-edges: rank = (1-d)*1.0
     assert out["a"] == 0.0 and out["b"] == 0.0  # non-seeds, unreachable from z
+
+
+def test_named_graph_edges_restriction_and_default(spark):
+    """Quads-aware analytics composition (round-5): one literal filter
+    restricts the edge view to a named graph; graph=None = the default
+    graph (NULL labels); a plain triples frame IS the default graph;
+    literal objects never become nodes."""
+    import pytest
+
+    from sifr_project_java_ontology_processing_spark.operators.graph import (
+        named_graph_edges,
+    )
+
+    quads = spark.createDataFrame(
+        [
+            ("a", "p:x", "b", None, False, "g:one"),
+            ("b", "p:x", "c", None, False, "g:two"),
+            ("c", "p:x", "d", None, False, None),
+            ("a", "p:x", "lit", None, True, "g:one"),
+            ("a", "p:y", "e", None, False, "g:one"),
+        ],
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean, graph string",
+    )
+    one = {(r.src, r.dst) for r in named_graph_edges(quads, "g:one").collect()}
+    assert one == {("a", "b"), ("a", "e")}
+    dflt = {(r.src, r.dst) for r in named_graph_edges(quads).collect()}
+    assert dflt == {("c", "d")}
+    px = {
+        (r.src, r.dst)
+        for r in named_graph_edges(quads, "g:one", pred="p:x").collect()
+    }
+    assert px == {("a", "b")}
+    plain = quads.drop("graph")
+    assert named_graph_edges(plain).count() == 4  # whole frame = default
+    with pytest.raises(ValueError, match="no graph column"):
+        named_graph_edges(plain, "g:one")
+
+
+def test_named_graph_pagerank_composes(spark):
+    from sifr_project_java_ontology_processing_spark.operators.graph import (
+        named_graph_edges,
+        pagerank,
+    )
+
+    quads = spark.createDataFrame(
+        [
+            ("a", "p:x", "b", None, False, "g:one"),
+            ("b", "p:x", "a", None, False, "g:noise"),
+        ],
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean, graph string",
+    )
+    r = {
+        row.node: row.rank
+        for row in pagerank(
+            named_graph_edges(quads, "g:one"), iterations=2
+        ).collect()
+    }
+    assert set(r) == {"a", "b"}  # the noise-graph mirror never leaks
+    assert r["b"] > r["a"]

@@ -1144,3 +1144,94 @@ def test_typed_order_with_distinct_uses_lexical_trycast(spark):
     q = "SELECT DISTINCT ?v WHERE { ?s <http://x/val> ?v } ORDER BY ?v LIMIT 4"
     out = [r.v for r in execute_bgp(t, q, typed_numerics=True).collect()]
     assert out == ["2.5", "7", "9", "10"]
+
+
+# ---------------------------------------------------------------------------
+# Parenthesized path groups (round-5 VERDICT ask #6)
+# ---------------------------------------------------------------------------
+
+def _group_triples(spark):
+    rows = [
+        ("a", "p:p", "b"), ("b", "p:q", "c"),
+        ("c", "p:p", "d"), ("d", "p:q", "e"),
+        ("x", "p:r", "c"),
+    ]
+    return spark.createDataFrame(
+        [(s, p, o, None, False) for s, p, o in rows],
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+
+
+def test_path_group_plus(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _group_triples(spark)
+    out = sorted(
+        (r.x, r.y)
+        for r in execute_bgp(
+            t, "SELECT ?x ?y WHERE { ?x (<p:p>/<p:q>)+ ?y }"
+        ).collect()
+    )
+    assert out == [("a", "c"), ("a", "e"), ("c", "e")]
+
+
+def test_path_group_alternation_of_sequences(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _group_triples(spark)
+    out = sorted(
+        (r.x, r.y)
+        for r in execute_bgp(
+            t, "SELECT ?x ?y WHERE { ?x (<p:p>/<p:q>|<p:r>)+ ?y }"
+        ).collect()
+    )
+    assert out == [("a", "c"), ("a", "e"), ("c", "e"), ("x", "c"), ("x", "e")]
+
+
+def test_path_group_star_and_opt_identity(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _group_triples(spark)
+    star = sorted(
+        r.y
+        for r in execute_bgp(
+            t, "SELECT ?y WHERE { <a> (<p:p>/<p:q>)* ?y }"
+        ).collect()
+    )
+    assert star == ["a", "c", "e"]  # zero-length identity survives
+    opt = sorted(
+        (r.x, r.y)
+        for r in execute_bgp(
+            t, "SELECT ?x ?y WHERE { ?x (<p:p>/<p:q>)? ?y . <a> <p:p> ?x }"
+        ).collect()
+    )
+    assert opt == [("b", "b")]
+
+
+def test_path_group_inverse_and_sequence_compose(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _group_triples(spark)
+    inv = sorted(
+        r.x
+        for r in execute_bgp(
+            t, "SELECT ?x WHERE { ?x ^(<p:p>/<p:q>) <c> }"
+        ).collect()
+    )
+    assert inv == ["e"]  # ^(p/q) to c == c (p/q) e
+    seq = sorted(
+        r.y
+        for r in execute_bgp(
+            t, "SELECT ?y WHERE { <a> (<p:p>/<p:q>)+/<p:p> ?y }"
+        ).collect()
+    )
+    assert seq == ["d"]
+
+
+def test_path_group_rejects_nested_modifiers(spark):
+    import pytest
+
+    from sifr_project_java_ontology_processing_spark.plans.bgp import parse_sparql
+
+    with pytest.raises(ValueError, match="nested"):
+        parse_sparql("SELECT ?x WHERE { ?x (<p:p>+/<p:q>) ?y }")
