@@ -48,6 +48,8 @@ HEADLINE = [
     "paragraph_dedup",      # round 4: keep-first paragraph dedup
     "rdfs_entailment",      # round 4 cont.: broadcast-schema RDFS closure
     "graph_triangle_count", # round 4 cont.: degree-oriented wedge join
+    "rdfs_plus_entail_incremental",  # round 5: bridged-closure delta
+    "sparql_path_group",    # round 5: closure over a derived edge frame
 ]
 
 

@@ -58,9 +58,7 @@ _DRIVER_FIRST: list[str] = [
     "rdfxml_full_parse",
     "turtle_sink_roundtrip",
     "corpus_sample",
-    "corpus_upsample",
     "sequence_pack",
-    "corpus_mix",
     "embedding_dedup_clusters",
     "bpe_token_count",
     "model_quality_score",
@@ -102,6 +100,8 @@ _DRIVER_FIRST: list[str] = [
     "shacl_validate",
     "sparql_typed_order",
     "rdfs_plus_entail_incremental",
+    "sparql_path_group",
+    "graph_pagerank_named",
 ]
 
 
