@@ -111,6 +111,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 
 _STD_PREFIXES = {
     "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
@@ -154,6 +156,10 @@ class Branch:
     # INSIDE the left join — the group fails, the solution survives
     optional_filters: list[list[str]] = field(default_factory=list)
     filters: list[str] = field(default_factory=list)  # Spark SQL exprs
+    # variables whose RDF-term metadata (lang/datatype/literal-flag)
+    # this branch's FILTER/BIND expressions inspect — the executor
+    # projects their __m_* companions at the pattern scan
+    meta_vars: set[str] = field(default_factory=set)
     binds: list[tuple[str, str]] = field(default_factory=list)  # (sql, var)
     # VALUES blocks: (var names, rows of Terms compared on lexical form)
     values: list[tuple[list[str], list[list[Term]]]] = field(
@@ -197,6 +203,8 @@ class BGPQuery:
     # grouping/aggregation, before projection (may reference group
     # vars and aggregate aliases)
     select_exprs: list[tuple[str, str]] = field(default_factory=list)
+    # term-metadata variables referenced by SELECT expressions
+    meta_vars: set[str] = field(default_factory=set)
 
     # single-branch conveniences (the common case)
     @property
@@ -383,6 +391,8 @@ class _P:
 # DuckDB oracle's function of the same SQL name)
 _SQL_FUNCS = {
     "concat": "concat",
+    "if": "if",
+    "coalesce": "coalesce",
     "ucase": "upper",
     "lcase": "lower",
     "strlen": "length",
@@ -394,15 +404,24 @@ _SQL_FUNCS = {
 }
 
 
-def _filter_to_sql(p: _P, *, bind: bool = False) -> str | tuple[str, str]:
+def _filter_to_sql(
+    p: _P, *, bind: bool = False, meta: set[str] | None = None
+) -> str | tuple[str, str]:
     """Translate one FILTER(...) body — or, with ``bind=True``, a
     BIND(expr AS ?v) body, returning (sql, var) — to a Spark SQL
     expression.
 
     Supported: regex(?v, "pat"), str(?v), bound(?v), the _SQL_FUNCS
-    string builtins, comparisons, && || !, parentheses,
-    string/number literals, variables.
-    """
+    string builtins (incl. IF/COALESCE), comparisons, && || !,
+    parentheses, string/number literals, <IRI> terms (compared on the
+    lexical form), variables, and the RDF-term inspectors lang(?v) /
+    datatype(?v) / isIRI / isLiteral / isBlank — these compile against
+    the ``__m_*`` term-metadata companion columns, and the referenced
+    variables are recorded in ``meta`` so the executor projects the
+    companions at the pattern scan (lang() of an untagged literal is
+    '' per SPARQL; datatype() of a non-literal is NULL — unbound)."""
+    if meta is None:
+        meta = set()
     p.expect("(")
     out: list[str] = []
     depth = 1
@@ -455,6 +474,34 @@ def _filter_to_sql(p: _P, *, bind: bool = False) -> str | tuple[str, str]:
             v = p.term()
             p.expect(")")
             out.append(f"`{v.value}`")
+        elif t.lower() in ("lang", "datatype", "isiri", "isuri",
+                           "isliteral", "isblank"):
+            fn = t.lower()
+            p.expect("(")
+            v = p.term()
+            p.expect(")")
+            if v.kind != "var":
+                raise ValueError(f"BGP: {t}() needs a ?variable")
+            meta.add(v.value)
+            if fn == "lang":
+                out.append(f"coalesce(`__m_lang_{v.value}`, '')")
+            elif fn == "datatype":
+                out.append(f"`__m_dt_{v.value}`")
+            elif fn in ("isiri", "isuri"):
+                out.append(
+                    f"(NOT `__m_lit_{v.value}` "
+                    f"AND NOT startswith(`{v.value}`, '_:'))"
+                )
+            elif fn == "isliteral":
+                out.append(f"`__m_lit_{v.value}`")
+            else:  # isblank
+                out.append(
+                    f"(NOT `__m_lit_{v.value}` "
+                    f"AND startswith(`{v.value}`, '_:'))"
+                )
+        elif t.startswith("<") and t.endswith(">"):
+            # IRI term in an expression: compared on the lexical form
+            out.append(_sql_str(t[1:-1]))
         elif t.startswith("?"):
             out.append(f"`{t[1:]}`")
         elif t.startswith('"'):
@@ -703,9 +750,11 @@ def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
                     p.expect("EXISTS")
                 branch.exists.append((positive, _parse_plain_group(p, "EXISTS")))
             elif in_optional:
-                branch.optional_filters[-1].append(_filter_to_sql(p))
+                branch.optional_filters[-1].append(
+                    _filter_to_sql(p, meta=branch.meta_vars)
+                )
             else:
-                branch.filters.append(_filter_to_sql(p))
+                branch.filters.append(_filter_to_sql(p, meta=branch.meta_vars))
             if p.peek() == ".":
                 p.next()
             continue
@@ -747,7 +796,7 @@ def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
             if in_optional:
                 raise ValueError("BGP: BIND inside OPTIONAL is not supported")
             p.next()
-            sql, var = _filter_to_sql(p, bind=True)
+            sql, var = _filter_to_sql(p, bind=True, meta=branch.meta_vars)
             branch.binds.append((sql, var))
             if p.peek() == ".":
                 p.next()
@@ -954,7 +1003,7 @@ def _parse_query(p: _P, *, subquery: bool = False) -> BGPQuery:
             # scalar (expr AS ?alias): rewind over '(' so the FILTER
             # expression translator (bind mode) consumes the whole form
             p.i -= 1
-            sql, var = _filter_to_sql(p, bind=True)
+            sql, var = _filter_to_sql(p, bind=True, meta=q.meta_vars)
             q.select_exprs.append((sql, var))
             q.select.append(var)
             continue
@@ -1135,11 +1184,30 @@ def _pattern_frame(
             if src == "obj":
                 proj.append(F.col("obj_lang").alias(f"__m_lang_{var}"))
                 proj.append(F.col("obj_is_literal").alias(f"__m_lit_{var}"))
+                # RDF 1.1 datatype: explicit ^^dt when the frame
+                # carries it; lang-tagged = rdf:langString; plain =
+                # xsd:string; non-literal = NULL (datatype() unbound)
+                plain_dt = F.when(
+                    F.col("obj_lang").isNotNull(), F.lit(_RDF_LANGSTRING)
+                ).otherwise(F.lit(_XSD_STRING))
+                dt = (
+                    F.coalesce(F.col("obj_datatype"), plain_dt)
+                    if "obj_datatype" in df.columns
+                    else plain_dt
+                )
+                proj.append(
+                    F.when(F.col("obj_is_literal"), dt).alias(
+                        f"__m_dt_{var}"
+                    )
+                )
             else:  # subject/predicate position: always an IRI/bnode
                 proj.append(
                     F.lit(None).cast("string").alias(f"__m_lang_{var}")
                 )
                 proj.append(F.lit(False).alias(f"__m_lit_{var}"))
+                proj.append(
+                    F.lit(None).cast("string").alias(f"__m_dt_{var}")
+                )
         if var in want_typed:
             if src == "obj":
                 if "obj_datatype" in df.columns:
@@ -1397,6 +1465,9 @@ def _exec_branch(
             # strip single-quoted SQL string literals first so a
             # backtick INSIDE a literal is never read as a variable ref
             refs = set(re.findall(r"`([^`]+)`", re.sub(r"'(?:[^']|'')*'", "", f)))
+            refs = {
+                re.sub(r"^__m_(lang|lit|dt)_", "", r) for r in refs
+            }
             if not refs <= ovars:
                 raise ValueError(
                     "BGP: FILTER inside OPTIONAL may only reference the "
@@ -1631,7 +1702,7 @@ def _run_query(
         for pat in (q.template or [])
         for t in (pat[2],)
         if t.kind == "var"
-    )
+    ) | frozenset(q.meta_vars)
     # typed-numeric ordering: only the variables ORDER BY / MIN / MAX
     # actually compare need the `__t_` double companion from the
     # pattern scan (DISTINCT projects companions away — lexical
@@ -1646,7 +1717,9 @@ def _run_query(
             if var and func in ("min", "max")
         )
     frames = [
-        _exec_branch(triples, b, want_meta, named, want_typed)
+        _exec_branch(
+            triples, b, want_meta | frozenset(b.meta_vars), named, want_typed
+        )
         for b in q.branches
     ]
     bound: set[str] = set().union(*(v for _, v in frames))
@@ -1668,7 +1741,7 @@ def _run_query(
                 F.lit(None).cast("double").alias(c)
                 if c.startswith("__t_")
                 else F.lit(None).cast("string").alias(c)
-                if c.startswith("__m_lang_")
+                if c.startswith(("__m_lang_", "__m_dt_"))
                 else F.lit(False).alias(c)
             )
             for c in all_meta

@@ -69,7 +69,6 @@ _DRIVER_FIRST: list[str] = [
     "graph_pagerank",
     "graph_degree_stats",
     "paragraph_dedup",
-    "doc_chunks",
     "transitive_closure",
     "sparql_path_closure",
     "sparql_path_seq_alt",
@@ -102,6 +101,7 @@ _DRIVER_FIRST: list[str] = [
     "rdfs_plus_entail_incremental",
     "sparql_path_group",
     "graph_pagerank_named",
+    "sparql_term_fns",
 ]
 
 
@@ -5000,3 +5000,62 @@ def q_graph_pagerank_named(spark: SparkSession, sf_dir: str) -> DataFrame:
         named_graph_edges(quads, "g:main"), iterations=3, damping=0.85
     )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "sparql_term_fns",
+    """
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS s,
+           'fr' AS lg,
+           'lit' AS kind
+    FROM nation
+    WHERE n_nationkey % 2 = 0 AND n_nationkey % 3 = 0
+    """,
+)
+def q_sparql_term_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 RDF-term inspector builtins (plans/bgp.py round 5):
+    ``lang()`` / ``datatype()`` / ``isIRI`` / ``isLiteral`` / ``IF``
+    compiled against the ``__m_*`` term-metadata companions projected
+    at the pattern scan. Fixture: every nation gets a lang-tagged note
+    (fr for even keys, en for odd) and a score literal typed
+    ``^^xsd:integer`` only when key %% 3 == 0 (plain otherwise — which
+    RDF 1.1 makes xsd:string, so datatype() discriminates); the filter
+    keeps fr-tagged notes with integer-typed scores and the BINDs
+    re-derive the tag and term kind. Oracle states the key arithmetic
+    closed-form."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    nat = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    n_iri = F.concat(F.lit("n:"), k.cast("string"))
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    nul = F.lit(None).cast("string")
+    note = nat.select(
+        n_iri.alias("subj"),
+        F.lit("http://ex/note").alias("pred"),
+        F.col("n_name").alias("obj"),
+        F.when(k % 2 == 0, F.lit("fr")).otherwise(F.lit("en")).alias("obj_lang"),
+        F.lit(True).alias("obj_is_literal"),
+        nul.alias("obj_datatype"),
+    )
+    score = nat.select(
+        n_iri.alias("subj"),
+        F.lit("http://ex/score").alias("pred"),
+        k.cast("string").alias("obj"),
+        nul.alias("obj_lang"),
+        F.lit(True).alias("obj_is_literal"),
+        F.when(k % 3 == 0, F.lit(XSD_INT)).otherwise(nul).alias("obj_datatype"),
+    )
+    return execute_bgp(
+        note.unionByName(score),
+        """PREFIX ex: <http://ex/>
+           SELECT ?s ?lg ?kind WHERE {
+             ?s ex:note ?v .
+             ?s ex:score ?w .
+             BIND(lang(?v) AS ?lg)
+             BIND(IF(isIRI(?v), "iri", "lit") AS ?kind)
+             FILTER(lang(?v) = "fr" &&
+                    datatype(?w) = <http://www.w3.org/2001/XMLSchema#integer> &&
+                    isLiteral(?w))
+           }""",
+    )

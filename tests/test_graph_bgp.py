@@ -1235,3 +1235,117 @@ def test_path_group_rejects_nested_modifiers(spark):
 
     with pytest.raises(ValueError, match="nested"):
         parse_sparql("SELECT ?x WHERE { ?x (<p:p>+/<p:q>) ?y }")
+
+
+# ---------------------------------------------------------------------------
+# RDF-term inspector builtins: lang/datatype/isIRI/isLiteral/isBlank/IF/COALESCE
+# ---------------------------------------------------------------------------
+
+_TERM_NT = [
+    '<http://x/a> <http://x/lbl> "hello"@fr .',
+    '<http://x/b> <http://x/lbl> "world"@en .',
+    '<http://x/c> <http://x/lbl> "plain" .',
+    '<http://x/d> <http://x/lbl> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    '<http://x/e> <http://x/lbl> <http://x/ref> .',
+    '_:bn <http://x/lbl> "blanksub" .',
+]
+
+
+def _term_triples(spark):
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        parse_ntriples_lines,
+    )
+
+    lines = spark.createDataFrame([(l,) for l in _TERM_NT], "value string")
+    return parse_ntriples_lines(lines, keep_datatype=True).drop("_raw")
+
+
+def test_lang_builtin(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _term_triples(spark)
+    out = {
+        r.s: r.l
+        for r in execute_bgp(
+            t,
+            'SELECT ?s ?l WHERE { ?s <http://x/lbl> ?v . BIND(lang(?v) AS ?l) }',
+        ).collect()
+    }
+    # untagged literal and non-literal both give '' (SPARQL lang())
+    assert out["http://x/a"] == "fr" and out["http://x/b"] == "en"
+    assert out["http://x/c"] == "" and out["http://x/e"] == ""
+
+
+def test_datatype_builtin_rdf11(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    t = _term_triples(spark)
+    q = 'SELECT ?s ?d WHERE { ?s <http://x/lbl> ?v . BIND(datatype(?v) AS ?d) }'
+    out = {r.s: r.d for r in execute_bgp(t, q).collect()}
+    assert out["http://x/d"] == f"{XSD}integer"
+    assert out["http://x/a"] == f"{RDF}langString"
+    assert out["http://x/c"] == f"{XSD}string"
+    assert out["http://x/e"] is None  # datatype() of an IRI is unbound
+    # stripped frame: plain literals still synthesize xsd:string
+    out2 = {
+        r.s: r.d
+        for r in execute_bgp(t.drop("obj_datatype"), q).collect()
+    }
+    assert out2["http://x/d"] == f"{XSD}string"  # type was stripped
+    assert out2["http://x/a"] == f"{RDF}langString"
+
+
+def test_isiri_isliteral_isblank_and_iri_terms_in_filter(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _term_triples(spark)
+    iri = {
+        r.s
+        for r in execute_bgp(
+            t, "SELECT ?s WHERE { ?s <http://x/lbl> ?v FILTER(isIRI(?v)) }"
+        ).collect()
+    }
+    assert iri == {"http://x/e"}
+    blank = {
+        r.s
+        for r in execute_bgp(
+            t, "SELECT ?s WHERE { ?s <http://x/lbl> ?v FILTER(isBlank(?s)) }"
+        ).collect()
+    }
+    assert blank == {"_:bn"}
+    dt_int = {
+        r.s
+        for r in execute_bgp(
+            t,
+            "SELECT ?s WHERE { ?s <http://x/lbl> ?v "
+            "FILTER(datatype(?v) = <http://www.w3.org/2001/XMLSchema#integer>) }",
+        ).collect()
+    }
+    assert dt_int == {"http://x/d"}
+
+
+def test_if_coalesce_builtins(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _term_triples(spark)
+    q = ('SELECT ?s ?k WHERE { ?s <http://x/lbl> ?v . '
+         'BIND(IF(isLiteral(?v), COALESCE(lang(?v), "x"), "ref") AS ?k) }')
+    out = {r.s: r.k for r in execute_bgp(t, q).collect()}
+    assert out["http://x/e"] == "ref"
+    assert out["http://x/a"] == "fr"
+    assert out["http://x/c"] == ""
+
+
+def test_lang_filter_inside_optional(spark):
+    """Companion refs inside OPTIONAL filters normalize to the base
+    variable for the inner-scope check."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _term_triples(spark)
+    q = ('SELECT ?s ?v WHERE { ?s <http://x/lbl> ?o . '
+         'OPTIONAL { ?s <http://x/lbl> ?v FILTER(lang(?v) = "fr") } }')
+    out = {r.s: r.v for r in execute_bgp(t, q).collect()}
+    assert out["http://x/a"] == "hello"
+    assert out["http://x/b"] is None  # lang mismatch: group fails, row survives
