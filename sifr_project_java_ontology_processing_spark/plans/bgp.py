@@ -68,7 +68,9 @@ sequences (``(a/b)+/c``). Nested groups/modifiers INSIDE a group
 stay out of scope, and alternation of non-trivial paths must be
 written in group form (``(a/b|c)``).
 
-Query forms beyond SELECT: ``CONSTRUCT { template } WHERE {...}``
+Query forms beyond SELECT: ``CONSTRUCT WHERE { patterns }``
+(SPARQL 1.1 shorthand — the group doubles as the template) and
+``CONSTRUCT { template } WHERE {...}``
 returns a schemas.TRIPLES-shaped frame (object variables carry
 their lang/literal term metadata through companion columns;
 solutions with an unbound template slot emit no triple; the result
@@ -915,6 +917,18 @@ def _parse_query(p: _P, *, subquery: bool = False) -> BGPQuery:
             if any(t.kind == "var" for t in q.describe):
                 raise ValueError("BGP: DESCRIBE ?var needs a WHERE group")
             return q
+    if form == "construct" and p.peek() and p.peek().lower() == "where":
+        # SPARQL 1.1 CONSTRUCT WHERE { patterns } shorthand: the WHERE
+        # group doubles as the template. Restricted to plain triple
+        # patterns per the spec; parse the group once, use it twice.
+        p.next()
+        q.template = _parse_plain_group(p, "CONSTRUCT WHERE")
+        q.branches.append(Branch(patterns=list(q.template)))
+        if p.peek() is not None:
+            raise ValueError(
+                "BGP: CONSTRUCT WHERE takes no solution modifiers"
+            )
+        return q
     if form == "construct":
         # CONSTRUCT { template } WHERE { patterns }
         p.expect("{")
@@ -1137,9 +1151,11 @@ def _pattern_frame(
         "path_group"
     ):
         if graph_var is not None:
-            raise ValueError(
-                "BGP: property paths inside GRAPH ?var are not supported"
-            )
+            if p.kind.startswith("path_group"):
+                raise ValueError(
+                    "BGP: path groups inside GRAPH ?var are not supported"
+                )
+            return _closure_frame(triples, pat, graph_var=graph_var)
         if p.kind.startswith("path_group"):
             return _group_closure_frame(triples, pat)
         return _closure_frame(triples, pat)
@@ -1228,45 +1244,92 @@ def _pattern_frame(
     return out, set(cols)
 
 
+_GRAPH_SEP = "\x00"  # fuses the graph label into closure node keys
+
+
 def _closure_frame(
-    triples: DataFrame, pat: tuple[Term, Term, Term]
+    triples: DataFrame,
+    pat: tuple[Term, Term, Term],
+    graph_var: str | None = None,
 ) -> tuple[DataFrame, set[str]]:
     """One closure pattern: reachability over the single-predicate
     edge relation via operators/graph.py::transitive_closure (frontier
     BFS with per-level anti-join + localCheckpoint — the scale shape
     that survives deep hierarchies). '*' unions the zero-length
     identity over every term of the graph, per SPARQL. Endpoints
-    compare on the lexical form."""
+    compare on the lexical form.
+
+    ``graph_var`` (GRAPH ?g groups): the input carries a ``graph``
+    column and the closure must stay WITHIN each named graph. The
+    label is fused into the node key (``graph\\x00node`` — the pooled
+    trick operators/inference.py uses for multi-predicate closures),
+    so ONE distributed closure job covers every graph and paths can
+    never hop between graphs; the label is split back out and bound
+    to the variable afterwards."""
     from sifr_project_java_ontology_processing_spark.operators.graph import (
         transitive_closure,
     )
 
     s, p, o = pat
-    edges = triples.where(F.col("pred") == p.value).select(
-        F.col("subj").alias("src"), F.col("obj").alias("dst")
-    )
+    src_df = triples.where(F.col("pred") == p.value)
+    if graph_var is not None:
+        src_df = src_df.where(F.col("graph").isNotNull())
+        edges = src_df.select(
+            F.concat_ws(_GRAPH_SEP, "graph", "subj").alias("src"),
+            F.concat_ws(_GRAPH_SEP, "graph", "obj").alias("dst"),
+        )
+    else:
+        edges = src_df.select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
     if p.kind == "path_opt":
         # zero-or-one: the single edge, no closure loop at all
         reach = edges.distinct()
     else:
         reach = transitive_closure(edges).select("src", "dst")
     if p.kind in ("path_star", "path_opt"):
-        nodes = (
-            triples.select(F.col("subj").alias("n"))
-            .unionByName(triples.select(F.col("obj").alias("n")))
-            .distinct()
-        )
+        if graph_var is not None:
+            base = triples.where(F.col("graph").isNotNull())
+            nodes = (
+                base.select(
+                    F.concat_ws(_GRAPH_SEP, "graph", "subj").alias("n")
+                )
+                .unionByName(
+                    base.select(
+                        F.concat_ws(_GRAPH_SEP, "graph", "obj").alias("n")
+                    )
+                )
+                .distinct()
+            )
+        else:
+            nodes = (
+                triples.select(F.col("subj").alias("n"))
+                .unionByName(triples.select(F.col("obj").alias("n")))
+                .distinct()
+            )
         reach = reach.unionByName(
             nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
         ).distinct()
+    if graph_var is not None:
+        reach = reach.select(
+            F.substring_index("src", _GRAPH_SEP, 1).alias("_g"),
+            F.substring_index("src", _GRAPH_SEP, -1).alias("src"),
+            F.substring_index("dst", _GRAPH_SEP, -1).alias("dst"),
+        )
+        out, cols = _bind_closure_endpoints(
+            reach.select("src", "dst", F.col("_g")), s, o, extra=("_g",)
+        )
+        out = out.withColumnRenamed("_g", graph_var)
+        return out, cols | {graph_var}
     return _bind_closure_endpoints(reach, s, o)
 
 
 def _bind_closure_endpoints(
-    reach: DataFrame, s: Term, o: Term
+    reach: DataFrame, s: Term, o: Term, extra: tuple[str, ...] = ()
 ) -> tuple[DataFrame, set[str]]:
     """Constant-filter / variable-bind the (src, dst) reachability
-    relation of a closure or path-group pattern."""
+    relation of a closure or path-group pattern. ``extra`` columns
+    (e.g. the graph label) ride through the projection unchanged."""
     df = reach
     if s.kind == "iri":
         df = df.where(F.col("src") == s.value)
@@ -1279,7 +1342,10 @@ def _bind_closure_endpoints(
                 df = df.where(F.col(cols[term.value]) == F.col(src))
             else:
                 cols[term.value] = src
-    out = df.select(*(F.col(src).alias(var) for var, src in cols.items()))
+    out = df.select(
+        *(F.col(src).alias(var) for var, src in cols.items()),
+        *(F.col(c) for c in extra),
+    )
     return out, set(cols)
 
 

@@ -372,3 +372,70 @@ def test_optional_filter_literal_with_backtick(regions):
     assert [(r.r, r.x) for r in out] == [
         ("r1", "n1"), ("r1", "n2"), ("r2", "n3"), ("r3", None),
     ]
+
+
+def test_graph_var_path_closure_stays_within_graph(spark):
+    """Round-5: property-path closures inside GRAPH ?g run as ONE
+    pooled closure with the graph label fused into the node key —
+    paths never hop between graphs, the default graph never joins."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    rows = [
+        ("a", "p:x", "b", None, False, "g:1"),
+        ("b", "p:x", "c", None, False, "g:1"),
+        ("c", "p:x", "d", None, False, "g:2"),
+        ("d", "p:x", "e", None, False, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean, graph string",
+    )
+    out = sorted(
+        (r.g, r.x, r.y)
+        for r in execute_bgp(
+            t, "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <p:x>+ ?y } }"
+        ).collect()
+    )
+    assert out == [
+        ("g:1", "a", "b"), ("g:1", "a", "c"), ("g:1", "b", "c"),
+        ("g:2", "c", "d"),
+    ]
+    # star identity is per-graph; constant subject narrows it
+    star = sorted(
+        (r.g, r.y)
+        for r in execute_bgp(
+            t, "SELECT ?g ?y WHERE { GRAPH ?g { <a> <p:x>* ?y } }"
+        ).collect()
+    )
+    assert star == [("g:1", "a"), ("g:1", "b"), ("g:1", "c")]
+    # graph var shared with a plain pattern in the same group
+    mixed = sorted(
+        (r.g, r.x)
+        for r in execute_bgp(
+            t, "SELECT ?g ?x WHERE { GRAPH ?g { ?x <p:x>+ <c> . ?x <p:x> ?z } }"
+        ).collect()
+    )
+    assert mixed == [("g:1", "a"), ("g:1", "b")]
+
+
+def test_construct_where_shorthand(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    rows = [("a", "p:x", "b", None, False), ("b", "p:y", "lit", "fr", True)]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+    out = [tuple(r) for r in execute_bgp(t, "CONSTRUCT WHERE { ?s <p:y> ?o }").collect()]
+    assert out == [("b", "p:y", "lit", "fr", True)]  # lang metadata carried
+    joined = sorted(
+        tuple(r)
+        for r in execute_bgp(
+            t, "CONSTRUCT WHERE { ?s <p:x> ?m . ?m <p:y> ?o }"
+        ).collect()
+    )
+    assert joined == [
+        ("a", "p:x", "b", None, False),
+        ("b", "p:y", "lit", "fr", True),
+    ]
