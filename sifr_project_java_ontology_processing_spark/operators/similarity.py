@@ -523,6 +523,62 @@ def ivf_topk(
     return _topk_merge(scored, query_id_col, k)
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    codebook,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic deduplication (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): assign every vector to its nearest
+    k-means centroid, compare pairs ONLY within a cluster, and mark an
+    item a duplicate when a LOWER-id item of the same cluster has
+    cosine >= threshold. The keep-first rule is deterministic and
+    relationally replayable (the same first-occurrence semantics as
+    paragraph_dedup) — no connected-components round needed.
+
+    Returns (id, cell, is_dup). ``codebook`` is a trained centroid
+    matrix (train_ivf_codebook), so assignment agrees exactly with the
+    IVF search path (round-9 cosine, lowest index wins ties).
+
+    Scale shape — why this beats global near-dup at 100 TB: candidate
+    pairs exist only within a cell, so pair cost is sum_c |c|^2 with
+    k-means-balanced cells instead of the n^2 GEMM; the pair join is
+    ONE hash join on the cell id (no broadcast matrix, no block
+    cogroup), and the cosine is a JVM-side zip_with/aggregate
+    expression — no Python on the pair path."""
+    import numpy as np
+
+    cmat = np.asarray(codebook, dtype=np.float64)
+    cell_udf = _cell_assign_udf(cmat)
+    assign = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        cell_udf(F.col(vec_col)).alias("cell"),
+    ).localCheckpoint(eager=True)  # consumed 3x: both join sides + output
+    a = assign.select(
+        F.col("_id").alias("_ida"), F.col("_v").alias("_va"), "cell"
+    )
+    b = assign.select(
+        F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), "cell"
+    )
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("_idb") < F.col("_ida"))
+        .where(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("_ida").alias("_dup"))
+        .distinct()
+    )
+    return assign.join(dups, assign["_id"] == dups["_dup"], "left").select(
+        F.col("_id").alias(id_col),
+        F.col("cell"),
+        F.col("_dup").isNotNull().alias("is_dup"),
+    )
+
+
 def neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.3,

@@ -63,7 +63,6 @@ _DRIVER_FIRST: list[str] = [
     "bpe_token_count",
     "model_quality_score",
     "ann_ivf_kmeans_topk",
-    "multimodal_video_decode",
     "bpe_token_ids",
     "sparql_bgp",
     "graph_pagerank",
@@ -102,6 +101,7 @@ _DRIVER_FIRST: list[str] = [
     "sparql_path_group",
     "graph_pagerank_named",
     "sparql_term_fns",
+    "semantic_dedup",
 ]
 
 
@@ -5059,3 +5059,47 @@ def q_sparql_term_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
                     isLiteral(?w))
            }""",
     )
+
+
+@register(
+    "semantic_dedup",
+    f"""
+    WITH cents(cidx, cvec) AS (VALUES {_ivf_cents_values()}),
+    allsims AS (
+      SELECT e.vec_id, e.embedding, c.cidx,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                     CAST(c.cvec AS DOUBLE[])), 9) DESC,
+                        c.cidx ASC) AS rn
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, embedding, cidx FROM allsims WHERE rn = 1),
+    dups AS (
+      SELECT DISTINCT a.vec_id
+      FROM assign a JOIN assign b
+        ON a.cidx = b.cidx AND b.vec_id < a.vec_id
+       AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+    )
+    SELECT a.vec_id, CAST(a.cidx AS INT) AS cell,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup
+    (similarity.semantic_dedup): nearest-centroid assignment against
+    the committed trained codebook, within-cell keep-first near-dup
+    marking at cosine >= 0.3. Pair cost is sum-of-cell-sizes-squared
+    instead of the n^2 GEMM — the published web-scale shape — with the
+    pair join one hash join on the cell id and the cosine a JVM-side
+    aggregate expression. The oracle replays assignment (round-9,
+    lowest-index ties) and the keep-first rule verbatim."""
+    from sifr_project_java_ontology_processing_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    fx = _ivf_fixture()
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, fx["centroids"], threshold=0.3)

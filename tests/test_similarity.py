@@ -375,3 +375,55 @@ def test_string_vec_ids_supported(spark):
 
     dec = embedding_decontaminate(df, df.limit(3)).collect()
     assert len(dec) == 12 and all(isinstance(r["vec_id"], str) for r in dec)
+
+
+def test_semantic_dedup_keep_first_within_cluster(spark):
+    """SemDeDup composition: duplicates only marked WITHIN a cell, the
+    lowest id of each near-dup group is kept, cross-cell twins are
+    never compared."""
+    import math
+
+    from sifr_project_java_ontology_processing_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    dim = 4
+    # two orthogonal centroids; vectors hug one or the other
+    codebook = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),   # cell 1, keeper
+        (2, [0.99, 0.01, 0.0, 0.0]), # cell 1, near-dup of 1
+        (3, [0.8, 0.0, 0.6, 0.0]),   # cell 1, cos(1,3)=0.8 < 0.95: kept
+        (4, [0.0, 1.0, 0.0, 0.0]),   # cell 2, keeper (identical DIRECTION
+                                      # to nothing in cell 2 yet)
+        (5, [0.0, 0.99, 0.0, 0.01]), # cell 2, near-dup of 4
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.cell, r.is_dup) for r in
+           semantic_dedup(emb, codebook, threshold=0.95).collect()}
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[3][1] is False
+    assert out[4] == (2, False)
+    assert out[5] == (2, True)
+
+
+def test_semantic_dedup_cross_cell_twins_not_compared(spark):
+    from sifr_project_java_ontology_processing_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    codebook = [[1.0, 0.0], [0.0, 1.0]]
+    # 2 (40 deg) and 3 (50 deg) are 10 degrees apart — cosine 0.985 —
+    # but straddle the 45-degree cell boundary, so they are never
+    # compared; within-cell pairs stay below the threshold
+    rows = [
+        (1, [1.0, 0.0]),       # cell 1; cos(1,2) = cos40 = 0.766 < 0.9
+        (2, [0.766, 0.643]),   # cell 1
+        (3, [0.643, 0.766]),   # cell 2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.is_dup for r in
+           semantic_dedup(emb, codebook, threshold=0.9).collect()}
+    # 2 vs 3 exceed 0.9 cosine but sit in different cells: both kept
+    assert out[2] is False and out[3] is False
