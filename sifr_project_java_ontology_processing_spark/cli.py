@@ -286,6 +286,11 @@ def cmd_kg(args: argparse.Namespace) -> int:
         if checkpoint_dir is None and not args.no_checkpoint:
             checkpoint_dir = f"{args.out}/_stages"
         run_id = args.run_id
+        if run_id is None and checkpoint_dir is None:
+            # no store will be created — don't pay the fingerprint
+            # (a recursive remote listing on s3://-style inputs) for a
+            # string nothing reads
+            run_id = "nostore"
         if run_id is None:
             run_id = _kg_run_fingerprint(args, spark)
             if run_id is None:

@@ -68,11 +68,16 @@ def named_graph_edges(
             "named_graph_edges: frame has no graph column; only the "
             "default graph (graph=None) exists"
         )
-    if pred is not None:
-        df = df.where(F.col("pred") == pred)
-    if "obj_is_literal" in df.columns:
-        df = df.where(~F.col("obj_is_literal"))
-    return df.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    if "obj_is_literal" not in df.columns:
+        # pre-projected IRI-only frame: nothing to drop
+        if pred is not None:
+            df = df.where(F.col("pred") == pred)
+        return df.select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+    # one edge-semantics implementation: delegate the literal-drop +
+    # src/dst projection (and predicate restriction) to triples_to_edges
+    return triples_to_edges(df, preds=[pred] if pred is not None else None)
 
 
 def pagerank(

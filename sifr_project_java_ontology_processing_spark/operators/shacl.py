@@ -180,7 +180,14 @@ def validate_shapes(triples: DataFrame, shapes: DataFrame) -> DataFrame:
                     # a lang-tagged literal is rdf:langString, not string
                     ok = ok & F.col("obj_lang").isNull()
                 elif want in _LEXICAL_RX:
-                    ok = ok & F.col("obj").rlike(_LEXICAL_RX[want])
+                    # lexical check only applies to plain literals — a
+                    # lang-tagged literal is rdf:langString whatever its
+                    # lexical form looks like
+                    ok = (
+                        ok
+                        & F.col("obj_lang").isNull()
+                        & F.col("obj").rlike(_LEXICAL_RX[want])
+                    )
                 # other datatypes: literal-ness only (documented subset)
             parts.append(
                 vals.where(~ok).select(
@@ -199,9 +206,15 @@ def validate_shapes(triples: DataFrame, shapes: DataFrame) -> DataFrame:
                     )
                 )
             )
+        # sh:minLength/sh:maxLength: literals use the lexical form, IRIs
+        # use str(IRI), but a blank-node value is ALWAYS a violation per
+        # SHACL (its label is not a value to measure).
+        _blank = (~F.col("obj_is_literal")) & F.col("obj").startswith("_:")
         if s.get("min_length") is not None:
             parts.append(
-                vals.where(F.length("obj") < s["min_length"]).select(
+                vals.where(
+                    _blank | (F.length("obj") < s["min_length"])
+                ).select(
                     *_report(
                         F.col("subj"), s["shape_id"], s["path"],
                         "min_length", F.col("obj"),
@@ -210,7 +223,9 @@ def validate_shapes(triples: DataFrame, shapes: DataFrame) -> DataFrame:
             )
         if s.get("max_length") is not None:
             parts.append(
-                vals.where(F.length("obj") > s["max_length"]).select(
+                vals.where(
+                    _blank | (F.length("obj") > s["max_length"])
+                ).select(
                     *_report(
                         F.col("subj"), s["shape_id"], s["path"],
                         "max_length", F.col("obj"),

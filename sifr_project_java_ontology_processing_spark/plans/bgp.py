@@ -486,7 +486,13 @@ def _filter_to_sql(
                 raise ValueError(f"BGP: {t}() needs a ?variable")
             meta.add(v.value)
             if fn == "lang":
-                out.append(f"coalesce(`__m_lang_{v.value}`, '')")
+                # lang() of a non-literal is a SPARQL type error: emit
+                # NULL (not '') so the enclosing comparison filters the
+                # row, matching Jena/ARQ. Literals: tag or ''.
+                out.append(
+                    f"(CASE WHEN `__m_lit_{v.value}` "
+                    f"THEN coalesce(`__m_lang_{v.value}`, '') END)"
+                )
             elif fn == "datatype":
                 out.append(f"`__m_dt_{v.value}`")
             elif fn in ("isiri", "isuri"):
@@ -531,6 +537,37 @@ _NUM_CMP_NUM_VAR = re.compile(
 )
 
 
+def _strip_sql_strings(sql: str) -> str:
+    """Blank out single-quoted SQL string literals so scans for
+    backtick-quoted column references never match text INSIDE a
+    constant (regex patterns, IRIs, ...)."""
+    return re.sub(r"'(?:[^']|'')*'", "''", sql)
+
+
+def _missing_meta_refs(sql: str, columns: set[str]) -> list[str]:
+    """Term-inspector builtins (lang/datatype/isIRI/isLiteral/isBlank)
+    compile to ``__m_*`` companion references that only pattern-scan
+    variables carry. Report any referenced companion missing from the
+    frame so the caller can fail with a clear message instead of an
+    UNRESOLVED_COLUMN AnalysisException."""
+    refs = set(
+        re.findall(r"`(__m_(?:lang|lit|dt)_[^`]+)`", _strip_sql_strings(sql))
+    )
+    return sorted(r for r in refs if r not in columns)
+
+
+def _raise_if_missing_meta(sql: str, columns: set[str], what: str) -> None:
+    missing = _missing_meta_refs(sql, columns)
+    if missing:
+        vs = sorted({re.sub(r"^__m_(lang|lit|dt)_", "", m) for m in missing})
+        raise ValueError(
+            f"BGP: lang()/datatype()/isIRI()/isLiteral()/isBlank() in "
+            f"{what} need a variable bound by a triple pattern — "
+            f"?{', ?'.join(vs)} is bound by BIND/VALUES/subquery and "
+            f"carries no term metadata"
+        )
+
+
 def _numeric_comparisons(sql: str) -> str:
     """Variable-vs-number comparisons compare NUMERICALLY with SPARQL
     type-error semantics: a binding whose lexical form is not numeric
@@ -538,9 +575,18 @@ def _numeric_comparisons(sql: str) -> str:
     query crash. Under Spark's ANSI mode the naive ``\\`v\\` > 5``
     coerces with a STRICT cast that throws on the first 'banana';
     try_cast yields NULL → false, which is also exactly what the
-    DuckDB oracle's TRY_CAST replays."""
-    sql = _NUM_CMP_VAR_NUM.sub(r"try_cast(\1 AS DOUBLE) \2 \3", sql)
-    return _NUM_CMP_NUM_VAR.sub(r"\1 \2 try_cast(\3 AS DOUBLE)", sql)
+    DuckDB oracle's TRY_CAST replays.
+
+    The rewrite only touches text OUTSIDE single-quoted SQL string
+    literals — a regex/string constant that happens to contain
+    ``\\`x\\` > 3`` must pass through verbatim."""
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    for i in range(0, len(parts), 2):  # even indices are outside quotes
+        seg = _NUM_CMP_VAR_NUM.sub(r"try_cast(\1 AS DOUBLE) \2 \3", parts[i])
+        parts[i] = _NUM_CMP_NUM_VAR.sub(
+            r"\1 \2 try_cast(\3 AS DOUBLE)", seg
+        )
+    return "".join(parts)
 
 
 def _parse_path(p: _P) -> list[PathElt]:
@@ -923,6 +969,20 @@ def _parse_query(p: _P, *, subquery: bool = False) -> BGPQuery:
         # patterns per the spec; parse the group once, use it twice.
         p.next()
         q.template = _parse_plain_group(p, "CONSTRUCT WHERE")
+        # SPARQL 1.1 restricts the shorthand to *triple patterns* —
+        # property paths are not templatable (a closure modifier would
+        # emit asserted triples for inferred pairs, and a sequence path
+        # desugars into reserved __p join variables the template cannot
+        # bind). Reject loudly rather than construct a wrong graph.
+        for s, pr, o in q.template:
+            if pr.kind not in ("iri", "var") or any(
+                t.kind == "var" and t.value.startswith("__p") for t in (s, o)
+            ):
+                raise ValueError(
+                    "BGP: CONSTRUCT WHERE allows only plain triple "
+                    "patterns (no property paths) — use CONSTRUCT "
+                    "{ template } WHERE { ... } instead"
+                )
         q.branches.append(Branch(patterns=list(q.template)))
         if p.peek() is not None:
             raise ValueError(
@@ -1520,7 +1580,9 @@ def _exec_branch(
     for opt, ofilters in zip_longest(
         b.optionals, b.optional_filters[: len(b.optionals)], fillvalue=[]
     ):
-        odf, ovars = _join_patterns(triples, opt, want_meta)
+        odf, ovars = _join_patterns(
+            triples, opt, want_meta, want_typed=want_typed
+        )
         for f in ofilters:
             # FILTER inside OPTIONAL: evaluated as part of the group
             # (failing the filter fails the GROUP, the outer solution
@@ -1569,11 +1631,13 @@ def _exec_branch(
     for sql, var in b.binds:
         if var in bound:
             raise ValueError(f"BGP: BIND would rebind ?{var}")
+        _raise_if_missing_meta(sql, set(acc.columns), "BIND")
         acc = acc.withColumn(var, F.expr(sql))
         bound.add(var)
     # SPARQL group scope: FILTERs apply after OPTIONALs have bound
     # their variables (a filter on an OPTIONAL var is legal)
     for f in b.filters:
+        _raise_if_missing_meta(f, set(acc.columns), "FILTER")
         acc = acc.where(F.expr(f))
     # FILTER [NOT] EXISTS: left-semi / left-anti join on the shared
     # variables — Catalyst broadcasts the inner side when small, and

@@ -1271,9 +1271,10 @@ def test_lang_builtin(spark):
             'SELECT ?s ?l WHERE { ?s <http://x/lbl> ?v . BIND(lang(?v) AS ?l) }',
         ).collect()
     }
-    # untagged literal and non-literal both give '' (SPARQL lang())
+    # untagged literal gives ''; lang() of a non-literal is a SPARQL
+    # type error -> the BIND leaves ?l unbound (Jena/ARQ parity)
     assert out["http://x/a"] == "fr" and out["http://x/b"] == "en"
-    assert out["http://x/c"] == "" and out["http://x/e"] == ""
+    assert out["http://x/c"] == "" and out["http://x/e"] is None
 
 
 def test_datatype_builtin_rdf11(spark):
@@ -1349,3 +1350,96 @@ def test_lang_filter_inside_optional(spark):
     out = {r.s: r.v for r in execute_bgp(t, q).collect()}
     assert out["http://x/a"] == "hello"
     assert out["http://x/b"] is None  # lang mismatch: group fails, row survives
+
+
+# ---------------------------------------------------------------------------
+# Round-5 review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_construct_where_rejects_property_paths(spark):
+    """SPARQL 1.1 restricts CONSTRUCT WHERE to triple patterns — a
+    closure modifier would emit inferred pairs as asserted triples and
+    a sequence path desugars into untemplatable __p join vars."""
+    import pytest as _pytest
+
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _term_triples(spark)
+    with _pytest.raises(ValueError, match="CONSTRUCT WHERE"):
+        execute_bgp(t, "CONSTRUCT WHERE { ?a <http://x/lbl>+ ?b }")
+    with _pytest.raises(ValueError, match="CONSTRUCT WHERE"):
+        execute_bgp(
+            t, "CONSTRUCT WHERE { ?a <http://x/p>/<http://x/q> ?b }"
+        )
+
+
+def test_lang_empty_filter_excludes_non_literals(spark):
+    """FILTER(lang(?v) = "") selects untagged LITERALS only: lang() of
+    an IRI binding is a SPARQL type error, so the row drops (it used
+    to compile to '' and survive)."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _term_triples(spark)
+    got = sorted(
+        r.s
+        for r in execute_bgp(
+            t,
+            'SELECT ?s WHERE { ?s <http://x/lbl> ?v FILTER(lang(?v) = "") }',
+        ).collect()
+    )
+    assert "http://x/e" not in got          # IRI object: type error
+    assert "http://x/c" in got and "http://x/d" in got
+    assert len(got) == 3                    # c, d, and the blank-subject row
+
+
+def test_term_inspector_on_bind_var_raises_cleanly(spark):
+    """lang()/isLiteral() on a BIND-bound variable has no __m_*
+    companion — must fail with a clear ValueError, not an
+    UNRESOLVED_COLUMN AnalysisException."""
+    import pytest as _pytest
+
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _term_triples(spark)
+    with _pytest.raises(ValueError, match="term metadata"):
+        execute_bgp(
+            t,
+            'SELECT ?s WHERE { ?s <http://x/lbl> ?v . '
+            'BIND("x" AS ?w) FILTER(isLiteral(?w)) }',
+        ).collect()
+    with _pytest.raises(ValueError, match="term metadata"):
+        execute_bgp(
+            t,
+            'SELECT ?s ?z WHERE { ?s <http://x/lbl> ?v . '
+            'BIND("x" AS ?w) BIND(lang(?w) AS ?z) }',
+        ).collect()
+
+
+def test_numeric_rewrite_skips_string_literals():
+    """The numeric-comparison rewriter must never touch text inside a
+    SQL string constant (a regex pattern may contain backtick-quoted
+    comparison-shaped text)."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import (
+        _numeric_comparisons,
+    )
+
+    sql = "(`v` RLIKE '`a` > 3') AND `n` > 5"
+    out = _numeric_comparisons(sql)
+    assert "'`a` > 3'" in out
+    assert "try_cast(`n` AS DOUBLE) > 5" in out
+
+
+def test_typed_order_on_optional_bound_var(spark):
+    """typed_numerics must flow into OPTIONAL groups: the untagged
+    numeric-looking decoy '7'@en stays non-numeric (datatype-gated)
+    even when ?v is bound inside OPTIONAL."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _typed_triples(spark)
+    q = (
+        "SELECT ?s ?v WHERE { ?s <http://x/val> ?o . "
+        "OPTIONAL { ?s <http://x/val> ?v } } ORDER BY ?v LIMIT 3"
+    )
+    got = [r.v for r in execute_bgp(t, q, typed_numerics=True).collect()]
+    assert got == ["2.5", "9", "10"]

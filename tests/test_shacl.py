@@ -203,3 +203,49 @@ def test_core_schema_shapes_still_validate(spark):
     )
     rep = [(r.focus, r.constraint_name, r.value) for r in validate_shapes(t, shapes).collect()]
     assert rep == [("n1", "min_count", "0")]
+
+
+def test_datatype_langtag_and_length_blank_nodes(spark):
+    """Review fixes: (1) on a datatype-stripped frame a lang-tagged
+    literal is rdf:langString whatever its lexical form looks like, so
+    the lexical-space sh:datatype branch must still flag it; (2) a
+    blank-node value ALWAYS violates sh:minLength/sh:maxLength per
+    SHACL (its label is not a measurable value)."""
+    from sifr_project_java_ontology_processing_spark.operators.shacl import (
+        SHAPE_SCHEMA_EXT,
+        validate_shapes,
+    )
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        ("n1", RDF_T, "c:N", None, False),
+        ("n2", RDF_T, "c:N", None, False),
+        ("n1", "p:age", "123", "en", True),     # lang-tagged: langString
+        ("n2", "p:age", "123", None, True),     # plain: passes lexical rx
+        ("n1", "p:code", "_:b1", None, False),  # blank node value
+        ("n2", "p:code", "ABCDE", None, True),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean",
+    )
+    shapes = spark.createDataFrame(
+        [
+            ("s_age", "c:N", "p:age", None, None, None, None, None,
+             f"{XSD}integer", None, None, None),
+            ("s_code", "c:N", "p:code", None, None, None, None, None,
+             None, None, 3, 8),
+        ],
+        SHAPE_SCHEMA_EXT,
+    )
+    rep = {
+        (r.focus, r.constraint_name, r.value)
+        for r in validate_shapes(t, shapes).collect()
+    }
+    assert rep == {
+        ("n1", "datatype", "123"),
+        ("n1", "min_length", "_:b1"),
+        ("n1", "max_length", "_:b1"),
+    }
