@@ -95,11 +95,15 @@ the Spark-native shape for both (no subquery re-evaluation per
 row). ``MINUS { patterns }`` is also a left-anti join but keeps
 SPARQL's disjoint-domain rule: sharing no variable removes
 nothing (while a variable-disjoint NOT EXISTS removes everything
-when the inner group has any solution). Caveat (documented
-subset): solutions with an UNBOUND shared variable (from
-OPTIONAL) use join-NULL semantics — they never match the inner
-group — where full SPARQL would treat the unbound variable as
-compatible-with-anything. ``OFFSET n`` composes with LIMIT, and
+when the inner group has any solution). Solutions with an UNBOUND
+shared variable (OPTIONAL/BIND/subquery-sourced) follow the spec's
+compatible-with-anything rule: the outer frame is split by the
+null-mask of the nullable shared variables, each subset joined on
+exactly the variables bound in both domains (hash/broadcast
+equi-joins — see ``_compat_negation_join``); for MINUS an
+all-unbound subset is kept (domain-overlap rule), for NOT EXISTS
+it is removed when the inner group is non-empty.
+``OFFSET n`` composes with LIMIT, and
 the ``?`` path modifier (zero-or-one) unions the single edge
 with the zero-length identity, without the closure loop.
 """
@@ -1488,6 +1492,67 @@ def _greedy_order(patterns: list[tuple[Term, Term, Term]]) -> list[int]:
     return order
 
 
+def _compat_negation_join(
+    acc: DataFrame,
+    idf: DataFrame,
+    shared: list[str],
+    nullable: list[str],
+    mode: str,
+) -> DataFrame:
+    """[NOT] EXISTS / MINUS against a solution frame whose shared
+    variables may be UNBOUND (OPTIONAL/BIND/subquery-sourced NULLs).
+
+    SPARQL compatibility treats an unbound variable as
+    compatible-with-anything, so a plain equi-join (NULL never equals)
+    under-matches. Rather than a non-equi join condition (which forces
+    a nested-loop join), split the outer frame by the null-mask of the
+    nullable shared variables — the masks PARTITION the frame, so each
+    subset gets an exact hash/broadcast-eligible equi-join on exactly
+    the variables bound in both domains, and the union preserves
+    multiplicity without row ids. 2^k subsets for k nullable shared
+    vars (k is the count of OPTIONAL-bound vars shared with the inner
+    group — 1 or 2 in practice); Catalyst prunes empty subsets cheaply.
+
+    The inner group is a plain BGP (``_parse_plain_group``), so inner
+    solutions bind every inner variable — only the outer side needs
+    mask-splitting. Per mask, the bound-in-both set B:
+    - ``exists``: B empty → the subset survives iff the inner group has
+      ANY solution (compatible with everything); else left-semi on B.
+    - ``not_exists``: B empty → removed entirely if the inner group is
+      non-empty; else left-anti on B.
+    - ``minus``: B empty → kept (SPARQL's domain-overlap rule: no
+      variable bound in both mappings means no removal); else
+      left-anti on B.
+    """
+    solid = [v for v in shared if v not in nullable]
+    parts: list[DataFrame] = []
+    for mask in range(1 << len(nullable)):
+        cond = F.lit(True)
+        bound_now = list(solid)
+        for i, v in enumerate(nullable):
+            if mask >> i & 1:
+                cond = cond & F.col(v).isNotNull()
+                bound_now.append(v)
+            else:
+                cond = cond & F.col(v).isNull()
+        subset = acc.where(cond)
+        if bound_now:
+            how = "left_semi" if mode == "exists" else "left_anti"
+            parts.append(subset.join(idf, on=sorted(bound_now), how=how))
+        elif mode == "minus":
+            parts.append(subset)
+        else:
+            probe = idf.limit(1).select(F.lit(1).alias("__exists_probe"))
+            if mode == "exists":
+                parts.append(subset.crossJoin(probe).drop("__exists_probe"))
+            else:
+                parts.append(subset.join(probe, F.lit(True), "left_anti"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _join_patterns(
     triples: DataFrame,
     patterns: list[Pattern],
@@ -1557,12 +1622,18 @@ def _exec_branch(
                     graph_var=gterm.value, want_typed=want_typed,
                 )
             )
+    # variables that may be UNBOUND (NULL) in the solution frame —
+    # OPTIONAL-introduced, BIND-computed (any expression can yield
+    # NULL), or projected by a subquery (whose own branch may have had
+    # an OPTIONAL). Pattern-scan variables are always bound.
+    maybe_null: set[str] = set()
     for sq in b.subqueries:
         # evaluated independently over the same dataset; its projected
         # variables join the enclosing group like any other unit
         sdf = _run_query(triples, named, sq)
         svars = {c for c in sdf.columns if not c.startswith("__")}
         units.append((sdf.select(*sorted(svars)), svars))
+        maybe_null |= svars
     acc, bound = units[0]
     for nxt, nvars in units[1:]:
         dup_meta = [
@@ -1613,6 +1684,7 @@ def _exec_branch(
                 "BGP: OPTIONAL group shares no variable with the required patterns"
             )
         acc = acc.join(odf, on=shared, how="left")
+        maybe_null |= ovars - bound
         bound |= ovars
     # VALUES: inline constant bindings, joined on the shared variables
     # (lexical-form comparison); a VALUES block with no shared variable
@@ -1634,6 +1706,7 @@ def _exec_branch(
         _raise_if_missing_meta(sql, set(acc.columns), "BIND")
         acc = acc.withColumn(var, F.expr(sql))
         bound.add(var)
+        maybe_null.add(var)
     # SPARQL group scope: FILTERs apply after OPTIONALs have bound
     # their variables (a filter on an OPTIONAL var is legal)
     for f in b.filters:
@@ -1647,7 +1720,15 @@ def _exec_branch(
     for positive, pats in b.exists:
         idf, ivars = _join_patterns(triples, pats)
         shared = sorted(bound & ivars)
-        if shared:
+        nullable = [v for v in shared if v in maybe_null]
+        if nullable:
+            # a shared variable may be UNBOUND: spec compatibility
+            # (unbound matches anything) via the null-mask split
+            acc = _compat_negation_join(
+                acc, idf, shared, nullable,
+                "exists" if positive else "not_exists",
+            )
+        elif shared:
             how = "left_semi" if positive else "left_anti"
             acc = acc.join(idf, on=shared, how=how)
         else:
@@ -1662,7 +1743,10 @@ def _exec_branch(
     for pats in b.minus:
         mdf, mvars = _join_patterns(triples, pats)
         shared = sorted(bound & mvars)
-        if shared:
+        nullable = [v for v in shared if v in maybe_null]
+        if nullable:
+            acc = _compat_negation_join(acc, mdf, shared, nullable, "minus")
+        elif shared:
             acc = acc.join(mdf, on=shared, how="left_anti")
     # internal path-sequence join variables are branch-local; project
     # them away before branches align for UNION (companion __m_ term

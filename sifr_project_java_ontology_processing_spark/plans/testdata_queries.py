@@ -3427,6 +3427,75 @@ def q_sparql_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_not_exists_unbound",
+    """
+    SELECT n_name AS nl FROM nation n
+    WHERE NOT EXISTS (
+      SELECT 1 FROM nation m JOIN region r ON m.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND (n.n_nationkey = 0 OR m.n_nationkey = n.n_nationkey - 1))
+    ORDER BY nl
+    """,
+)
+def q_sparql_not_exists_unbound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL unbound-variable compatibility in NOT EXISTS
+    (plans/bgp.py::_compat_negation_join): ?p is OPTIONAL-bound (the
+    first nation has no ``prev`` edge), and the spec treats an unbound
+    shared variable as compatible-with-anything — so nation 0 is
+    removed whenever ANY nation sits in ASIA, while bound rows are
+    removed only on a value match. Compiled as a null-mask split of
+    the solution frame into hash/broadcast equi-joins (no non-equi
+    nested loop). The oracle replays compatibility as
+    ``n_nationkey = 0 OR value-match`` inside a relational
+    NOT EXISTS."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?nl WHERE {
+             ?n ex:name ?nl .
+             OPTIONAL { ?n ex:prev ?p }
+             FILTER NOT EXISTS { ?p ex:within ?r0 . ?r0 ex:label "ASIA" . }
+           } ORDER BY ?nl""",
+    )
+
+
+@register(
+    "sparql_minus_unbound",
+    """
+    SELECT n_name AS nl FROM nation n
+    WHERE NOT EXISTS (
+      SELECT 1 FROM nation m JOIN region r ON m.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND n.n_nationkey > 0 AND m.n_nationkey = n.n_nationkey - 1)
+    ORDER BY nl
+    """,
+)
+def q_sparql_minus_unbound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINUS vs NOT EXISTS on an unbound shared variable: MINUS keeps
+    SPARQL's domain-overlap rule, so nation 0 (unbound ?p — no bound
+    variable in common with the inner solutions) is KEPT where the
+    NOT EXISTS twin removes it. Same null-mask-split compilation
+    (plans/bgp.py::_compat_negation_join), the all-null subset passing
+    through untouched. The oracle keys removal on
+    ``n_nationkey > 0 AND value-match``."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?nl WHERE {
+             ?n ex:name ?nl .
+             OPTIONAL { ?n ex:prev ?p }
+             MINUS { ?p ex:within ?r0 . ?r0 ex:label "ASIA" . }
+           } ORDER BY ?nl""",
+    )
+
+
+@register(
     "sparql_path_opt_offset",
     """
     SELECT nl, b FROM (

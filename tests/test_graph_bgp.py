@@ -1443,3 +1443,118 @@ def test_typed_order_on_optional_bound_var(spark):
     )
     got = [r.v for r in execute_bgp(t, q, typed_numerics=True).collect()]
     assert got == ["2.5", "9", "10"]
+
+
+# ---------------------------------------------------------------------------
+# Unbound-variable compatibility in NOT EXISTS / EXISTS / MINUS
+# ---------------------------------------------------------------------------
+
+
+def _compat_triples(spark):
+    rows = [
+        ("http://x/alice", "http://x/name", "Alice", True, None, None),
+        ("http://x/alice", "http://x/mail", "a@x.org", True, None, None),
+        ("http://x/bob", "http://x/name", "Bob", True, None, None),
+        ("http://x/bob", "http://x/mail", "b@x.org", True, None, None),
+        ("http://x/carol", "http://x/name", "Carol", True, None, None),
+        # banned list shares the OPTIONAL-bound ?e
+        ("http://x/l1", "http://x/banned", "b@x.org", True, None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, obj_datatype string",
+    )
+
+
+def test_not_exists_unbound_shared_var_is_compatible(spark):
+    """SPARQL compatibility: an UNBOUND shared variable matches
+    anything, so Carol (no mail -> ?e unbound) is removed by
+    NOT EXISTS { ?l banned ?e } whenever the banned group is
+    non-empty; Bob is removed by the value match; Alice survives."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _compat_triples(spark)
+    q = (
+        "SELECT ?s WHERE { ?s <http://x/name> ?n . "
+        "OPTIONAL { ?s <http://x/mail> ?e } "
+        "FILTER NOT EXISTS { ?l <http://x/banned> ?e } }"
+    )
+    got = sorted(r.s for r in execute_bgp(t, q).collect())
+    assert got == ["http://x/alice"]
+
+
+def test_exists_unbound_shared_var_is_compatible(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _compat_triples(spark)
+    q = (
+        "SELECT ?s WHERE { ?s <http://x/name> ?n . "
+        "OPTIONAL { ?s <http://x/mail> ?e } "
+        "FILTER EXISTS { ?l <http://x/banned> ?e } }"
+    )
+    got = sorted(r.s for r in execute_bgp(t, q).collect())
+    # Bob: value match; Carol: unbound ?e compatible with the one
+    # banned solution; Alice: bound mismatch -> dropped
+    assert got == ["http://x/bob", "http://x/carol"]
+
+
+def test_minus_unbound_shared_var_domain_overlap_rule(spark):
+    """MINUS differs from NOT EXISTS exactly here: Carol's mapping
+    shares no BOUND variable with the banned solutions (domain
+    overlap empty) so she is KEPT, while Bob's value match removes
+    him."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _compat_triples(spark)
+    q = (
+        "SELECT ?s WHERE { ?s <http://x/name> ?n . "
+        "OPTIONAL { ?s <http://x/mail> ?e } "
+        "MINUS { ?l <http://x/banned> ?e } }"
+    )
+    got = sorted(r.s for r in execute_bgp(t, q).collect())
+    assert got == ["http://x/alice", "http://x/carol"]
+
+
+def test_compat_join_mixed_solid_and_nullable_shared(spark):
+    """Two shared vars, one always bound (?s via the inner pattern)
+    and one nullable (?e): the mask split joins the bound subset on
+    both and the null subset on ?s alone."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    rows = [
+        ("http://x/a", "http://x/name", "A", True, None, None),
+        ("http://x/a", "http://x/mail", "a@x", True, None, None),
+        ("http://x/b", "http://x/name", "B", True, None, None),
+        # flags: a flagged WITH its mail value; b flagged (b has no mail)
+        ("http://x/a", "http://x/flag", "a@x", True, None, None),
+        ("http://x/b", "http://x/flag", "zzz", True, None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, obj_datatype string",
+    )
+    q = (
+        "SELECT ?s WHERE { ?s <http://x/name> ?n . "
+        "OPTIONAL { ?s <http://x/mail> ?e } "
+        "FILTER NOT EXISTS { ?s <http://x/flag> ?e } }"
+    )
+    got = sorted(r.s for r in execute_bgp(t, q).collect())
+    # a: bound ?e matches its flag row -> removed.
+    # b: ?e unbound, compatible with ANY flag value of b -> removed.
+    assert got == []
+
+
+def test_not_exists_bound_vars_fast_path_unchanged(spark):
+    """No nullable shared vars -> the plain left-anti path: a bound
+    non-matching ?e survives."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _compat_triples(spark)
+    q = (
+        "SELECT ?s WHERE { ?s <http://x/mail> ?e "
+        "FILTER NOT EXISTS { ?l <http://x/banned> ?e } }"
+    )
+    got = sorted(r.s for r in execute_bgp(t, q).collect())
+    assert got == ["http://x/alice"]
