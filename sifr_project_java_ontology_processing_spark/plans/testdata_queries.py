@@ -3496,6 +3496,105 @@ def q_sparql_minus_unbound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_perplexity",
+    r"""
+    WITH docs0 AS (
+      SELECT doc_id, coalesce(text, '') AS text FROM documents
+    ),
+    labeled AS (
+      SELECT doc_id * 2 + 1 AS rid, doc_id, 'real' AS variant, text
+      FROM docs0
+      UNION ALL
+      SELECT doc_id * 2 AS rid, doc_id, 'gibberish' AS variant,
+             array_to_string(list_transform(range(1, 9),
+               i -> substr(md5(doc_id || '_' || i), 1, 6)), ' ') AS text
+      FROM docs0
+    ),
+    tok AS (
+      SELECT rid, doc_id, variant,
+             list_concat(list_concat(['<s>'],
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '')), ['</s>']) AS pt
+      FROM labeled
+    ),
+    pairs AS (
+      SELECT rid, doc_id, variant,
+             pt[CAST(i AS INT)] AS ctx, pt[CAST(i AS INT) + 1] AS tok
+      FROM (SELECT rid, doc_id, variant, pt,
+                   unnest(range(1, len(pt))) AS i FROM tok)
+    ),
+    train AS (SELECT ctx, tok FROM pairs WHERE variant = 'real'),
+    bg AS (SELECT ctx, tok, count(*) AS c FROM train GROUP BY ctx, tok),
+    cxt AS (SELECT ctx, count(*) AS cc FROM train GROUP BY ctx),
+    v AS (SELECT count(DISTINCT tok) AS v FROM train),
+    sc AS (
+      SELECT p.rid, p.doc_id, p.variant,
+             -avg(ln((coalesce(b.c, 0) + 0.1)
+                     / (coalesce(x.cc, 0) + 0.1 * (v.v + 1)))) AS ce
+      FROM pairs p
+      LEFT JOIN bg b ON p.ctx = b.ctx AND p.tok = b.tok
+      LEFT JOIN cxt x ON p.ctx = x.ctx
+      CROSS JOIN v
+      GROUP BY p.rid, p.doc_id, p.variant
+    )
+    SELECT r.doc_id, round(r.ce, 4) AS ce_real, round(g.ce, 4) AS ce_gib,
+           g.ce > r.ce AS gib_worse
+    FROM sc r JOIN sc g ON r.doc_id = g.doc_id
+    WHERE r.variant = 'real' AND g.variant = 'gibberish'
+    """,
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity filter (operators/lm_perplexity.py):
+    a word-bigram add-α model is TRAINED inside the query on the real
+    corpus text (two partial-agg groupBys), then both the real text
+    and a md5-derived gibberish variant of every doc are scored via
+    broadcast count joins + one per-doc partial agg. The gibberish
+    twin must always score a higher cross-entropy (``gib_worse``) —
+    the signal CCNet's head/middle/tail split keys on. Training and
+    scoring both replay relationally in the oracle (same counts, same
+    Lidstone formula); the per-doc avg makes sum-order FP drift
+    sub-round(4)."""
+    from sifr_project_java_ontology_processing_spark.operators.lm_perplexity import (
+        score_perplexity,
+        train_word_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    lm = train_word_lm(docs, alpha=0.1)
+    gib = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("_"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+        ),
+    )
+    real = score_perplexity(docs, lm).select(
+        "doc_id", F.col("cross_entropy").alias("ce_r")
+    )
+    gib_sc = score_perplexity(docs.select("doc_id", gib.alias("text")), lm).select(
+        "doc_id", F.col("cross_entropy").alias("ce_g")
+    )
+    return real.join(gib_sc, on="doc_id").select(
+        "doc_id",
+        F.round("ce_r", 4).alias("ce_real"),
+        F.round("ce_g", 4).alias("ce_gib"),
+        (F.col("ce_g") > F.col("ce_r")).alias("gib_worse"),
+    )
+
+
+@register(
     "sparql_path_opt_offset",
     """
     SELECT nl, b FROM (
