@@ -79,7 +79,12 @@ row. ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (...) }`` blocks
 join inline constant bindings (lexical comparison), and
 ``BIND(expr AS ?v)`` computes new columns with the FILTER
 expression subset plus CONCAT/UCASE/LCASE/STRLEN/STRSTARTS/
-STRENDS/CONTAINS/SUBSTR/REPLACE/BOUND.
+STRENDS/CONTAINS/SUBSTR/REPLACE/BOUND, STRBEFORE/STRAFTER
+(first-occurrence split, '' when absent), the numeric builtins
+ABS/CEIL/FLOOR/ROUND (try_cast — a non-numeric lexical form is a
+SPARQL type error -> NULL), and ``langMatches(lang(?v), "range")``
+(RFC 4647 basic filtering: '*' = any non-empty tag, else
+case-insensitive exact or '-'-extended prefix).
 
 ``DESCRIBE <iri>...`` / ``DESCRIBE ?v... WHERE {...}`` returns the
 forward description — every triple whose SUBJECT is a described
@@ -480,6 +485,85 @@ def _filter_to_sql(
             v = p.term()
             p.expect(")")
             out.append(f"`{v.value}`")
+        elif t.lower() in ("abs", "ceil", "floor", "round"):
+            # SPARQL numeric builtins: a non-numeric lexical form is a
+            # type error -> try_cast yields NULL and the enclosing
+            # comparison/BIND leaves the row filtered/unbound (same
+            # TRY_CAST replay as the comparison rewrite). ROUND is
+            # half-away-from-zero in both Spark and DuckDB.
+            fn = t.lower()
+            p.expect("(")
+            v = p.term()
+            p.expect(")")
+            arg = (
+                f"`{v.value}`" if v.kind == "var" else _sql_str(v.value)
+            )
+            out.append(f"{fn}(try_cast({arg} AS DOUBLE))")
+        elif t.lower() in ("strbefore", "strafter"):
+            # SPARQL 17.4.3.4/5: the part of ?s before/after the FIRST
+            # occurrence of the needle; '' when absent. An empty
+            # needle matches at position 1 (before -> '', after -> s).
+            fn = t.lower()
+            p.expect("(")
+            a = p.term()
+            p.expect(",")
+            b = p.term()
+            p.expect(")")
+
+            def _arg(term: Term) -> str:
+                return (
+                    f"`{term.value}`"
+                    if term.kind == "var"
+                    else _sql_str(term.value)
+                )
+
+            s, nd = _arg(a), _arg(b)
+            pos = f"instr({s}, {nd})"
+            if fn == "strbefore":
+                out.append(
+                    f"(CASE WHEN {pos} > 0 "
+                    f"THEN substring({s}, 1, {pos} - 1) ELSE '' END)"
+                )
+            else:
+                out.append(
+                    f"(CASE WHEN {pos} > 0 "
+                    f"THEN substring({s}, {pos} + length({nd}), "
+                    f"length({s})) ELSE '' END)"
+                )
+        elif t.lower() == "langmatches":
+            # langMatches(lang(?v), "range") — basic filtering per
+            # RFC 4647: '*' matches any non-empty tag; otherwise the
+            # tag equals the range or extends it with a '-' subtag,
+            # case-insensitively. lang() of a non-literal is a type
+            # error (NULL) and propagates to NULL -> row filtered.
+            p.expect("(")
+            if p.next().lower() != "lang":
+                raise ValueError(
+                    "BGP: langMatches() supports the lang(?v) form"
+                )
+            p.expect("(")
+            v = p.term()
+            p.expect(")")
+            p.expect(",")
+            rng = p.term()
+            p.expect(")")
+            if v.kind != "var" or rng.kind != "literal":
+                raise ValueError(
+                    'BGP: langMatches() needs (lang(?var), "range")'
+                )
+            meta.add(v.value)
+            tag = (
+                f"(CASE WHEN `__m_lit_{v.value}` "
+                f"THEN coalesce(`__m_lang_{v.value}`, '') END)"
+            )
+            if rng.value == "*":
+                out.append(f"({tag} <> '')")
+            else:
+                r = _sql_str(rng.value.lower())
+                out.append(
+                    f"(lower({tag}) = {r} OR "
+                    f"startswith(lower({tag}), {r} || '-'))"
+                )
         elif t.lower() in ("lang", "datatype", "isiri", "isuri",
                            "isliteral", "isblank"):
             fn = t.lower()

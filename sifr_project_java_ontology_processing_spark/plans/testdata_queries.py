@@ -5230,6 +5230,65 @@ def q_sparql_term_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_str_num_fns",
+    """
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS s,
+           floor(n_nationkey - 12.5) AS fl,
+           round(n_nationkey - 12.5) AS rd,
+           abs(n_nationkey - 12.5) AS ab,
+           CASE WHEN instr(n_name, 'A') > 0
+                THEN substr(n_name, instr(n_name, 'A') + 1)
+                ELSE '' END AS aft
+    FROM nation WHERE n_nationkey % 2 = 0
+    """,
+)
+def q_sparql_str_num_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL string/numeric builtins + langMatches (plans/bgp.py
+    round 5): scores are half-integer literals straddling zero, so
+    FLOOR/CEIL/ROUND/ABS exercise the away-from-zero .5 rounding and
+    the try_cast type-error path, STRAFTER splits the note's lexical
+    form on its first 'A', and langMatches(lang(?v), "fr") keeps the
+    fr-tagged (even-key) notes. All map-side Catalyst expressions over
+    one pattern join; the oracle states the key arithmetic
+    closed-form."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    nat = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    n_iri = F.concat(F.lit("n:"), k.cast("string"))
+    nul = F.lit(None).cast("string")
+    note = nat.select(
+        n_iri.alias("subj"),
+        F.lit("http://ex/note").alias("pred"),
+        F.col("n_name").alias("obj"),
+        F.when(k % 2 == 0, F.lit("fr")).otherwise(F.lit("en")).alias("obj_lang"),
+        F.lit(True).alias("obj_is_literal"),
+        nul.alias("obj_datatype"),
+    )
+    score = nat.select(
+        n_iri.alias("subj"),
+        F.lit("http://ex/score").alias("pred"),
+        (k - 12.5).cast("string").alias("obj"),
+        nul.alias("obj_lang"),
+        F.lit(True).alias("obj_is_literal"),
+        nul.alias("obj_datatype"),
+    )
+    return execute_bgp(
+        note.unionByName(score),
+        """PREFIX ex: <http://ex/>
+           SELECT ?s ?fl ?rd ?ab ?aft WHERE {
+             ?s ex:score ?w .
+             ?s ex:note ?v .
+             FILTER(langMatches(lang(?v), "fr"))
+             BIND(FLOOR(?w) AS ?fl)
+             BIND(ROUND(?w) AS ?rd)
+             BIND(ABS(?w) AS ?ab)
+             BIND(STRAFTER(?v, "A") AS ?aft)
+           }""",
+    )
+
+
+@register(
     "semantic_dedup",
     f"""
     WITH cents(cidx, cvec) AS (VALUES {_ivf_cents_values()}),

@@ -1558,3 +1558,89 @@ def test_not_exists_bound_vars_fast_path_unchanged(spark):
     )
     got = sorted(r.s for r in execute_bgp(t, q).collect())
     assert got == ["http://x/alice"]
+
+
+# ---------------------------------------------------------------------------
+# String/numeric builtins + langMatches (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _fns_triples(spark):
+    rows = [
+        ("a", "http://x/v", "3.7", True, None, None),
+        ("b", "http://x/v", "-2.5", True, None, None),
+        ("c", "http://x/v", "banana", True, None, None),
+        ("a", "http://x/lbl", "hello world", True, "en-US", None),
+        ("b", "http://x/lbl", "bonjour", True, "fr", None),
+        ("c", "http://x/lbl", "plain", True, None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, obj_datatype string",
+    )
+
+
+def test_numeric_builtins_and_type_errors(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _fns_triples(spark)
+    q = (
+        "SELECT ?s ?r ?f ?cl WHERE { ?s <http://x/v> ?v . "
+        "BIND(ROUND(?v) AS ?r) BIND(FLOOR(?v) AS ?f) "
+        "BIND(CEIL(?v) AS ?cl) }"
+    )
+    out = {r.s: (r.r, r.f, r.cl) for r in execute_bgp(t, q).collect()}
+    assert out["a"] == (4.0, 3, 4)
+    # ROUND is half-away-from-zero; FLOOR/CEIL toward -inf/+inf
+    assert out["b"] == (-3.0, -3, -2)
+    # non-numeric lexical form: SPARQL type error -> unbound
+    assert out["c"] == (None, None, None)
+    got = sorted(
+        r.s
+        for r in execute_bgp(
+            t, "SELECT ?s WHERE { ?s <http://x/v> ?v FILTER(ABS(?v) > 3) }"
+        ).collect()
+    )
+    assert got == ["a"]  # |-2.5| fails, banana is a type error
+
+
+def test_strbefore_strafter(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _fns_triples(spark)
+    q = (
+        "SELECT ?s ?bef ?aft WHERE { ?s <http://x/v> ?v . "
+        'BIND(STRBEFORE(?v, ".") AS ?bef) '
+        'BIND(STRAFTER(?v, ".") AS ?aft) }'
+    )
+    out = {r.s: (r.bef, r.aft) for r in execute_bgp(t, q).collect()}
+    assert out["a"] == ("3", "7")
+    assert out["b"] == ("-2", "5")
+    assert out["c"] == ("", "")  # absent needle -> '' per SPARQL
+    # empty needle: before -> '', after -> whole string
+    q2 = (
+        "SELECT ?s ?b ?a2 WHERE { ?s <http://x/v> ?v . "
+        'BIND(STRBEFORE(?v, "") AS ?b) BIND(STRAFTER(?v, "") AS ?a2) }'
+    )
+    out2 = {r.s: (r.b, r.a2) for r in execute_bgp(t, q2).collect()}
+    assert out2["c"] == ("", "banana")
+
+
+def test_langmatches(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _fns_triples(spark)
+
+    def run(rng):
+        q = (
+            "SELECT ?s WHERE { ?s <http://x/lbl> ?l "
+            f'FILTER(langMatches(lang(?l), "{rng}")) }}'
+        )
+        return sorted(r.s for r in execute_bgp(t, q).collect())
+
+    assert run("en") == ["a"]        # en-US extends en
+    assert run("EN-us") == ["a"]     # case-insensitive
+    assert run("fr") == ["b"]
+    assert run("*") == ["a", "b"]    # any non-empty tag; plain excluded
+    assert run("en-US-x") == []
