@@ -50,6 +50,7 @@ HEADLINE = [
     "graph_triangle_count", # round 4 cont.: degree-oriented wedge join
     "rdfs_plus_entail_incremental",  # round 5: bridged-closure delta
     "sparql_path_group",    # round 5: closure over a derived edge frame
+    "lm_perplexity",        # round 5: CCNet bigram-LM train + score
 ]
 
 

@@ -1644,3 +1644,53 @@ def test_langmatches(spark):
     assert run("fr") == ["b"]
     assert run("*") == ["a", "b"]    # any non-empty tag; plain excluded
     assert run("en-US-x") == []
+
+
+def test_compat_negation_join_vs_bruteforce(spark):
+    """Exhaustive randomized check of _compat_negation_join against a
+    pure-Python implementation of SPARQL compatibility semantics:
+    every null-mask combination over two nullable shared vars, values
+    from a small domain so matches/misses/ties all occur."""
+    import random
+
+    from sifr_project_java_ontology_processing_spark.plans.bgp import (
+        _compat_negation_join,
+    )
+
+    rng = random.Random(42)
+    dom = [None, "0", "1", "2"]
+    outer = [
+        (i, rng.choice(dom), rng.choice(dom), rng.choice(["x", "y"]))
+        for i in range(60)
+    ]
+    inner = list({(rng.choice(dom[1:]), rng.choice(dom[1:])) for _ in range(8)})
+    odf = spark.createDataFrame(outer, "k long, a string, b string, extra string")
+    idf = spark.createDataFrame(inner, "a string, b string")
+
+    def compatible(o, i):
+        return all(o[j + 1] is None or o[j + 1] == i[j] for j in range(2))
+
+    def brute(mode):
+        keep = []
+        for o in outer:
+            hit = any(compatible(o, i) for i in inner)
+            bound_shared = o[1] is not None or o[2] is not None
+            if mode == "exists":
+                if hit:
+                    keep.append(o[0])
+            elif mode == "not_exists":
+                if not hit:
+                    keep.append(o[0])
+            else:  # minus: domain-overlap rule
+                if not (bound_shared and hit):
+                    keep.append(o[0])
+        return sorted(keep)
+
+    for mode in ("exists", "not_exists", "minus"):
+        got = sorted(
+            r.k
+            for r in _compat_negation_join(
+                odf, idf, ["a", "b"], ["a", "b"], mode
+            ).collect()
+        )
+        assert got == brute(mode), mode
