@@ -256,20 +256,34 @@ def transitive_closure(
     and the 1000-level default cap raises (a graph with a >1000-step
     diameter needs an explicit bound).
     """
-    n_part = partitions or int(
+    conf_part = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    e = (
-        edges.select(F.col(src).alias("_mid"), F.col(dst).alias("dst"))
-        .repartition(n_part, "_mid")
-        .persist()
-    )
-    paths = (
+    raw = edges.select(F.col(src).alias("_mid"), F.col(dst).alias("dst"))
+    if partitions is not None:
+        n_part = partitions
+    else:
+        # size the per-level exchanges to the relation: the explicit
+        # hash repartition below bypasses AQE's coalescing, so a small
+        # edge set (a schema hierarchy, a per-graph slice) would
+        # otherwise pay conf-many near-empty shuffle partitions on
+        # EVERY level's every exchange. The count runs against a cache
+        # the repartition then reuses. ~64k edges per partition floor;
+        # big graphs keep the configured width.
+        raw = raw.persist()
+        n_part = max(1, min(conf_part, raw.count() // 65536 + 1))
+    e = raw.repartition(n_part, "_mid").persist()
+    level = (
         e.select(F.col("_mid").alias("src"), "dst")
         .withColumn("depth", F.lit(1))
         .localCheckpoint(eager=True)
     )
-    frontier, depth = paths, 1
+    if raw is not e and partitions is None:
+        raw.unpersist()  # e is materialized by the level-1 checkpoint
+    # `paths` stays a UNION of the eagerly-checkpointed per-level
+    # frames (each leaf already materialized) — re-checkpointing the
+    # accumulated union every level would rewrite O(levels²) rows.
+    paths, frontier, depth = level, level, 1
     cap = max_depth if max_depth is not None else 1000
     while depth < cap:
         nxt = (
@@ -283,7 +297,7 @@ def transitive_closure(
         )
         if nxt.isEmpty():
             break
-        paths = paths.unionByName(nxt).localCheckpoint(eager=True)
+        paths = paths.unionByName(nxt)
         frontier = nxt
         depth += 1
     else:

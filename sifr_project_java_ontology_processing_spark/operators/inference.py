@@ -640,6 +640,7 @@ def rdfs_entail_delta(
     delta: DataFrame,
     *,
     max_schema_depth: int = 20,
+    materialize_entailed: bool = True,
 ) -> DataFrame:
     """Incremental (semi-naive) RDFS maintenance: given a previously
     ENTAILED graph and a batch of newly asserted triples, return the
@@ -661,9 +662,15 @@ def rdfs_entail_delta(
     detects that with one probe of the (small) delta and falls back to
     a full ``rdfs_entail`` over the union, which is always correct
     (entailment is idempotent).
+
+    ``materialize_entailed``: as in ``rdfs_plus_entail_delta`` — pin a
+    LIVE ``entailed`` plan once (schema views + anti-join + union all
+    re-read it); pass False for stored tables.
     """
     d = delta.select(*_TRIPLE_COLS)
     e = entailed.select(*_TRIPLE_COLS)
+    if materialize_entailed:
+        e = e.localCheckpoint(eager=False)
     sp, sc, dom, rng = saturated_schema_views(e)
     # a delta triple is schema-bearing if its predicate IS a schema
     # predicate, types a property characteristic, OR is a declared
@@ -697,6 +704,7 @@ def rdfs_plus_entail_delta(
     *,
     max_schema_depth: int = 20,
     max_transitive_depth: int = 20,
+    materialize_entailed: bool = True,
 ) -> DataFrame:
     """Incremental (semi-naive) RDFS-PLUS maintenance: given a graph
     previously saturated by ``rdfs_plus_entail`` and a batch of new
@@ -729,9 +737,21 @@ def rdfs_plus_entail_delta(
     equivalence axioms or property-characteristic typings) invalidates
     the saturated-view shortcut; detected with one probe of the small
     delta → full ``rdfs_plus_entail`` over the union (idempotent,
-    always correct)."""
+    always correct).
+
+    ``materialize_entailed`` (default True) lazily localCheckpoints
+    the old graph once: this function reads it ~8 times (schema views,
+    property dimensions, the two closure-bridge slices, the final
+    anti-join + union), and when ``entailed`` arrives as a LIVE plan
+    (the common test/pipeline composition) every read would otherwise
+    re-run the full base saturation. Pass False when the input is
+    already a stored table whose re-scan is cheaper than a block-
+    storage copy (the 100-TB shape: Parquet serves the slices with
+    predicate pushdown the checkpoint copy cannot)."""
     d = delta.select(*_TRIPLE_COLS)
     e = entailed.select(*_TRIPLE_COLS)
+    if materialize_entailed:
+        e = e.localCheckpoint(eager=False)
     sp, sc, dom, rng = saturated_schema_views(e)
     meta_preds = sp.where(
         F.col("_sup").isin(*_SCHEMA_PREDS, OWL_EQCLASS, OWL_EQPROP)
