@@ -31,9 +31,16 @@ Execution model — why this scales:
 Scope (documented subset): SELECT [DISTINCT] ?v ... | * , WHERE with
 triple patterns ('a' keyword, prefixed names, <IRIs>, "literals"
 with optional @lang, integers, variables), FILTER(expr) with
-regex/str/comparisons/&&/||/!, OPTIONAL { patterns } (one level,
-LEFT join on shared vars), { group } UNION { group } (top level,
-null-filled variable alignment), ORDER BY ?v [ASC|DESC], LIMIT n.
+regex/str/comparisons/&&/||/!, OPTIONAL { group } (full group
+semantics: plain pattern+FILTER groups LEFT-join directly; groups
+carrying BIND/VALUES/UNION/nested OPTIONAL/... evaluate as
+independent SELECT-* sub-plans and LEFT-join on the shared
+variables), { group } UNION { group } (at top level AND nested
+inside any group, null-filled variable alignment), nested group
+graph patterns ``{ ... }`` (bottom-up evaluation, joined on shared
+variables like subqueries), ORDER BY keys that are ?vars,
+ASC/DESC(expr), or bare (expr) over the FILTER expression subset,
+and LIMIT n / OFFSET n.
 
 Aggregates: SELECT may mix plain variables with
 ``(COUNT(?v) AS ?alias)`` / ``(COUNT(*) ...)`` / ``COUNT(DISTINCT
@@ -186,6 +193,17 @@ class Branch:
     # { SELECT ... } subqueries: evaluated independently over the same
     # dataset, joined on their projected variables
     subqueries: list[BGPQuery] = field(default_factory=list)
+    # nested group graph patterns ``{ ... }`` (incl. in-group UNION
+    # chains ``{A} UNION {B}``): each compiled as an independent
+    # SELECT-* sub-plan over the same dataset and joined back on its
+    # shared variables — SPARQL's bottom-up group semantics, and the
+    # same relational shape the subquery path already uses
+    groups: list[BGPQuery] = field(default_factory=list)
+    # OPTIONAL groups that need full group semantics (BIND/VALUES/
+    # UNION/nested OPTIONAL/...): evaluated as SELECT-* sub-plans and
+    # LEFT-joined on the shared variables. Plain pattern+FILTER
+    # OPTIONALs stay on the flat ``optionals`` fast path.
+    optional_subs: list[BGPQuery] = field(default_factory=list)
 
 
 @dataclass
@@ -196,7 +214,10 @@ class BGPQuery:
     select: list[str] = field(default_factory=list)  # [] = SELECT *
     branches: list[Branch] = field(default_factory=list)  # >1 = UNION
     distinct: bool = False
-    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
+    # (sql, asc, var): ``sql`` is the Spark SQL sort key; ``var`` is
+    # the bare variable name when the key is a plain ?var (enables the
+    # typed-numeric ``__t_`` companion), None for expression keys
+    order_by: list[tuple[str, bool, str | None]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
     # aggregation: (func, var-or-None-for-*, distinct, separator, alias).
@@ -849,8 +870,9 @@ def _parse_plain_group(p: _P, ctx: str) -> list[Pattern]:
     gb = Branch()
     _parse_group(p, gb)
     if (
-        gb.filters or gb.optionals or gb.binds or gb.values or gb.exists
-        or gb.minus or gb.graphs or gb.subqueries
+        gb.filters or gb.optionals or gb.optional_subs or gb.binds
+        or gb.values or gb.exists or gb.minus or gb.graphs
+        or gb.subqueries or gb.groups
     ):
         raise ValueError(f"BGP: {ctx} group must contain only triple patterns")
     if not gb.patterns:
@@ -858,11 +880,34 @@ def _parse_plain_group(p: _P, ctx: str) -> list[Pattern]:
     return gb.patterns
 
 
-def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
+def _parse_group_union(p: _P) -> BGPQuery:
+    """Parse a nested group graph pattern starting at '{' — a single
+    group or a ``{A} UNION {B} [UNION {C}]*`` chain — into a SELECT-*
+    BGPQuery (each alternative one Branch, full group generality via
+    recursion). The caller joins the sub-plan on its shared variables;
+    UNION alternatives align null-filled exactly as at top level."""
+    gq = BGPQuery(form="select", select=[], branches=[])
+    while True:
+        p.expect("{")
+        gb = Branch()
+        _parse_group(p, gb)
+        if not (gb.patterns or gb.graphs or gb.subqueries or gb.groups):
+            raise ValueError("BGP: empty nested group")
+        gq.branches.append(gb)
+        t = p.peek()
+        if t is not None and t.lower() == "union":
+            p.next()
+            continue
+        return gq
+
+
+def _parse_group(p: _P, branch: Branch) -> None:
     """Parse group contents up to (and consuming) the closing '}'.
     Fills ``branch``; OPTIONAL sub-groups collect into
-    ``branch.optionals`` (one level — nested OPTIONAL is out of scope)."""
-    patterns = branch.patterns if not in_optional else branch.optionals[-1]
+    ``branch.optionals`` (plain pattern+FILTER groups) or
+    ``branch.optional_subs`` (full group semantics); nested ``{ ... }``
+    groups and in-group UNION chains into ``branch.groups``."""
+    patterns = branch.patterns
     subj: Term | None = None
     pred_path: list[PathElt] | None = None
     while True:
@@ -876,50 +921,34 @@ def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
             p.next()
             nxt = p.peek()
             if nxt is not None and nxt.lower() in ("exists", "not"):
-                if in_optional:
-                    raise ValueError(
-                        "BGP: FILTER [NOT] EXISTS inside OPTIONAL is not supported"
-                    )
                 positive = nxt.lower() == "exists"
                 p.next()
                 if not positive:
                     p.expect("EXISTS")
                 branch.exists.append((positive, _parse_plain_group(p, "EXISTS")))
-            elif in_optional:
-                branch.optional_filters[-1].append(
-                    _filter_to_sql(p, meta=branch.meta_vars)
-                )
             else:
                 branch.filters.append(_filter_to_sql(p, meta=branch.meta_vars))
             if p.peek() == ".":
                 p.next()
             continue
         if t.lower() == "minus":
-            if in_optional:
-                raise ValueError("BGP: MINUS inside OPTIONAL is not supported")
             p.next()
             branch.minus.append(_parse_plain_group(p, "MINUS"))
             if p.peek() == ".":
                 p.next()
             continue
         if t == "{":
-            if in_optional:
-                raise ValueError("BGP: subqueries inside OPTIONAL are not supported")
             nxt = p.toks[p.i + 1] if p.i + 1 < len(p.toks) else None
-            if nxt is None or nxt.lower() != "select":
-                raise ValueError(
-                    "BGP: nested groups are only supported as "
-                    "{ SELECT ... } subqueries"
-                )
-            p.next()  # consume '{'
-            branch.subqueries.append(_parse_query(p, subquery=True))
-            p.expect("}")
+            if nxt is not None and nxt.lower() == "select":
+                p.next()  # consume '{'
+                branch.subqueries.append(_parse_query(p, subquery=True))
+                p.expect("}")
+            else:
+                branch.groups.append(_parse_group_union(p))
             if p.peek() == ".":
                 p.next()
             continue
         if t.lower() == "graph":
-            if in_optional:
-                raise ValueError("BGP: GRAPH inside OPTIONAL is not supported")
             p.next()
             gterm = p.term()
             if gterm.kind not in ("var", "iri"):
@@ -929,8 +958,6 @@ def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
                 p.next()
             continue
         if t.lower() == "bind":
-            if in_optional:
-                raise ValueError("BGP: BIND inside OPTIONAL is not supported")
             p.next()
             sql, var = _filter_to_sql(p, bind=True, meta=branch.meta_vars)
             branch.binds.append((sql, var))
@@ -938,8 +965,6 @@ def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
                 p.next()
             continue
         if t.lower() == "values":
-            if in_optional:
-                raise ValueError("BGP: VALUES inside OPTIONAL is not supported")
             p.next()
             vnames: list[str] = []
             grouped = p.peek() == "("
@@ -978,15 +1003,38 @@ def _parse_group(p: _P, branch: Branch, *, in_optional: bool = False) -> None:
                 p.next()
             continue
         if t.lower() == "optional":
-            if in_optional:
-                raise ValueError("BGP: nested OPTIONAL is not supported")
             p.next()
+            # the body parses into a fresh Branch with full generality
+            # (nested OPTIONAL/BIND/VALUES/UNION/... recurse naturally);
+            # meta_vars is SHARED with the enclosing branch so term-
+            # metadata referenced by inner FILTERs reaches the outer
+            # scan projection on the flat fast path
+            ob = Branch(meta_vars=branch.meta_vars)
             p.expect("{")
-            branch.optionals.append([])
-            branch.optional_filters.append([])
-            _parse_group(p, branch, in_optional=True)
-            if not branch.optionals[-1]:
+            _parse_group(p, ob)
+            if not (ob.patterns or ob.graphs or ob.subqueries or ob.groups):
+                if ob.optionals or ob.optional_subs:
+                    raise ValueError(
+                        "BGP: OPTIONAL group needs at least one required "
+                        "pattern (an OPTIONAL-only group is not supported)"
+                    )
                 raise ValueError("BGP: empty OPTIONAL group")
+            if (
+                ob.optionals or ob.optional_subs or ob.binds or ob.values
+                or ob.exists or ob.minus or ob.graphs or ob.subqueries
+                or ob.groups
+            ):
+                # full group semantics: evaluate as an independent
+                # SELECT-* sub-plan, LEFT-join on shared variables
+                branch.optional_subs.append(
+                    BGPQuery(form="select", select=[], branches=[ob])
+                )
+            else:
+                # plain pattern+FILTER group: flat fast path (the
+                # common shape — no sub-plan, filters applied before
+                # the left join)
+                branch.optionals.append(ob.patterns)
+                branch.optional_filters.append(ob.filters)
             if p.peek() == ".":
                 p.next()
             continue
@@ -1083,8 +1131,9 @@ def _parse_query(p: _P, *, subquery: bool = False) -> BGPQuery:
         tb = Branch()
         _parse_group(p, tb)
         if (
-            tb.filters or tb.optionals or tb.binds or tb.values
-            or tb.exists or tb.minus or tb.graphs or tb.subqueries
+            tb.filters or tb.optionals or tb.optional_subs or tb.binds
+            or tb.values or tb.exists or tb.minus or tb.graphs
+            or tb.subqueries or tb.groups
         ):
             raise ValueError("BGP: CONSTRUCT template must be plain triples")
         for s, pr, o in tb.patterns:
@@ -1207,7 +1256,18 @@ def _parse_query(p: _P, *, subquery: bool = False) -> BGPQuery:
                 p.next()
                 continue
             break
-        p.expect("}")
+        if p.peek() == "}":
+            p.next()
+        else:
+            # the WHERE group continues past the union chain
+            # ({A} UNION {B} . more-patterns): demote the chain to a
+            # nested-group sub-plan and parse the remainder into one
+            # enclosing branch — SPARQL's group semantics exactly
+            gq = BGPQuery(form="select", select=[], branches=q.branches)
+            q.branches = []
+            b = Branch(groups=[gq])
+            _parse_group(p, b)
+            q.branches.append(b)
     else:
         q.branches.append(Branch())
         _parse_group(p, q.branches[0])
@@ -1217,16 +1277,39 @@ def _parse_query(p: _P, *, subquery: bool = False) -> BGPQuery:
         if t == "order":
             p.expect("BY")
             while p.peek() and (
-                p.peek().startswith("?") or p.peek().lower() in ("asc", "desc")
+                p.peek().startswith("?")
+                or p.peek() == "("
+                or p.peek().lower() in ("asc", "desc")
             ):
                 tok = p.next()
+                asc = True
                 if tok.lower() in ("asc", "desc"):
-                    p.expect("(")
+                    asc = tok.lower() == "asc"
+                    tok = None  # key follows
+                elif tok == "(":
+                    p.i -= 1  # bare ( expr ): rewind for the translator
+                    tok = None
+                if tok is not None:
+                    # bare ?var
+                    q.order_by.append((f"`{tok[1:]}`", True, tok[1:]))
+                    continue
+                # ASC/DESC( key ) or bare ( expr ): a lone variable stays
+                # a var key (typed companion eligible); anything else is
+                # an expression key via the FILTER translator
+                if (
+                    p.peek() == "("
+                    and p.i + 1 < len(p.toks)
+                    and p.toks[p.i + 1].startswith("?")
+                    and p.i + 2 < len(p.toks)
+                    and p.toks[p.i + 2] == ")"
+                ):
+                    p.next()
                     v = p.term()
-                    p.expect(")")
-                    q.order_by.append((v.value, tok.lower() == "asc"))
+                    p.next()  # ')'
+                    q.order_by.append((f"`{v.value}`", asc, v.value))
                 else:
-                    q.order_by.append((tok[1:], True))
+                    sql = _filter_to_sql(p, meta=q.meta_vars)
+                    q.order_by.append((sql, asc, None))
         elif t == "limit":
             q.limit = int(p.next())
         elif t == "offset":
@@ -1243,7 +1326,7 @@ def _parse_query(p: _P, *, subquery: bool = False) -> BGPQuery:
         else:
             raise ValueError(f"BGP: unsupported solution modifier {t!r}")
     for b in q.branches:
-        if not b.patterns and not b.graphs and not b.subqueries:
+        if not (b.patterns or b.graphs or b.subqueries or b.groups):
             raise ValueError("BGP: empty graph pattern")
     if q.aggregates or q.group_by:
         agg_aliases = {a for *_, a in q.aggregates}
@@ -1718,6 +1801,18 @@ def _exec_branch(
         svars = {c for c in sdf.columns if not c.startswith("__")}
         units.append((sdf.select(*sorted(svars)), svars))
         maybe_null |= svars
+    for gq in b.groups:
+        # nested group graph pattern (or in-group UNION chain): SPARQL
+        # evaluates groups bottom-up and joins on shared variables —
+        # exactly the subquery shape, with SELECT-* projection (plus
+        # any term-metadata companions the enclosing plan requested).
+        # UNION alternatives may leave variables null-filled, so every
+        # group variable is conservatively maybe-null for the negation
+        # joins.
+        gdf = _run_query(triples, named, gq, keep_meta=want_meta)
+        gvars = {c for c in gdf.columns if not c.startswith("__")}
+        units.append((gdf, gvars))
+        maybe_null |= gvars
     acc, bound = units[0]
     for nxt, nvars in units[1:]:
         dup_meta = [
@@ -1762,6 +1857,29 @@ def _exec_branch(
         ]
         if dup_meta:
             odf = odf.drop(*dup_meta)
+        shared = sorted(bound & ovars)
+        if not shared:
+            raise ValueError(
+                "BGP: OPTIONAL group shares no variable with the required patterns"
+            )
+        acc = acc.join(odf, on=shared, how="left")
+        maybe_null |= ovars - bound
+        bound |= ovars
+    for oq in b.optional_subs:
+        # OPTIONAL with full group semantics (BIND/VALUES/UNION/nested
+        # OPTIONAL/...): the group is an independent SELECT-* sub-plan
+        # over the same dataset, LEFT-joined on the shared variables —
+        # the group's own filters/binds apply INSIDE it, so a failing
+        # group leaves the outer solution intact with unbound vars.
+        odf = _run_query(triples, named, oq, keep_meta=want_meta)
+        dup_meta = [
+            c
+            for c in odf.columns
+            if c.startswith(("__m_", "__t_")) and c in acc.columns
+        ]
+        if dup_meta:
+            odf = odf.drop(*dup_meta)
+        ovars = {c for c in odf.columns if not c.startswith("__")}
         shared = sorted(bound & ovars)
         if not shared:
             raise ValueError(
@@ -1985,11 +2103,16 @@ def _run_query(
     named: DataFrame | None,
     q: BGPQuery,
     typed: bool = False,
+    keep_meta: frozenset[str] = frozenset(),
 ) -> DataFrame:
     """Execute a parsed query over an already-constructed dataset
     (``triples`` = default-graph view, ``named`` = named-graph view).
-    Also the evaluation entry for ``{ SELECT ... }`` subqueries, which
-    share the enclosing query's dataset."""
+    Also the evaluation entry for ``{ SELECT ... }`` subqueries and
+    internal nested-group/OPTIONAL sub-plans, which share the
+    enclosing query's dataset. ``keep_meta``: variables whose ``__m_*``
+    term-metadata companions the ENCLOSING query needs (CONSTRUCT
+    template objects, outer meta filters) — requested at this plan's
+    pattern scans and preserved through the SELECT-* projection."""
     if q.form == "describe" and not q.branches:
         # constants-only DESCRIBE: a plain IN filter on the subject —
         # pushdown-eligible, no join at all
@@ -2000,7 +2123,7 @@ def _run_query(
         for pat in (q.template or [])
         for t in (pat[2],)
         if t.kind == "var"
-    ) | frozenset(q.meta_vars)
+    ) | frozenset(q.meta_vars) | keep_meta
     # typed-numeric ordering: only the variables ORDER BY / MIN / MAX
     # actually compare need the `__t_` double companion from the
     # pattern scan (DISTINCT projects companions away — lexical
@@ -2008,7 +2131,7 @@ def _run_query(
     want_typed: frozenset[str] = frozenset()
     if typed:
         want_typed = frozenset(
-            v for v, _ in q.order_by if not q.distinct
+            var for *_, var in q.order_by if var and not q.distinct
         ) | frozenset(
             var
             for func, var, *_ in q.aggregates
@@ -2147,48 +2270,60 @@ def _run_query(
             raise ValueError(f"BGP: SELECT expression would rebind ?{var}")
         acc = acc.withColumn(var, F.expr(sql))
         bound.add(var)
-    def _typed_sort_cols(frame: DataFrame) -> list:
-        # numeric value first (nulls — non-numeric bindings — last),
-        # lexical form as the deterministic tie-break
+    def _sort_cols(frame: DataFrame) -> list:
+        # var keys in typed mode get the numeric companion first (nulls
+        # — non-numeric bindings — last) with the lexical form as the
+        # deterministic tie-break; expression keys (and var keys in
+        # lexical mode) sort on the expression alone
         cols = []
-        for v, asc in q.order_by:
-            tcol = f"__t_{v}"
-            n = (
-                F.col(tcol)
-                if tcol in frame.columns
-                else F.col(v).try_cast("double")
-            )
-            cols.append(n.asc_nulls_last() if asc else n.desc_nulls_last())
-            cols.append(F.col(v).asc() if asc else F.col(v).desc())
+        for sql, asc, var in q.order_by:
+            if typed and var is not None:
+                tcol = f"__t_{var}"
+                n = (
+                    F.col(tcol)
+                    if tcol in frame.columns
+                    else F.col(var).try_cast("double")
+                )
+                cols.append(n.asc_nulls_last() if asc else n.desc_nulls_last())
+                cols.append(F.col(var).asc() if asc else F.col(var).desc())
+            else:
+                e = F.expr(sql)
+                cols.append(e.asc() if asc else e.desc())
         return cols
 
-    if typed and q.order_by and not q.distinct:
+    if q.order_by and not q.distinct:
         # SPARQL orders BEFORE projection; sorting here keeps the
-        # datatype companions in scope (the projection below is a
-        # narrow map over the sorted frame — Catalyst compiles
+        # term-metadata/datatype companions in scope for expression
+        # keys and typed var keys (the projection below is a narrow
+        # map over the sorted frame — Catalyst compiles
         # sort+project+limit to TakeOrderedAndProject)
-        acc = acc.orderBy(*_typed_sort_cols(acc))
+        for sql, _, var in q.order_by:
+            if var is None:
+                _raise_if_missing_meta(sql, set(acc.columns), "ORDER BY")
+        acc = acc.orderBy(*_sort_cols(acc))
     if q.select:
         missing_sel = [v for v in q.select if v not in bound]
         if missing_sel:
             raise ValueError(f"BGP: SELECT variables not bound: {missing_sel}")
         acc = acc.select(*q.select)
+    elif keep_meta:
+        # internal SELECT-* sub-plan: ride the requested companions
+        # out so the enclosing plan (CONSTRUCT emission, outer meta
+        # expressions) still sees the RDF term metadata
+        metas = [c for c in acc.columns if c.startswith(("__m_", "__t_"))]
+        acc = acc.select(*sorted(bound), *metas)
     else:
         acc = acc.select(*sorted(bound))
     if q.distinct:
         acc = acc.distinct()
-    if q.order_by:
-        if typed and not q.distinct:
-            pass  # already ordered pre-projection with the companions
-        elif typed:
-            acc = acc.orderBy(*_typed_sort_cols(acc))
-        else:
-            acc = acc.orderBy(
-                *(
-                    F.col(v).asc() if asc else F.col(v).desc()
-                    for v, asc in q.order_by
-                )
-            )
+        if q.order_by:
+            # DISTINCT projects the companions away — keys must be
+            # expressible over the projected variables (typed var keys
+            # fall back to the lexical try-cast inside _sort_cols)
+            for sql, _, var in q.order_by:
+                if var is None:
+                    _raise_if_missing_meta(sql, set(acc.columns), "ORDER BY")
+            acc = acc.orderBy(*_sort_cols(acc))
     if q.offset is not None:
         # SPARQL slice: skip OFFSET rows, then take LIMIT
         acc = acc.offset(q.offset)

@@ -143,8 +143,9 @@ def _parse_template(p: _P, ctx: str) -> list[Pattern]:
     b = Branch()
     _parse_group(p, b)
     if (
-        b.filters or b.optionals or b.binds or b.values or b.exists
-        or b.minus or b.graphs
+        b.filters or b.optionals or b.optional_subs or b.binds
+        or b.values or b.exists or b.minus or b.graphs
+        or b.subqueries or b.groups
     ):
         raise ValueError(
             f"UPDATE: {ctx} template must be plain triples "
@@ -229,7 +230,8 @@ def parse_update(text: str) -> list[UpdateOp]:
             p.expect("{")
             b = Branch()
             _parse_group(p, b)
-            if b.filters or b.optionals or b.binds or b.values or b.exists or b.minus:
+            if (b.filters or b.optionals or b.optional_subs or b.binds
+                    or b.values or b.exists or b.minus or b.subqueries or b.groups):
                 raise ValueError("UPDATE: DATA block must be plain triples")
             rows = _ground_rows(b.patterns, tok.upper())
             # GRAPH <g> { ... } sub-blocks: ground rows labeled with g

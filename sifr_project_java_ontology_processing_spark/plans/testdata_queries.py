@@ -5330,3 +5330,109 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx = _ivf_fixture()
     emb = _t(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, fx["centroids"], threshold=0.3)
+
+
+# ===========================================================================
+# Round 5 (cont.): nested groups, complex OPTIONAL, ORDER BY expressions
+# ===========================================================================
+
+
+@register(
+    "sparql_nested_union",
+    """
+    WITH nat AS (
+      SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS n, n_name, n_regionkey
+      FROM nation
+    ),
+    u AS (
+      SELECT n, r_name AS v
+      FROM nat JOIN region ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT n, n_name FROM nat
+    )
+    SELECT n, v FROM u ORDER BY n, v
+    """,
+)
+def q_sparql_nested_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION nested INSIDE a group, joined with a sibling pattern —
+    the shape SPARQL group semantics require and a top-level-only
+    UNION cannot express (plans/bgp.py::_parse_group_union). The
+    union sub-plan evaluates bottom-up (branch vars align
+    null-filled: the first alternative binds ?r, the second does
+    not) and joins the enclosing ?n a ex:Nation scan on the shared
+    variable. The oracle replays it as a relational UNION ALL
+    joined to the typed-node set."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """SELECT ?n ?v WHERE {
+             ?n a <http://ex/Nation> .
+             { ?n <http://ex/within> ?r . ?r <http://ex/label> ?v . }
+             UNION
+             { ?n <http://ex/name> ?v . }
+           } ORDER BY ?n ?v""",
+    )
+
+
+@register(
+    "sparql_optional_bind",
+    """
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS n,
+           CASE WHEN n_nationkey > 0
+                THEN UPPER('n:' || CAST(n_nationkey - 1 AS VARCHAR)) END AS pu,
+           CASE WHEN n_nationkey > 1
+                THEN 'n:' || CAST(n_nationkey - 2 AS VARCHAR) END AS pp
+    FROM nation ORDER BY n
+    """,
+)
+def q_sparql_optional_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL with full group semantics (plans/bgp.py
+    ``optional_subs``): the group carries a BIND and a nested
+    OPTIONAL, so it compiles to an independent SELECT-* sub-plan
+    LEFT-joined on ?n — the group's bind/inner-join apply inside it,
+    a failing group leaves the outer row with unbound vars. n:0 has
+    no prev (whole group unbound); n:1's prev n:0 has no prev of its
+    own (?pu bound, ?pp unbound) — both null shapes replayed by the
+    oracle's CASE arms."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """SELECT ?n ?pu ?pp WHERE {
+             ?n <http://ex/name> ?nm .
+             OPTIONAL {
+               ?n <http://ex/prev> ?p .
+               BIND(UCASE(?p) AS ?pu)
+               OPTIONAL { ?p <http://ex/prev> ?pp . }
+             }
+           } ORDER BY ?n""",
+    )
+
+
+@register(
+    "sparql_order_expr",
+    """
+    SELECT n_name AS nm
+    FROM nation
+    ORDER BY LENGTH(n_name) DESC, n_name
+    LIMIT 10
+    """,
+)
+def q_sparql_order_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY expression keys (plans/bgp.py): DESC(STRLEN(?nm))
+    with the plain-var tie-break making the order total, sliced by
+    LIMIT so the ordering is semantically visible to the
+    order-insensitive hash compare (a wrong sort picks a different
+    top-10). Expression keys sort pre-projection inside the same
+    Catalyst TakeOrderedAndProject as var keys."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """SELECT ?nm WHERE { ?n <http://ex/name> ?nm . }
+           ORDER BY DESC(STRLEN(?nm)) ?nm LIMIT 10""",
+    )

@@ -103,7 +103,7 @@ def test_parse_basic_patterns_and_modifiers():
         """
     )
     assert q.select == ["s", "o"]
-    assert q.distinct and q.limit == 7 and q.order_by == [("s", True)]
+    assert q.distinct and q.limit == 7 and q.order_by == [("`s`", True, "s")]
     assert len(q.patterns) == 2
     s0, p0, o0 = q.patterns[0]
     assert s0 == Term("var", "s")
@@ -319,7 +319,9 @@ def test_bgp_union_branches_null_fill(tiny_triples):
 
 
 def test_bgp_optional_errors():
-    with pytest.raises(ValueError, match="nested OPTIONAL"):
+    with pytest.raises(ValueError, match="required pattern"):
+        # an OPTIONAL whose body is ONLY another OPTIONAL has no
+        # required unit to left-join against
         parse_sparql(
             "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { OPTIONAL { ?s <q> ?x . } } }"
         )
@@ -1694,3 +1696,201 @@ def test_compat_negation_join_vs_bruteforce(spark):
             ).collect()
         )
         assert got == brute(mode), mode
+
+
+# ---------------------------------------------------------------------------
+# round 5: nested groups, complex OPTIONAL, ORDER BY expressions
+# ---------------------------------------------------------------------------
+
+
+def test_nested_union_joins_outer_pattern(tiny_triples):
+    # UNION chain INSIDE a group, joined with a sibling pattern — the
+    # shape the top-level-only UNION special case could not express
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n ?v WHERE {
+          ?n a skos:Concept .
+          { ?n skos:prefLabel ?v . } UNION { ?n <http://ex/region> ?v . }
+        } ORDER BY ?n ?v
+        """,
+    ).collect()
+    got = [(r["n"], r["v"]) for r in out]
+    # n3 is a Concept but has neither label nor region: no row (join)
+    assert got == [
+        ("n1", "alpha"), ("n1", "r1"),
+        ("n2", "beta"), ("n2", "r2"),
+    ]
+
+
+def test_nested_group_plain_join(tiny_triples):
+    # a bare nested group joins on shared variables (bottom-up groups)
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n ?rl WHERE {
+          ?n <http://ex/region> ?r .
+          { ?r skos:prefLabel ?rl . FILTER(regex(?rl, "^w")) }
+        }
+        """,
+    ).collect()
+    assert [(r["n"], r["rl"]) for r in out] == [("n1", "west")]
+
+
+def test_nested_group_filter_is_group_scoped(tiny_triples):
+    # FILTER inside a nested group sees only that group's bindings —
+    # referencing an outer-only variable must fail loudly (unresolved
+    # column at the sub-plan), not silently bind the outer value
+    with pytest.raises(Exception, match="o"):
+        execute_bgp(
+            tiny_triples,
+            """
+            SELECT ?s WHERE {
+              ?s <http://ex/region> ?o .
+              { ?s a ?x . FILTER(STRLEN(?o) > 1) }
+            }
+            """,
+        ).collect()
+
+
+def test_optional_with_bind_inside(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n ?ul WHERE {
+          ?n a skos:Concept .
+          OPTIONAL { ?n skos:prefLabel ?l . BIND(UCASE(?l) AS ?ul) }
+        } ORDER BY ?n ?ul
+        """,
+    ).collect()
+    got = [(r["n"], r["ul"]) for r in out]
+    assert got == [("n1", "ALPHA"), ("n2", "BETA"), ("n3", None)]
+
+
+def test_nested_optional_two_levels(tiny_triples):
+    # OPTIONAL { a OPTIONAL { b } }: inner optional scoped inside the
+    # outer group — n1's region r1 has a label, n2's r2 has two, n3 has
+    # no region at all (outer group fails entirely)
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n ?r ?rl WHERE {
+          ?n a skos:Concept .
+          OPTIONAL {
+            ?n <http://ex/region> ?r .
+            OPTIONAL { ?r skos:prefLabel ?rl . FILTER(lang(?rl) = "en") }
+          }
+        } ORDER BY ?n ?rl
+        """,
+    ).collect()
+    got = [(r["n"], r["r"], r["rl"]) for r in out]
+    assert got == [
+        ("n1", "r1", "west"),
+        ("n2", "r2", "east"),
+        ("n3", None, None),
+    ]
+
+
+def test_optional_with_union_inside(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n ?v WHERE {
+          ?n a skos:Concept .
+          OPTIONAL {
+            { ?n skos:prefLabel ?v . } UNION { ?n <http://ex/region> ?v . }
+          }
+        } ORDER BY ?n ?v
+        """,
+    ).collect()
+    got = [(r["n"], r["v"]) for r in out]
+    assert got == [
+        ("n1", "alpha"), ("n1", "r1"),
+        ("n2", "beta"), ("n2", "r2"),
+        ("n3", None),
+    ]
+
+
+def test_empty_nested_group_raises():
+    with pytest.raises(ValueError, match="empty nested group"):
+        parse_sparql("SELECT ?s WHERE { ?s <p> ?o . { } }")
+
+
+def test_order_by_expression_desc_strlen(tiny_triples):
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?l WHERE { ?s skos:prefLabel ?l . }
+        ORDER BY DESC(STRLEN(?l)) ?l
+        """,
+    ).collect()
+    assert [r["l"] for r in out] == ["alpha", "beta", "east", "west", "est"]
+
+
+def test_order_by_bare_expression_and_var_mix(tiny_triples):
+    # bare ( expr ) ordering condition mixed with a plain var
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n ?l WHERE { ?n skos:prefLabel ?l . }
+        ORDER BY (STRLEN(?l)) DESC(?n) ?l
+        """,
+    ).collect()
+    got = [(r["n"], r["l"]) for r in out]
+    assert got == [
+        ("r2", "est"),
+        ("r2", "east"), ("r1", "west"), ("n2", "beta"),
+        ("n1", "alpha"),
+    ]
+
+
+def test_order_by_asc_var_still_parses():
+    q = parse_sparql("SELECT ?s WHERE { ?s <p> ?o . } ORDER BY DESC(?s) ?o")
+    assert q.order_by == [("`s`", False, "s"), ("`o`", True, "o")]
+
+
+def test_union_chain_followed_by_more_patterns(tiny_triples):
+    # {A} UNION {B} . more — the chain demotes to a nested-group
+    # sub-plan joined with the remainder of the WHERE group
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        SELECT ?n ?v ?r WHERE {
+          { ?n skos:prefLabel ?v . } UNION { ?n a skos:Concept . BIND("t" AS ?v) }
+          ?n <http://ex/region> ?r .
+        } ORDER BY ?n ?v
+        """,
+    ).collect()
+    got = [(r["n"], r["v"], r["r"]) for r in out]
+    assert got == [
+        ("n1", "alpha", "r1"), ("n1", "t", "r1"),
+        ("n2", "beta", "r2"), ("n2", "t", "r2"),
+    ]
+
+
+def test_construct_over_nested_group_keeps_term_metadata(tiny_triples):
+    # a template object var bound INSIDE a nested group must keep its
+    # literal flag + lang tag through the sub-plan boundary
+    out = execute_bgp(
+        tiny_triples,
+        """
+        PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+        CONSTRUCT { ?n <http://out/lbl> ?v . }
+        WHERE {
+          ?n a skos:Concept .
+          { ?n skos:prefLabel ?v . } UNION { ?n <http://ex/region> ?v . }
+        }
+        """,
+    ).collect()
+    rows = {(r["subj"], r["obj"], r["obj_lang"], r["obj_is_literal"]) for r in out}
+    assert ("n1", "alpha", "en", True) in rows      # literal with lang kept
+    assert ("n1", "r1", None, False) in rows        # IRI object stays IRI
+    assert len(rows) == 4
