@@ -1202,3 +1202,84 @@ def ifp_entity_resolution(
         )
         edges = edges.unionByName(_collision_star_edges(fp_slice, max_group))
     return connected_components(edges)
+
+
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def sameas_mapping(triples: DataFrame) -> DataFrame:
+    """Asserted ``owl:sameAs`` links → canonical-IRI merge map
+    ``(iri, canonical_iri)``: the transitive-symmetric closure of the
+    identity relation collapsed to connected components, canonical =
+    lexicographic min (deterministic), non-canonical members only.
+
+    This is the scalable stance on OWL eq-sym/eq-trans: the closure of
+    a k-member identity clique is O(k²) sameAs pairs, but its component
+    map is k-1 rows — same reasoning as ``ifp_entity_resolution``
+    (reference parity note: the reference's Jena models leave sameAs
+    unexpanded too; OntologyLoader.java loads mappings as plain
+    triples). sameAs with a literal endpoint is ill-typed (identity is
+    between resources) and ignored."""
+    from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    t = triples.select(*_TRIPLE_COLS)
+    pairs = t.where(
+        (F.col("pred") == OWL_SAMEAS)
+        & ~F.col("obj_is_literal")
+        & (F.col("subj") != F.col("obj"))
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return connected_components(pairs)
+
+
+def sameas_consolidate(
+    triples: DataFrame,
+    *,
+    rewrite_predicates: bool = True,
+    dedup: bool = True,
+) -> DataFrame:
+    """Consolidate a graph by its asserted ``owl:sameAs`` links — the
+    OWL RL eq-rep-s / eq-rep-p / eq-rep-o replacement rules applied as
+    ONE canonical rewrite instead of materializing every replacement
+    variant: each subject/object (and, with ``rewrite_predicates``,
+    each predicate — eq-rep-p) maps to its identity-component
+    canonical; the quadratic eq-sym/eq-trans closure never exists.
+    Equivalent data: a query against the consolidated graph under
+    canonical IRIs sees every fact the replacement rules would entail,
+    without the |component|× blow-up per fact.
+
+    The sameAs triples themselves are dropped: every identity link
+    joins two nodes of ONE component, so the rewrite would collapse
+    each to a self-loop by construction — the identity information
+    lives in the merge map instead (recover it with
+    ``sameas_mapping``).
+
+    Scale shape: component map is a broadcast dimension
+    (``connected_components`` hybrid); the rewrite is
+    ``apply_canonical_map``'s two broadcast left joins (+ one more for
+    predicates, pred-position rewrites being rare but required by
+    eq-rep-p); one full-width exchange only for the final set-semantics
+    dedup (merging collapses rows), skippable with ``dedup=False``."""
+    from sifr_project_java_ontology_processing_spark.operators.canonicalize import (
+        apply_canonical_map,
+    )
+
+    t = triples.select(*_TRIPLE_COLS)
+    mapping = sameas_mapping(t)
+    base = t.where(F.col("pred") != OWL_SAMEAS)
+    out = apply_canonical_map(base, mapping, dedup=False)
+    if rewrite_predicates:
+        m = F.broadcast(
+            mapping.select(
+                F.col("iri").alias("pred"), F.col("canonical_iri").alias("_cp")
+            )
+        )
+        out = out.join(m, "pred", "left").select(
+            "subj",
+            F.coalesce("_cp", "pred").alias("pred"),
+            "obj",
+            "obj_lang",
+            "obj_is_literal",
+        )
+    return out.distinct() if dedup else out

@@ -5436,3 +5436,81 @@ def q_sparql_order_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SELECT ?nm WHERE { ?n <http://ex/name> ?nm . }
            ORDER BY DESC(STRLEN(?nm)) ?nm LIMIT 10""",
     )
+
+
+@register(
+    "owl_sameas_consolidation",
+    """
+    WITH nat AS (SELECT n_nationkey AS k, n_name FROM nation)
+    SELECT DISTINCT * FROM (
+      SELECT 'm:' || CAST(k AS VARCHAR) AS subj,
+             'http://ex/name' AS pred, n_name AS obj,
+             CAST(NULL AS VARCHAR) AS obj_lang, TRUE AS obj_is_literal
+      FROM nat
+      UNION ALL
+      SELECT 'm:' || CAST(k AS VARCHAR), 'http://ex/tag',
+             't:' || CAST(k % 5 AS VARCHAR), NULL, TRUE
+      FROM nat
+      UNION ALL
+      SELECT 's:' || CAST(k AS VARCHAR), 'http://ex/name', n_name, NULL, TRUE
+      FROM nat WHERE k < 5
+    )
+    """,
+)
+def q_owl_sameas_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs consolidation (inference.sameas_consolidate — OWL RL
+    eq-rep-s/p/o as ONE canonical rewrite, never the quadratic
+    eq-sym/eq-trans closure): 3-member identity chains m:k↔n:k↔o:k
+    collapse onto the lexicographic-min canonical m:k, facts asserted
+    on different members of one component (the n:k and o:k tag rows)
+    merge to a single set row, a predicate-position identity
+    (ex:name2 sameAs ex:name) rewrites the s:k facts' predicate
+    (eq-rep-p), and the sameAs links themselves drop (each collapses
+    to a self-loop by construction). The oracle replays the statically
+    known canonicals and the set-dedup relationally."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_SAMEAS,
+        sameas_consolidate,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+
+    def trip(subj, pred, obj, lit: bool):
+        return F.struct(
+            subj.alias("subj"),
+            pred.alias("pred") if not isinstance(pred, str) else F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(lit).alias("obj_is_literal"),
+        )
+
+    m_iri = F.concat(F.lit("m:"), k)
+    n_iri = F.concat(F.lit("n:"), k)
+    o_iri = F.concat(F.lit("o:"), k)
+    tag = F.concat(F.lit("t:"), (F.col("n_nationkey") % 5).cast("string"))
+    per_nation = n.select(
+        F.explode(
+            F.array(
+                trip(m_iri, OWL_SAMEAS, n_iri, False),
+                trip(n_iri, OWL_SAMEAS, o_iri, False),
+                trip(n_iri, "http://ex/name", F.col("n_name"), True),
+                # the same tag fact asserted on TWO members of the
+                # component — must collapse to one row after the merge
+                trip(n_iri, "http://ex/tag", tag, True),
+                trip(o_iri, "http://ex/tag", tag, True),
+            )
+        ).alias("t")
+    ).select("t.*")
+    pred_facts = n.where(F.col("n_nationkey") < 5).select(
+        trip(
+            F.concat(F.lit("s:"), k), "http://ex/name2", F.col("n_name"), True
+        ).alias("t")
+    ).select("t.*")
+    pred_identity = spark.createDataFrame(
+        [("http://ex/name2", OWL_SAMEAS, "http://ex/name", None, False)],
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean",
+    )
+    triples = per_nation.unionByName(pred_facts).unionByName(pred_identity)
+    return sameas_consolidate(triples)

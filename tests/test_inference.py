@@ -815,3 +815,70 @@ def test_rdfs_plus_delta_idempotent_on_duplicate_delta(spark):
         for r in rdfs_plus_entail_delta(full_df, _triples(spark, delta)).collect()
     }
     assert again == full
+
+
+# ---------------------------------------------------------------------------
+# round 5: owl:sameAs consolidation
+# ---------------------------------------------------------------------------
+
+
+def test_sameas_consolidation_chain_predicates_and_literals(spark):
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_SAMEAS,
+        sameas_consolidate,
+        sameas_mapping,
+    )
+
+    sch = (
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean"
+    )
+    t = spark.createDataFrame(
+        [
+            ("a", OWL_SAMEAS, "b", None, False),
+            ("b", OWL_SAMEAS, "c", None, False),  # chain → {a,b,c}, canon a
+            ("c", "p", "x", None, False),
+            ("x", "q", "b", None, False),
+            ("z", OWL_SAMEAS, "lit", None, True),  # literal endpoint: ignored
+            ("z", "p", "z", None, False),  # asserted self-loop survives
+            ("p1", OWL_SAMEAS, "p2", None, False),  # predicate identity
+            ("s", "p2", "o", None, False),  # eq-rep-p rewrite → p1
+        ],
+        sch,
+    )
+    m = {r["iri"]: r["canonical_iri"] for r in sameas_mapping(t).collect()}
+    assert m == {"b": "a", "c": "a", "p2": "p1"}
+    out = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in sameas_consolidate(t).collect()
+    }
+    assert out == {
+        ("a", "p", "x"),
+        ("x", "q", "a"),
+        ("z", "p", "z"),
+        ("s", "p1", "o"),
+    }
+
+
+def test_sameas_consolidation_collapses_duplicates_once(spark):
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_SAMEAS,
+        sameas_consolidate,
+    )
+
+    sch = (
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean"
+    )
+    t = spark.createDataFrame(
+        [
+            ("a", OWL_SAMEAS, "b", None, False),
+            ("a", "p", "v", None, True),
+            ("b", "p", "v", None, True),  # merges onto the same row
+        ],
+        sch,
+    )
+    rows = sameas_consolidate(t).collect()
+    assert [(r["subj"], r["pred"], r["obj"]) for r in rows] == [("a", "p", "v")]
+    # dedup=False keeps both (caller owns the downstream distinct)
+    assert sameas_consolidate(t, dedup=False).count() == 2
