@@ -1268,7 +1268,13 @@ def sameas_consolidate(
     t = triples.select(*_TRIPLE_COLS)
     mapping = sameas_mapping(t)
     base = t.where(F.col("pred") != OWL_SAMEAS)
-    out = apply_canonical_map(base, mapping, dedup=False)
+    # drop_self_loops=False: a non-sameAs fact BETWEEN two merged
+    # entities ((a, knows, b) with a sameAs b) collapses to
+    # (a, knows, a) — that self-loop IS the eq-rep entailment and must
+    # survive (unlike kg_pipeline's merge loops, which are noise)
+    out = apply_canonical_map(
+        base, mapping, dedup=False, drop_self_loops=False
+    )
     if rewrite_predicates:
         m = F.broadcast(
             mapping.select(

@@ -88,15 +88,24 @@ def train_word_lm(
     corpus: DataFrame, text_col: str = "text", alpha: float = 0.1
 ) -> WordBigramLM:
     """Count bigram and context frequencies over the reference corpus.
-    Two partial-agg groupBys; the frames are persisted so the two
-    scoring joins and the V count share one tokenization pass."""
+    One persisted tokenization pass feeds the two partial-agg groupBys
+    and the V count; the MODEL frames (the count dimensions — the
+    trained artifact) are then materialized with an eager
+    localCheckpoint and the exploded pairs cache is RELEASED, so
+    training several models (the per-language CCNet shape) never
+    accumulates reference-corpus-sized caches across calls."""
     pairs = corpus.select(
         F.explode(_bigram_pairs(F.col(text_col))).alias("p")
     ).select("p.ctx", "p.tok")
     pairs = pairs.persist()
-    bigrams = pairs.groupBy("ctx", "tok").agg(F.count("*").alias("c"))
-    contexts = pairs.groupBy("ctx").agg(F.count("*").alias("cc"))
+    bigrams = pairs.groupBy("ctx", "tok").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=True)
+    contexts = pairs.groupBy("ctx").agg(
+        F.count("*").alias("cc")
+    ).localCheckpoint(eager=True)
     vocab_size = pairs.select("tok").distinct().count()
+    pairs.unpersist()
     return WordBigramLM(
         bigrams=bigrams, contexts=contexts,
         vocab_size=vocab_size, alpha=alpha,

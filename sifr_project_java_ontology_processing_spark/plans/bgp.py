@@ -38,7 +38,10 @@ independent SELECT-* sub-plans and LEFT-join on the shared
 variables), { group } UNION { group } (at top level AND nested
 inside any group, null-filled variable alignment), nested group
 graph patterns ``{ ... }`` (bottom-up evaluation, joined on shared
-variables like subqueries), ORDER BY keys that are ?vars,
+variables like subqueries — NOTE: these joins compare BOUND values;
+a shared variable left unbound by a union alternative or inner
+OPTIONAL does not match, unlike the spec's unbound-compatible rule,
+which IS implemented for EXISTS/MINUS), ORDER BY keys that are ?vars,
 ASC/DESC(expr), or bare (expr) over the FILTER expression subset,
 and LIMIT n / OFFSET n.
 
@@ -89,7 +92,8 @@ expression subset plus CONCAT/UCASE/LCASE/STRLEN/STRSTARTS/
 STRENDS/CONTAINS/SUBSTR/REPLACE/BOUND, STRBEFORE/STRAFTER
 (first-occurrence split, '' when absent), the numeric builtins
 ABS/CEIL/FLOOR/ROUND (try_cast — a non-numeric lexical form is a
-SPARQL type error -> NULL), and ``langMatches(lang(?v), "range")``
+SPARQL type error -> NULL; ROUND ties go toward +inf per fn:round,
+via floor(x+0.5)), and ``langMatches(lang(?v), "range")``
 (RFC 4647 basic filtering: '*' = any non-empty tag, else
 case-insensitive exact or '-'-extended prefix).
 
@@ -204,6 +208,13 @@ class Branch:
     # LEFT-joined on the shared variables. Plain pattern+FILTER
     # OPTIONALs stay on the flat ``optionals`` fast path.
     optional_subs: list[BGPQuery] = field(default_factory=list)
+    # textual order of the OPTIONAL groups — ("flat", i) indexes
+    # ``optionals``, ("sub", i) indexes ``optional_subs``. SPARQL
+    # left-joins OPTIONALs strictly left-to-right; a later group must
+    # see (and agree with) bindings the earlier ones introduced.
+    # Empty/incomplete (programmatically built Branch): flats first,
+    # then subs.
+    optional_order: list[tuple[str, int]] = field(default_factory=list)
 
 
 @dataclass
@@ -510,8 +521,11 @@ def _filter_to_sql(
             # SPARQL numeric builtins: a non-numeric lexical form is a
             # type error -> try_cast yields NULL and the enclosing
             # comparison/BIND leaves the row filtered/unbound (same
-            # TRY_CAST replay as the comparison rewrite). ROUND is
-            # half-away-from-zero in both Spark and DuckDB.
+            # TRY_CAST replay as the comparison rewrite). ROUND follows
+            # fn:round — ties round toward POSITIVE INFINITY
+            # (round(-2.5) = -2), which is floor(x + 0.5); Spark's and
+            # DuckDB's native round() are half-away-from-zero and would
+            # both deviate from the spec on negative halves.
             fn = t.lower()
             p.expect("(")
             v = p.term()
@@ -519,7 +533,12 @@ def _filter_to_sql(
             arg = (
                 f"`{v.value}`" if v.kind == "var" else _sql_str(v.value)
             )
-            out.append(f"{fn}(try_cast({arg} AS DOUBLE))")
+            if fn == "round":
+                out.append(
+                    f"CAST(floor(try_cast({arg} AS DOUBLE) + 0.5d) AS DOUBLE)"
+                )
+            else:
+                out.append(f"{fn}(try_cast({arg} AS DOUBLE))")
         elif t.lower() in ("strbefore", "strafter"):
             # SPARQL 17.4.3.4/5: the part of ?s before/after the FIRST
             # occurrence of the needle; '' when absent. An empty
@@ -1026,6 +1045,9 @@ def _parse_group(p: _P, branch: Branch) -> None:
             ):
                 # full group semantics: evaluate as an independent
                 # SELECT-* sub-plan, LEFT-join on shared variables
+                branch.optional_order.append(
+                    ("sub", len(branch.optional_subs))
+                )
                 branch.optional_subs.append(
                     BGPQuery(form="select", select=[], branches=[ob])
                 )
@@ -1033,6 +1055,9 @@ def _parse_group(p: _P, branch: Branch) -> None:
                 # plain pattern+FILTER group: flat fast path (the
                 # common shape — no sub-plan, filters applied before
                 # the left join)
+                branch.optional_order.append(
+                    ("flat", len(branch.optionals))
+                )
                 branch.optionals.append(ob.patterns)
                 branch.optional_filters.append(ob.filters)
             if p.peek() == ".":
@@ -1691,6 +1716,14 @@ def _compat_negation_join(
       variable bound in both mappings means no removal); else
       left-anti on B.
     """
+    # every mask subset re-filters ``acc`` and re-joins ``idf`` with a
+    # DIFFERENT filter/key set, so the exchanges are not identical and
+    # ReuseExchange cannot dedup them (verified: 0 ReusedExchange in
+    # the split plan) — without pinning, the full upstream join tree
+    # would re-execute once per subset (2^k times). One lazy
+    # localCheckpoint each materializes them exactly once on first use.
+    acc = acc.localCheckpoint(eager=False)
+    idf = idf.localCheckpoint(eager=False)
     solid = [v for v in shared if v not in nullable]
     parts: list[DataFrame] = []
     for mask in range(1 << len(nullable)):
@@ -1823,13 +1856,46 @@ def _exec_branch(
         shared = sorted(bound & nvars)
         acc = acc.join(nxt, on=shared, how="inner") if shared else acc.crossJoin(nxt)
         bound |= nvars
-    from itertools import zip_longest
-
-    # zip_longest: a programmatically-built Branch may carry fewer
-    # filter lists than OPTIONAL groups — never silently drop a group
-    for opt, ofilters in zip_longest(
-        b.optionals, b.optional_filters[: len(b.optionals)], fillvalue=[]
-    ):
+    # OPTIONAL groups left-join strictly in TEXT order (SPARQL: a later
+    # group sees bindings the earlier ones introduced); optional_order
+    # interleaves the flat and sub-plan kinds. A programmatically-built
+    # Branch without a (complete) order record falls back to flats
+    # first, then subs — and never silently drops a group.
+    opt_order = list(b.optional_order)
+    if len(opt_order) != len(b.optionals) + len(b.optional_subs):
+        opt_order = [("flat", i) for i in range(len(b.optionals))] + [
+            ("sub", i) for i in range(len(b.optional_subs))
+        ]
+    for kind, oi in opt_order:
+        if kind == "sub":
+            # OPTIONAL with full group semantics (BIND/VALUES/UNION/
+            # nested OPTIONAL/...): the group is an independent
+            # SELECT-* sub-plan over the same dataset, LEFT-joined on
+            # the shared variables — the group's own filters/binds
+            # apply INSIDE it, so a failing group leaves the outer
+            # solution intact with unbound vars.
+            odf = _run_query(triples, named, b.optional_subs[oi], keep_meta=want_meta)
+            dup_meta = [
+                c
+                for c in odf.columns
+                if c.startswith(("__m_", "__t_")) and c in acc.columns
+            ]
+            if dup_meta:
+                odf = odf.drop(*dup_meta)
+            ovars = {c for c in odf.columns if not c.startswith("__")}
+            shared = sorted(bound & ovars)
+            if not shared:
+                raise ValueError(
+                    "BGP: OPTIONAL group shares no variable with the required patterns"
+                )
+            acc = acc.join(odf, on=shared, how="left")
+            maybe_null |= ovars - bound
+            bound |= ovars
+            continue
+        opt = b.optionals[oi]
+        ofilters = (
+            b.optional_filters[oi] if oi < len(b.optional_filters) else []
+        )
         odf, ovars = _join_patterns(
             triples, opt, want_meta, want_typed=want_typed
         )
@@ -1857,29 +1923,6 @@ def _exec_branch(
         ]
         if dup_meta:
             odf = odf.drop(*dup_meta)
-        shared = sorted(bound & ovars)
-        if not shared:
-            raise ValueError(
-                "BGP: OPTIONAL group shares no variable with the required patterns"
-            )
-        acc = acc.join(odf, on=shared, how="left")
-        maybe_null |= ovars - bound
-        bound |= ovars
-    for oq in b.optional_subs:
-        # OPTIONAL with full group semantics (BIND/VALUES/UNION/nested
-        # OPTIONAL/...): the group is an independent SELECT-* sub-plan
-        # over the same dataset, LEFT-joined on the shared variables —
-        # the group's own filters/binds apply INSIDE it, so a failing
-        # group leaves the outer solution intact with unbound vars.
-        odf = _run_query(triples, named, oq, keep_meta=want_meta)
-        dup_meta = [
-            c
-            for c in odf.columns
-            if c.startswith(("__m_", "__t_")) and c in acc.columns
-        ]
-        if dup_meta:
-            odf = odf.drop(*dup_meta)
-        ovars = {c for c in odf.columns if not c.startswith("__")}
         shared = sorted(bound & ovars)
         if not shared:
             raise ValueError(

@@ -5234,7 +5234,7 @@ def q_sparql_term_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS s,
            floor(n_nationkey - 12.5) AS fl,
-           round(n_nationkey - 12.5) AS rd,
+           floor(n_nationkey - 12.5 + 0.5) AS rd,
            abs(n_nationkey - 12.5) AS ab,
            CASE WHEN instr(n_name, 'A') > 0
                 THEN substr(n_name, instr(n_name, 'A') + 1)
@@ -5245,7 +5245,7 @@ def q_sparql_term_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sparql_str_num_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL string/numeric builtins + langMatches (plans/bgp.py
     round 5): scores are half-integer literals straddling zero, so
-    FLOOR/CEIL/ROUND/ABS exercise the away-from-zero .5 rounding and
+    FLOOR/CEIL/ROUND/ABS exercise fn:round's toward-+inf .5 ties and
     the try_cast type-error path, STRAFTER splits the note's lexical
     form on its first 'A', and langMatches(lang(?v), "fr") keeps the
     fr-tagged (even-key) notes. All map-side Catalyst expressions over
@@ -5454,6 +5454,11 @@ def q_sparql_order_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 's:' || CAST(k AS VARCHAR), 'http://ex/name', n_name, NULL, TRUE
       FROM nat WHERE k < 5
+      UNION ALL
+      -- the n:k -> o:k link fact collapses to the entailed self-loop
+      SELECT 'm:' || CAST(k AS VARCHAR), 'http://ex/link',
+             'm:' || CAST(k AS VARCHAR), NULL, FALSE
+      FROM nat WHERE k % 3 = 0
     )
     """,
 )
@@ -5502,6 +5507,11 @@ def q_owl_sameas_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("t")
     ).select("t.*")
+    # a fact BETWEEN two members of one component: survives as the
+    # entailed self-loop (eq-rep), never silently dropped
+    loop_facts = n.where(F.col("n_nationkey") % 3 == 0).select(
+        trip(n_iri, "http://ex/link", o_iri, False).alias("t")
+    ).select("t.*")
     pred_facts = n.where(F.col("n_nationkey") < 5).select(
         trip(
             F.concat(F.lit("s:"), k), "http://ex/name2", F.col("n_name"), True
@@ -5512,5 +5522,9 @@ def q_owl_sameas_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "subj string, pred string, obj string, obj_lang string, "
         "obj_is_literal boolean",
     )
-    triples = per_nation.unionByName(pred_facts).unionByName(pred_identity)
+    triples = (
+        per_nation.unionByName(loop_facts)
+        .unionByName(pred_facts)
+        .unionByName(pred_identity)
+    )
     return sameas_consolidate(triples)

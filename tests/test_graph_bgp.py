@@ -1594,8 +1594,9 @@ def test_numeric_builtins_and_type_errors(spark):
     )
     out = {r.s: (r.r, r.f, r.cl) for r in execute_bgp(t, q).collect()}
     assert out["a"] == (4.0, 3, 4)
-    # ROUND is half-away-from-zero; FLOOR/CEIL toward -inf/+inf
-    assert out["b"] == (-3.0, -3, -2)
+    # fn:round ties go toward +inf (round(-2.5) = -2, NOT Spark's
+    # half-away -3); FLOOR/CEIL toward -inf/+inf
+    assert out["b"] == (-2.0, -3, -2)
     # non-numeric lexical form: SPARQL type error -> unbound
     assert out["c"] == (None, None, None)
     got = sorted(
@@ -1894,3 +1895,33 @@ def test_construct_over_nested_group_keeps_term_metadata(tiny_triples):
     assert ("n1", "alpha", "en", True) in rows      # literal with lang kept
     assert ("n1", "r1", None, False) in rows        # IRI object stays IRI
     assert len(rows) == 4
+
+
+def test_optional_groups_join_in_text_order(spark):
+    # SPARQL left-joins OPTIONALs strictly left-to-right: the first
+    # (full-group, BIND-carrying) OPTIONAL binds ?x, and the second
+    # (flat) OPTIONAL must agree with that binding — running the flat
+    # one first would invert the outcome
+    sch = (
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean"
+    )
+    t = spark.createDataFrame(
+        [
+            ("s1", "http://x/p", "v1", None, True),
+            ("s1", "http://x/q", "w1", None, True),
+            ("s1", "http://x/r", "OTHER", None, True),
+        ],
+        sch,
+    )
+    out = execute_bgp(
+        t,
+        """
+        SELECT ?s ?x WHERE {
+          ?s <http://x/p> ?v .
+          OPTIONAL { ?s <http://x/q> ?w . BIND(CONCAT(?w, "!") AS ?x) }
+          OPTIONAL { ?s <http://x/r> ?x }
+        }
+        """,
+    ).collect()
+    assert [(r["s"], r["x"]) for r in out] == [("s1", "w1!")]

@@ -843,6 +843,9 @@ def test_sameas_consolidation_chain_predicates_and_literals(spark):
             ("z", "p", "z", None, False),  # asserted self-loop survives
             ("p1", OWL_SAMEAS, "p2", None, False),  # predicate identity
             ("s", "p2", "o", None, False),  # eq-rep-p rewrite → p1
+            # a fact BETWEEN two merged entities: must survive as the
+            # entailed self-loop (a knows a), not vanish in the merge
+            ("a", "knows", "b", None, False),
         ],
         sch,
     )
@@ -857,6 +860,7 @@ def test_sameas_consolidation_chain_predicates_and_literals(spark):
         ("x", "q", "a"),
         ("z", "p", "z"),
         ("s", "p1", "o"),
+        ("a", "knows", "a"),
     }
 
 
