@@ -1289,3 +1289,200 @@ def sameas_consolidate(
             "obj_is_literal",
         )
     return out.distinct() if dedup else out
+
+
+OWL_ONPROPERTY = "http://www.w3.org/2002/07/owl#onProperty"
+OWL_HASVALUE = "http://www.w3.org/2002/07/owl#hasValue"
+OWL_SOMEVALUES = "http://www.w3.org/2002/07/owl#someValuesFrom"
+OWL_ALLVALUES = "http://www.w3.org/2002/07/owl#allValuesFrom"
+OWL_THING = "http://www.w3.org/2002/07/owl#Thing"
+
+
+def _row_key() -> F.Column:
+    """Null-safe full-row identity key for triple set differences
+    (plain multi-column anti-joins drop NULL-lang rows: NULL ≠ NULL)."""
+    return F.concat_ws(
+        "\x1f",
+        F.col("subj"),
+        F.col("pred"),
+        F.col("obj"),
+        F.coalesce(F.col("obj_lang"), F.lit("\x00")),
+        F.col("obj_is_literal").cast("string"),
+    )
+
+
+def restrictions_entail(
+    triples: DataFrame, *, max_rounds: int = 10
+) -> DataFrame:
+    """OWL RL restriction-class rules to fixpoint — the class-
+    expression tier above RDFS-Plus (Jena's OWL Micro/Mini reasoners
+    cover these; reference parity: a Jena user loading SIFR ontologies
+    with restriction axioms gets this from OntModelSpec for free):
+
+    * cls-hv1: ``(C hasValue v) (C onProperty P) (x type C) ⇒ x P v``
+    * cls-hv2: ``(C hasValue v) (C onProperty P) (x P v) ⇒ x type C``
+      (full RDF term identity on v — lexical + lang + literal flag)
+    * cls-svf1: ``(C someValuesFrom D) (C onProperty P) (x P y)
+      (y type D) ⇒ x type C``
+    * cls-svf2: D = owl:Thing — ``(x P y) ⇒ x type C``
+    * cls-avf:  ``(C allValuesFrom D) (C onProperty P) (x type C)
+      (x P y) ⇒ y type D`` (y non-literal; typing a literal is not
+      valid RDF)
+
+    Returns input ∪ entailed (idempotent). Rules chain (an avf-derived
+    type can satisfy an svf filler), so they run to fixpoint with a
+    per-round novelty anti-join on the null-safe row key; restriction
+    chains are shallow in practice — ``max_rounds`` raises if not.
+
+    Scale shape: restriction axioms are SCHEMA — the three
+    (class, prop, …) dimensions are broadcast once, eagerly
+    materialized (each is reused every round). hv1/hv2/svf2 are pure
+    broadcast joins against the fact stream (map-side, no exchange).
+    svf1 and avf genuinely correlate TWO instance facts (x P y with
+    y's/x's typing), which no broadcast can avoid — each is ONE
+    equi-join per round, with the type side pre-pruned by a broadcast
+    semi-join against the relevant filler/restriction classes so the
+    exchange carries only candidate rows (types of restriction-
+    relevant classes), never the whole type table."""
+    t = triples.select(*_TRIPLE_COLS)
+
+    onprop = (
+        t.where((F.col("pred") == OWL_ONPROPERTY) & ~F.col("obj_is_literal"))
+        .select(F.col("subj").alias("_c"), F.col("obj").alias("_p"))
+        .distinct()
+    )
+    hv_dim = (
+        t.where(F.col("pred") == OWL_HASVALUE)
+        .select(
+            F.col("subj").alias("_c"),
+            F.col("obj").alias("_v"),
+            F.col("obj_lang").alias("_vl"),
+            F.col("obj_is_literal").alias("_vlit"),
+        )
+        .distinct()
+        .join(onprop, "_c")
+        .localCheckpoint(eager=True)
+    )
+    svf_dim = (
+        t.where((F.col("pred") == OWL_SOMEVALUES) & ~F.col("obj_is_literal"))
+        .select(F.col("subj").alias("_c"), F.col("obj").alias("_d"))
+        .distinct()
+        .join(onprop, "_c")
+        .localCheckpoint(eager=True)
+    )
+    avf_dim = (
+        t.where((F.col("pred") == OWL_ALLVALUES) & ~F.col("obj_is_literal"))
+        .select(F.col("subj").alias("_c"), F.col("obj").alias("_d"))
+        .distinct()
+        .join(onprop, "_c")
+        .localCheckpoint(eager=True)
+    )
+    if hv_dim.isEmpty() and svf_dim.isEmpty() and avf_dim.isEmpty():
+        return t
+
+    def _new_type(subj_col: F.Column, cls_col: F.Column, frame: DataFrame) -> DataFrame:
+        return frame.select(
+            subj_col.alias("subj"),
+            F.lit(RDF_TYPE).alias("pred"),
+            cls_col.alias("obj"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+
+    svf_fillers = F.broadcast(
+        svf_dim.where(F.col("_d") != OWL_THING).select("_d").distinct()
+    )
+    avf_classes = F.broadcast(avf_dim.select("_c").distinct())
+
+    facts = t.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        types = facts.where(
+            (F.col("pred") == RDF_TYPE) & ~F.col("obj_is_literal")
+        )
+        derived: list[DataFrame] = []
+        if not hv_dim.isEmpty():
+            derived.append(
+                types.join(
+                    F.broadcast(hv_dim), types["obj"] == hv_dim["_c"]
+                ).select(
+                    "subj",
+                    F.col("_p").alias("pred"),
+                    F.col("_v").alias("obj"),
+                    F.col("_vl").alias("obj_lang"),
+                    F.col("_vlit").alias("obj_is_literal"),
+                )
+            )
+            hv2 = facts.join(
+                F.broadcast(hv_dim),
+                (facts["pred"] == hv_dim["_p"])
+                & (facts["obj"] == hv_dim["_v"])
+                & (
+                    F.coalesce(facts["obj_lang"], F.lit(""))
+                    == F.coalesce(hv_dim["_vl"], F.lit(""))
+                )
+                & (facts["obj_is_literal"] == hv_dim["_vlit"]),
+            )
+            derived.append(_new_type(facts["subj"], F.col("_c"), hv2))
+        if not svf_dim.isEmpty():
+            # svf2 (owl:Thing filler): no typing needed on y
+            thing = svf_dim.where(F.col("_d") == OWL_THING)
+            if not thing.isEmpty():
+                sv2 = facts.join(
+                    F.broadcast(thing), facts["pred"] == thing["_p"]
+                )
+                derived.append(_new_type(facts["subj"], F.col("_c"), sv2))
+            # svf1: prune the type side to filler-class rows, then ONE
+            # equi-join fact.obj = typed.subj
+            typed_d = types.join(
+                svf_fillers, types["obj"] == F.col("_d"), "left_semi"
+            ).select(
+                F.col("subj").alias("_y"), F.col("obj").alias("_yd")
+            )
+            sv1 = (
+                facts.where(~F.col("obj_is_literal"))
+                .join(typed_d, facts["obj"] == typed_d["_y"])
+                .join(
+                    F.broadcast(svf_dim),
+                    (facts["pred"] == svf_dim["_p"])
+                    & (F.col("_yd") == svf_dim["_d"]),
+                )
+            )
+            derived.append(_new_type(facts["subj"], F.col("_c"), sv1))
+        if not avf_dim.isEmpty():
+            # avf: prune typings to restriction classes, join on subj
+            typed_c = types.join(
+                avf_classes, types["obj"] == F.col("_c"), "left_semi"
+            ).select(F.col("subj").alias("_x"), F.col("obj").alias("_xc"))
+            av = (
+                facts.where(~F.col("obj_is_literal"))
+                .join(typed_c, facts["subj"] == typed_c["_x"])
+                .join(
+                    F.broadcast(avf_dim),
+                    (facts["pred"] == avf_dim["_p"])
+                    & (F.col("_xc") == avf_dim["_c"]),
+                )
+            )
+            derived.append(_new_type(facts["obj"], F.col("_d"), av))
+        if not derived:
+            break
+        new = derived[0]
+        for d in derived[1:]:
+            new = new.unionByName(d)
+        new = (
+            new.distinct()
+            .withColumn("_k", _row_key())
+            .join(
+                facts.select(_row_key().alias("_k")),
+                "_k",
+                "left_anti",
+            )
+            .drop("_k")
+        )
+        if new.isEmpty():
+            break
+        facts = facts.unionByName(new).localCheckpoint(eager=True)
+    else:
+        raise ValueError(
+            f"restrictions_entail: no fixpoint within {max_rounds} rounds"
+        )
+    return facts

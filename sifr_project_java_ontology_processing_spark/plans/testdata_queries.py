@@ -5528,3 +5528,203 @@ def q_owl_sameas_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pred_identity)
     )
     return sameas_consolidate(triples)
+
+
+@register(
+    "owl_restrictions_entail",
+    """
+    WITH nat AS (SELECT n_nationkey AS k FROM nation),
+    rows AS (
+      -- restriction axioms (schema dimension)
+      SELECT 'RA' AS subj, 'http://www.w3.org/2002/07/owl#allValuesFrom' AS pred,
+             'D' AS obj, CAST(NULL AS VARCHAR) AS obj_lang, FALSE AS obj_is_literal
+      UNION ALL SELECT 'RA', 'http://www.w3.org/2002/07/owl#onProperty', 'p', NULL, FALSE
+      UNION ALL SELECT 'RS', 'http://www.w3.org/2002/07/owl#someValuesFrom', 'D', NULL, FALSE
+      UNION ALL SELECT 'RS', 'http://www.w3.org/2002/07/owl#onProperty', 'p', NULL, FALSE
+      UNION ALL SELECT 'RQ', 'http://www.w3.org/2002/07/owl#someValuesFrom',
+                       'http://www.w3.org/2002/07/owl#Thing', NULL, FALSE
+      UNION ALL SELECT 'RQ', 'http://www.w3.org/2002/07/owl#onProperty', 'q', NULL, FALSE
+      UNION ALL SELECT 'RH', 'http://www.w3.org/2002/07/owl#hasValue', 'gold', NULL, TRUE
+      UNION ALL SELECT 'RH', 'http://www.w3.org/2002/07/owl#onProperty', 'tier', NULL, FALSE
+      -- instance facts
+      UNION ALL SELECT 'n:' || CAST(k AS VARCHAR),
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'RA',
+                       NULL, FALSE FROM nat WHERE k % 2 = 0
+      UNION ALL SELECT 'n:' || CAST(k AS VARCHAR), 'p', 'm:' || CAST(k AS VARCHAR),
+                       NULL, FALSE FROM nat
+      UNION ALL SELECT 'n:' || CAST(k AS VARCHAR), 'q', 'w', NULL, FALSE
+                FROM nat WHERE k % 3 = 0
+      UNION ALL SELECT 'n:' || CAST(k AS VARCHAR), 'tier', 'gold', NULL, TRUE
+                FROM nat WHERE k % 5 = 0
+      UNION ALL SELECT 'h:1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                       'RH', NULL, FALSE
+      -- cls-avf: n:k type RA, n:k p m:k => m:k type D (even k)
+      UNION ALL SELECT 'm:' || CAST(k AS VARCHAR),
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'D',
+                       NULL, FALSE FROM nat WHERE k % 2 = 0
+      -- cls-svf1 (round 2, via the avf-derived typing): n:k type RS (even k)
+      UNION ALL SELECT 'n:' || CAST(k AS VARCHAR),
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'RS',
+                       NULL, FALSE FROM nat WHERE k % 2 = 0
+      -- cls-svf2 (owl:Thing filler): n:k type RQ (k % 3 = 0)
+      UNION ALL SELECT 'n:' || CAST(k AS VARCHAR),
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'RQ',
+                       NULL, FALSE FROM nat WHERE k % 3 = 0
+      -- cls-hv2: n:k tier gold => n:k type RH (k % 5 = 0)
+      UNION ALL SELECT 'n:' || CAST(k AS VARCHAR),
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'RH',
+                       NULL, FALSE FROM nat WHERE k % 5 = 0
+      -- cls-hv1: h:1 type RH => h:1 tier gold
+      UNION ALL SELECT 'h:1', 'tier', 'gold', NULL, TRUE
+    )
+    SELECT DISTINCT * FROM rows
+    """,
+)
+def q_owl_restrictions_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL RL restriction-class entailment to fixpoint
+    (inference.restrictions_entail — the class-expression tier Jena's
+    OWL Micro reasoner adds over RDFS-Plus): allValuesFrom types the
+    p-fillers of RA members (cls-avf), that DERIVED typing then
+    satisfies someValuesFrom in round 2 (cls-svf1 — real chaining,
+    not one-shot rules), an owl:Thing filler types every q-subject
+    (cls-svf2), and hasValue runs both directions (cls-hv1/hv2) on
+    full literal term identity. Axiom dimensions broadcast; the only
+    exchanges are the two genuinely fact-correlating joins (svf1/avf),
+    both pre-pruned to restriction-relevant typings. The oracle
+    unrolls the 2-round fixpoint closed-form per nation key."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_ALLVALUES,
+        OWL_HASVALUE,
+        OWL_ONPROPERTY,
+        OWL_SOMEVALUES,
+        OWL_THING,
+        RDF_TYPE,
+        restrictions_entail,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    n_iri = F.concat(F.lit("n:"), k.cast("string"))
+    m_iri = F.concat(F.lit("m:"), k.cast("string"))
+
+    def trip(subj, pred, obj, lit: bool):
+        return F.struct(
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(lit).alias("obj_is_literal"),
+        )
+
+    sch = (
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean"
+    )
+    axioms = spark.createDataFrame(
+        [
+            ("RA", OWL_ALLVALUES, "D", None, False),
+            ("RA", OWL_ONPROPERTY, "p", None, False),
+            ("RS", OWL_SOMEVALUES, "D", None, False),
+            ("RS", OWL_ONPROPERTY, "p", None, False),
+            ("RQ", OWL_SOMEVALUES, OWL_THING, None, False),
+            ("RQ", OWL_ONPROPERTY, "q", None, False),
+            ("RH", OWL_HASVALUE, "gold", None, True),
+            ("RH", OWL_ONPROPERTY, "tier", None, False),
+            ("h:1", RDF_TYPE, "RH", None, False),
+        ],
+        sch,
+    )
+    inst = (
+        n.select(
+            F.explode(
+                F.array(
+                    trip(n_iri, "p", m_iri, False),
+                    F.when(k % 2 == 0, trip(n_iri, RDF_TYPE, F.lit("RA"), False)),
+                    F.when(k % 3 == 0, trip(n_iri, "q", F.lit("w"), False)),
+                    F.when(k % 5 == 0, trip(n_iri, "tier", F.lit("gold"), True)),
+                )
+            ).alias("t")
+        )
+        .where(F.col("t").isNotNull())
+        .select("t.*")
+    )
+    return restrictions_entail(inst.unionByName(axioms))
+
+
+@register(
+    "gopher_quality",
+    """
+    WITH feat AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                    w -> w <> '') AS words,
+        list_filter(string_split(coalesce(text, ''), chr(10)),
+                    ln -> trim(ln) <> '') AS lines,
+        coalesce(text, '') AS t
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        len(words) AS n_words,
+        round(list_sum(list_transform(words, w -> CAST(strlen(w) AS DOUBLE)))
+              / greatest(len(words), 1), 6) AS mean_word_len,
+        round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+              / CAST(greatest(len(words), 1) AS DOUBLE), 6) AS frac_alpha_words,
+        round((
+            (strlen(t) - strlen(replace(t, '#', '')))
+          + (strlen(t) - strlen(replace(t, '...', ''))) / 3.0
+          + (strlen(t) - strlen(replace(t, '…', '')))
+        ) / greatest(len(words), 1), 6) AS symbol_word_ratio,
+        round(len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[•\\-\\*]')))
+              / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS bullet_line_frac,
+        round(len(list_filter(lines, ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$')))
+              / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS ellipsis_line_frac,
+        ( CAST(list_contains(list_transform(words, w -> lower(w)), 'the') AS INT)
+        + CAST(list_contains(list_transform(words, w -> lower(w)), 'be') AS INT)
+        + CAST(list_contains(list_transform(words, w -> lower(w)), 'to') AS INT)
+        + CAST(list_contains(list_transform(words, w -> lower(w)), 'of') AS INT)
+        + CAST(list_contains(list_transform(words, w -> lower(w)), 'and') AS INT)
+        + CAST(list_contains(list_transform(words, w -> lower(w)), 'that') AS INT)
+        + CAST(list_contains(list_transform(words, w -> lower(w)), 'have') AS INT)
+        + CAST(list_contains(list_transform(words, w -> lower(w)), 'with') AS INT)
+        ) AS stopword_hits
+      FROM feat
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+           symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+           stopword_hits,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND frac_alpha_words >= 0.8
+            AND stopword_hits >= 2) AS gopher_pass
+    FROM m
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-suite quality filter (operators/quality_rules.py —
+    Rae et al. 2021 A1.1): word-count bounds, mean word length,
+    symbol-to-word ratio (#/ellipsis), bullet- and ellipsis-line
+    fractions, alphabetic-word fraction, stop-word presence — all as
+    JVM-side higher-order-function expressions (split/filter/
+    aggregate/transform) in ONE mapped stage over the parquet scan:
+    no shuffle, no Python, streams at input bandwidth at 100 TB. The
+    oracle replays every feature with DuckDB's list lambdas."""
+    from sifr_project_java_ontology_processing_spark.operators.quality_rules import (
+        gopher_quality,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality(docs).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "frac_alpha_words",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "stopword_hits",
+        "gopher_pass",
+    )

@@ -886,3 +886,90 @@ def test_sameas_consolidation_collapses_duplicates_once(spark):
     assert [(r["subj"], r["pred"], r["obj"]) for r in rows] == [("a", "p", "v")]
     # dedup=False keeps both (caller owns the downstream distinct)
     assert sameas_consolidate(t, dedup=False).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# round 5: OWL RL restriction-class rules
+# ---------------------------------------------------------------------------
+
+
+def _restr(spark, rows):
+    sch = (
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean"
+    )
+    return spark.createDataFrame(rows, sch)
+
+
+def test_restrictions_hasvalue_both_directions(spark):
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_HASVALUE,
+        OWL_ONPROPERTY,
+        RDF_TYPE,
+        restrictions_entail,
+    )
+
+    t = _restr(
+        spark,
+        [
+            ("C", OWL_HASVALUE, "red", "en", True),
+            ("C", OWL_ONPROPERTY, "color", None, False),
+            ("x", RDF_TYPE, "C", None, False),     # hv1 → x color "red"@en
+            ("y", "color", "red", "en", True),     # hv2 → y type C
+            ("z", "color", "red", "fr", True),     # wrong lang: no typing
+        ],
+    )
+    out = {
+        (r["subj"], r["pred"], r["obj"], r["obj_lang"])
+        for r in restrictions_entail(t).collect()
+    }
+    assert ("x", "color", "red", "en") in out
+    assert ("y", RDF_TYPE, "C", None) in out
+    assert ("z", RDF_TYPE, "C", None) not in out
+
+
+def test_restrictions_svf_avf_and_chaining(spark):
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_ALLVALUES,
+        OWL_ONPROPERTY,
+        OWL_SOMEVALUES,
+        OWL_THING,
+        RDF_TYPE,
+        restrictions_entail,
+    )
+
+    t = _restr(
+        spark,
+        [
+            # AVF: members of A have all p-values in D
+            ("A", OWL_ALLVALUES, "D", None, False),
+            ("A", OWL_ONPROPERTY, "p", None, False),
+            # SVF: something with a p-value in D is an S
+            ("S", OWL_SOMEVALUES, "D", None, False),
+            ("S", OWL_ONPROPERTY, "p", None, False),
+            # SVF Thing: anything with a q-value is a Q
+            ("Q", OWL_SOMEVALUES, OWL_THING, None, False),
+            ("Q", OWL_ONPROPERTY, "q", None, False),
+            ("a", RDF_TYPE, "A", None, False),
+            ("a", "p", "b", None, False),   # avf → b type D; then svf1 → a type S (2 rounds)
+            ("a", "p", "lit", None, True),  # literal object: never typed
+            ("w", "q", "anything", None, False),  # svf2 → w type Q
+        ],
+    )
+    res = restrictions_entail(t)
+    out = {(r["subj"], r["pred"], r["obj"]) for r in res.collect()}
+    assert ("b", RDF_TYPE, "D") in out          # cls-avf
+    assert ("a", RDF_TYPE, "S") in out          # cls-svf1 via the avf-derived type
+    assert ("w", RDF_TYPE, "Q") in out          # cls-svf2 (owl:Thing)
+    assert ("lit", RDF_TYPE, "D") not in out
+    # idempotent: re-entailing adds nothing
+    assert restrictions_entail(res).count() == res.count()
+
+
+def test_restrictions_no_axioms_is_identity(spark):
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        restrictions_entail,
+    )
+
+    t = _restr(spark, [("a", "p", "b", None, False)])
+    assert restrictions_entail(t).count() == 1
