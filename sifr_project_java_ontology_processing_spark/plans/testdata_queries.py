@@ -57,17 +57,17 @@ _DRIVER_FIRST: list[str] = [
     "multimodal_real_decode",
     "rdfxml_full_parse",
     "turtle_sink_roundtrip",
-    "corpus_sample",
-    "sequence_pack",
-    "embedding_dedup_clusters",
+    "sparql_nested_union",
+    "sparql_optional_bind",
+    "owl_sameas_consolidation",
     "bpe_token_count",
     "model_quality_score",
     "ann_ivf_kmeans_topk",
     "bpe_token_ids",
     "sparql_bgp",
     "graph_pagerank",
-    "graph_degree_stats",
-    "paragraph_dedup",
+    "owl_restrictions_entail",
+    "gopher_quality",
     "transitive_closure",
     "sparql_path_closure",
     "sparql_path_seq_alt",
@@ -94,7 +94,7 @@ _DRIVER_FIRST: list[str] = [
     "functional_violations",
     "duplicate_spans",
     "graph_personalized_pr",
-    "graph_diff",
+    "sparql_order_expr",
     "shacl_validate",
     "sparql_typed_order",
     "rdfs_plus_entail_incremental",
