@@ -51,6 +51,10 @@ HEADLINE = [
     "rdfs_plus_entail_incremental",  # round 5: bridged-closure delta
     "sparql_path_group",    # round 5: closure over a derived edge frame
     "lm_perplexity",        # round 5: CCNet bigram-LM train + score
+    "gopher_quality",       # round 5: map-only quality rule suite
+    "owl_sameas_consolidation",  # round 5: CC + broadcast identity rewrite
+    "owl_restrictions_entail",   # round 5: restriction-rule fixpoint
+    "sparql_nested_union",  # round 5: bottom-up group sub-plans
 ]
 
 

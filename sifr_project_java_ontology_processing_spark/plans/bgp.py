@@ -1406,15 +1406,9 @@ def _pattern_frame(
     if p.kind in ("path_plus", "path_star", "path_opt") or p.kind.startswith(
         "path_group"
     ):
-        if graph_var is not None:
-            if p.kind.startswith("path_group"):
-                raise ValueError(
-                    "BGP: path groups inside GRAPH ?var are not supported"
-                )
-            return _closure_frame(triples, pat, graph_var=graph_var)
         if p.kind.startswith("path_group"):
-            return _group_closure_frame(triples, pat)
-        return _closure_frame(triples, pat)
+            return _group_closure_frame(triples, pat, graph_var=graph_var)
+        return _closure_frame(triples, pat, graph_var=graph_var)
     df = triples
     if graph_var is not None:
         df = df.where(F.col("graph").isNotNull())
@@ -1606,7 +1600,9 @@ def _bind_closure_endpoints(
 
 
 def _group_closure_frame(
-    triples: DataFrame, pat: tuple[Term, Term, Term]
+    triples: DataFrame,
+    pat: tuple[Term, Term, Term],
+    graph_var: str | None = None,
 ) -> tuple[DataFrame, set[str]]:
     """Parenthesized path group ``(seq | seq ...)[+*?]``: the group is
     compiled to a DERIVED (src, dst) edge frame — each alternative a
@@ -1616,21 +1612,36 @@ def _group_closure_frame(
     predicate: ``+`` runs operators/graph.py::transitive_closure over
     the derived edges (the frontier-BFS scale shape), ``*``/``?`` add
     the zero-length identity over every term of the graph. Endpoints
-    compare on the lexical form, as for plain closures."""
+    compare on the lexical form, as for plain closures.
+
+    ``graph_var`` (GRAPH ?g groups): as in ``_closure_frame``, the
+    graph label is fused into BOTH endpoint keys (``graph\\x00node``)
+    so chain midpoint joins and the closure stay within each named
+    graph in ONE distributed job; the label splits back out afterwards
+    and binds the variable."""
     from sifr_project_java_ontology_processing_spark.operators.graph import (
         transitive_closure,
     )
 
     s, p, o = pat
+    base = triples
+    if graph_var is not None:
+        base = base.where(F.col("graph").isNotNull())
+
+    def _key(col: str) -> F.Column:
+        if graph_var is not None:
+            return F.concat_ws(_GRAPH_SEP, "graph", col)
+        return F.col(col)
+
     alt_frames: list[DataFrame] = []
     for alt in p.alts or ():
         cur: DataFrame | None = None
         for el in alt.split(_GSEP):
             inv = el.startswith("^")
             iri = el[1:] if inv else el
-            step = triples.where(F.col("pred") == iri).select(
-                F.col("obj" if inv else "subj").alias("src"),
-                F.col("subj" if inv else "obj").alias("dst"),
+            step = base.where(F.col("pred") == iri).select(
+                _key("obj" if inv else "subj").alias("src"),
+                _key("subj" if inv else "obj").alias("dst"),
             )
             if cur is None:
                 cur = step
@@ -1651,13 +1662,22 @@ def _group_closure_frame(
         reach = edges
     if p.kind in ("path_group_star", "path_group_opt"):
         nodes = (
-            triples.select(F.col("subj").alias("n"))
-            .unionByName(triples.select(F.col("obj").alias("n")))
+            base.select(_key("subj").alias("n"))
+            .unionByName(base.select(_key("obj").alias("n")))
             .distinct()
         )
         reach = reach.unionByName(
             nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
         ).distinct()
+    if graph_var is not None:
+        reach = reach.select(
+            F.substring_index("src", _GRAPH_SEP, 1).alias("_g"),
+            F.substring_index("src", _GRAPH_SEP, -1).alias("src"),
+            F.substring_index("dst", _GRAPH_SEP, -1).alias("dst"),
+        )
+        out, cols = _bind_closure_endpoints(reach, s, o, extra=("_g",))
+        out = out.withColumnRenamed("_g", graph_var)
+        return out, cols | {graph_var}
     return _bind_closure_endpoints(reach, s, o)
 
 

@@ -5728,3 +5728,58 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stopword_hits",
         "gopher_pass",
     )
+
+
+@register(
+    "sparql_graph_path_group",
+    """
+    WITH RECURSIVE e AS (
+      SELECT 'r:' || CAST(n_regionkey AS VARCHAR) AS g,
+             'n:' || CAST(n_nationkey AS VARCHAR) AS src,
+             'n:' || CAST(n_nationkey - 1 AS VARCHAR) AS dst
+      FROM nation WHERE n_nationkey > 0
+    ),
+    reach(g, s, t) AS (
+      SELECT g, src, dst FROM e
+      UNION
+      SELECT r.g, r.s, e.dst
+      FROM reach r JOIN e ON e.g = r.g AND e.src = r.t
+    )
+    SELECT g, s, t FROM reach
+    """,
+)
+def q_sparql_graph_path_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path group closure INSIDE GRAPH ?g (plans/bgp.py::
+    _group_closure_frame with graph fusing): per nation k>0 the named
+    graph of its region holds n:k -a-> mid:k -b-> n:k-1, so (a/b)+
+    closes the key-descending chain but ONLY while consecutive keys
+    share a region — the graph label is fused into the derived-edge
+    keys, so one distributed closure covers all 5 graphs and paths
+    can never hop regions. The oracle is a per-graph recursive CTE
+    over the same step relation."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    n = _t(spark, sf_dir, "nation").where(F.col("n_nationkey") > 0)
+    k = F.col("n_nationkey")
+    g = F.concat(F.lit("r:"), F.col("n_regionkey").cast("string"))
+    n_iri = F.concat(F.lit("n:"), k.cast("string"))
+    mid = F.concat(F.lit("mid:"), k.cast("string"))
+    prev = F.concat(F.lit("n:"), (k - 1).cast("string"))
+
+    def quad(subj, pred, obj):
+        return F.struct(
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(False).alias("obj_is_literal"),
+            g.alias("graph"),
+        )
+
+    quads = n.select(
+        F.explode(F.array(quad(n_iri, "a", mid), quad(mid, "b", prev))).alias("t")
+    ).select("t.*")
+    return execute_bgp(
+        quads,
+        "SELECT ?g ?s ?t WHERE { GRAPH ?g { ?s (<a>/<b>)+ ?t . } }",
+    )

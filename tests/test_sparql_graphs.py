@@ -439,3 +439,45 @@ def test_construct_where_shorthand(spark):
         ("a", "p:x", "b", None, False),
         ("b", "p:y", "lit", "fr", True),
     ]
+
+
+def test_path_group_inside_graph_var_stays_within_graph(spark):
+    """(a/b)+ under GRAPH ?g: the derived-edge closure is graph-fused —
+    a chain whose second hop lives in ANOTHER graph must not close."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    sch = (
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean, graph string"
+    )
+    quads = spark.createDataFrame(
+        [
+            # g1: x -a-> m -b-> y -a-> n -b-> z  ((a/b)+ reaches x->y, y->z, x->z)
+            ("x", "a", "m", None, False, "g1"),
+            ("m", "b", "y", None, False, "g1"),
+            ("y", "a", "n", None, False, "g1"),
+            ("n", "b", "z", None, False, "g1"),
+            # g2: a DIFFERENT x -a-> m, and m -b-> q — must not leak into g1
+            ("x", "a", "m", None, False, "g2"),
+            ("m", "b", "q", None, False, "g2"),
+            # cross-graph trap: g3 holds only the second hop of a chain
+            ("u", "a", "v", None, False, "g1"),
+            ("v", "b", "w", None, False, "g3"),
+        ],
+        sch,
+    )
+    out = execute_bgp(
+        quads,
+        "SELECT ?g ?s ?t WHERE { GRAPH ?g { ?s (<a>/<b>)+ ?t . } }",
+    ).collect()
+    got = {(r["g"], r["s"], r["t"]) for r in out}
+    assert got == {
+        ("g1", "x", "y"), ("g1", "y", "z"), ("g1", "x", "z"),
+        ("g2", "x", "q"),
+    }
+    # constant-graph form composes too (plain slice, no fusing needed)
+    out2 = execute_bgp(
+        quads,
+        "SELECT ?s ?t WHERE { GRAPH <g1> { ?s (<a>/<b>)+ ?t . } }",
+    ).collect()
+    assert {(r["s"], r["t"]) for r in out2} == {("x", "y"), ("y", "z"), ("x", "z")}
