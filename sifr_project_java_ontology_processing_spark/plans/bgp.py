@@ -74,9 +74,12 @@ alternative a '/'-sequence of ``[^]iri`` elements — compile to a
 derived (src, dst) edge frame (chained pred-filtered scans, unioned
 alternatives) with the modifier applied to that relation; ``^(a/b)``
 reverses to the inverted-reversed sequence; groups compose inside
-sequences (``(a/b)+/c``). Nested groups/modifiers INSIDE a group
-stay out of scope, and alternation of non-trivial paths must be
-written in group form (``(a/b|c)``).
+sequences (``(a/b)+/c``), and elements INSIDE a group may carry
+their own ``+``/``*``/``?`` modifier (``(a+/b)``, ``(a/b*)+`` —
+each modified element becomes its own closed/optional relation
+before composition). Nested parentheses inside a group stay out of
+scope, and alternation of non-trivial paths must be written in
+group form (``(a/b|c)``).
 
 Query forms beyond SELECT: ``CONSTRUCT WHERE { patterns }``
 (SPARQL 1.1 shorthand — the group doubles as the template) and
@@ -734,24 +737,25 @@ def _parse_path(p: _P) -> list[PathElt]:
             # documented subset). Compiled by the executor to a closure
             # over a DERIVED edge frame (round-5 VERDICT ask #6).
             p.next()
-            alternatives: list[list[tuple[bool, str]]] = []
-            seq: list[tuple[bool, str]] = []
+            alternatives: list[list[tuple[bool, str, str | None]]] = []
+            seq: list[tuple[bool, str, str | None]] = []
             while True:
                 inv2 = False
                 if p.peek() == "^":
                     p.next()
                     inv2 = True
+                if p.peek() in ("(", "!"):
+                    raise ValueError(
+                        "BGP: nested groups/negated sets inside a path "
+                        "group are not supported"
+                    )
                 t2 = p.term()
                 if t2.kind != "iri":
                     raise ValueError(
                         "BGP: path group elements must be plain IRIs"
                     )
-                if p.peek() in ("+", "*", "?", "(", "!"):
-                    raise ValueError(
-                        "BGP: nested modifiers/groups inside a path "
-                        "group are not supported"
-                    )
-                seq.append((inv2, t2.value))
+                elmod = p.next() if p.peek() in ("+", "*", "?") else None
+                seq.append((inv2, t2.value, elmod))
                 if p.peek() == "/":
                     p.next()
                     continue
@@ -765,8 +769,11 @@ def _parse_path(p: _P) -> list[PathElt]:
                 break
             if inv:
                 # ^(a/b) = reversed sequence of inverted elements
+                # (per-element modifiers stay with their element:
+                # ^(a+/b) = ^b / ^a+ — the inverse of a closure is the
+                # closure of the inverse)
                 alternatives = [
-                    [(not i, iri) for (i, iri) in reversed(alt)]
+                    [(not i, iri, m) for (i, iri, m) in reversed(alt)]
                     for alt in alternatives
                 ]
             mod = p.next() if p.peek() in ("+", "*", "?") else None
@@ -776,8 +783,13 @@ def _parse_path(p: _P) -> list[PathElt]:
                 "?": "path_group_opt",
                 None: "path_group",
             }[mod]
+            # element encoding: [^]iri[\x02mod] — \x02 cannot appear in
+            # an IRI, so an IRI that happens to END in '+' stays exact
             enc = tuple(
-                _GSEP.join(("^" + iri) if i else iri for (i, iri) in alt)
+                _GSEP.join(
+                    (("^" + iri) if i else iri) + (f"\x02{m}" if m else "")
+                    for (i, iri, m) in alt
+                )
                 for alt in alternatives
             )
             elts.append((False, Term(kind, enc[0], alts=enc), None))
@@ -1633,16 +1645,45 @@ def _group_closure_frame(
             return F.concat_ws(_GRAPH_SEP, "graph", col)
         return F.col(col)
 
+    identity: DataFrame | None = None  # node universe, built lazily
+
+    def _identity() -> DataFrame:
+        nonlocal identity
+        if identity is None:
+            identity = (
+                base.select(_key("subj").alias("src"))
+                .unionByName(base.select(_key("obj").alias("src")))
+                .distinct()
+                .select("src", F.col("src").alias("dst"))
+            )
+        return identity
+
     alt_frames: list[DataFrame] = []
     for alt in p.alts or ():
         cur: DataFrame | None = None
         for el in alt.split(_GSEP):
+            el, _, elmod = el.partition("\x02")
             inv = el.startswith("^")
             iri = el[1:] if inv else el
             step = base.where(F.col("pred") == iri).select(
                 _key("obj" if inv else "subj").alias("src"),
                 _key("subj" if inv else "obj").alias("dst"),
             )
+            # per-element modifier: the element's relation is its own
+            # closure / optionally-empty variant BEFORE composition —
+            # (a+/b) composes reach(a) with b, (a?/b) unions the
+            # skip-a identity into the first hop
+            if elmod == "+":
+                step = transitive_closure(step).select("src", "dst")
+            elif elmod == "*":
+                step = (
+                    transitive_closure(step)
+                    .select("src", "dst")
+                    .unionByName(_identity())
+                    .distinct()
+                )
+            elif elmod == "?":
+                step = step.unionByName(_identity()).distinct()
             if cur is None:
                 cur = step
             else:
@@ -1661,14 +1702,7 @@ def _group_closure_frame(
     else:  # bare group / zero-or-one: the derived relation itself
         reach = edges
     if p.kind in ("path_group_star", "path_group_opt"):
-        nodes = (
-            base.select(_key("subj").alias("n"))
-            .unionByName(base.select(_key("obj").alias("n")))
-            .distinct()
-        )
-        reach = reach.unionByName(
-            nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
-        ).distinct()
+        reach = reach.unionByName(_identity()).distinct()
     if graph_var is not None:
         reach = reach.select(
             F.substring_index("src", _GRAPH_SEP, 1).alias("_g"),

@@ -5783,3 +5783,36 @@ def q_sparql_graph_path_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         quads,
         "SELECT ?g ?s ?t WHERE { GRAPH ?g { ?s (<a>/<b>)+ ?t . } }",
     )
+
+
+@register(
+    "sparql_path_elem_mod",
+    """
+    WITH RECURSIVE reach(a, b) AS (
+      SELECT n_nationkey, n_nationkey - 1 FROM nation WHERE n_nationkey > 0
+      UNION
+      SELECT r.a, n.n_nationkey - 1
+      FROM reach r JOIN nation n ON n.n_nationkey = r.b
+      WHERE n.n_nationkey > 0
+    )
+    SELECT DISTINCT 'n:' || CAST(r.a AS VARCHAR) AS n,
+           'r:' || CAST(n2.n_regionkey AS VARCHAR) AS rg
+    FROM reach r JOIN nation n2 ON n2.n_nationkey = r.b
+    """,
+)
+def q_sparql_path_elem_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-element path modifier inside a group (plans/bgp.py:
+    ``(prev+/within)``): the prev element closes FIRST (frontier-BFS
+    over the 25-deep key chain), then composes with one within hop —
+    every nation reaches the regions of ALL its ancestors, deduped to
+    set semantics (two ancestors in one region emit one row). The
+    oracle is the recursive prev closure joined to the ancestor's
+    region."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    triples = _nation_triples(spark, sf_dir)
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?n ?rg WHERE { ?n (ex:prev+/ex:within) ?rg }""",
+    )

@@ -1230,13 +1230,43 @@ def test_path_group_inverse_and_sequence_compose(spark):
     assert seq == ["d"]
 
 
-def test_path_group_rejects_nested_modifiers(spark):
+def test_path_group_element_modifiers(spark):
+    # per-element +/*/? inside a group: each modified element closes /
+    # optionalizes BEFORE composition
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _group_triples(spark)
+    plus = sorted(
+        (r.x, r.y)
+        for r in execute_bgp(
+            t, "SELECT ?x ?y WHERE { ?x (<p:p>+/<p:q>) ?y }"
+        ).collect()
+    )
+    assert plus == [("a", "c"), ("c", "e")]
+    star = sorted(
+        (r.x, r.y)
+        for r in execute_bgp(
+            t, "SELECT ?x ?y WHERE { ?x (<p:p>/<p:q>*) ?y }"
+        ).collect()
+    )
+    # p then zero-or-more q: a->b (0), a->c (1), c->d (0), c->e (1)
+    assert star == [("a", "b"), ("a", "c"), ("c", "d"), ("c", "e")]
+    opt = sorted(
+        (r.x, r.y)
+        for r in execute_bgp(
+            t, "SELECT ?x ?y WHERE { ?x (<p:p>?/<p:q>) ?y }"
+        ).collect()
+    )
+    assert opt == [("a", "c"), ("b", "c"), ("c", "e"), ("d", "e")]
+
+
+def test_path_group_rejects_nested_parens(spark):
     import pytest
 
     from sifr_project_java_ontology_processing_spark.plans.bgp import parse_sparql
 
     with pytest.raises(ValueError, match="nested"):
-        parse_sparql("SELECT ?x WHERE { ?x (<p:p>+/<p:q>) ?y }")
+        parse_sparql("SELECT ?x WHERE { ?x ((<p:p>/<p:q>)+/<p:r>) ?y }")
 
 
 # ---------------------------------------------------------------------------
