@@ -1389,21 +1389,34 @@ def restrictions_entail(
             F.lit(False).alias("obj_is_literal"),
         )
 
+    # loop-invariant hoists: the axiom dimensions never change, so
+    # their emptiness probes and the owl:Thing slice run ONCE
+    have_hv = not hv_dim.isEmpty()
+    have_svf = not svf_dim.isEmpty()
+    have_avf = not avf_dim.isEmpty()
+    thing = svf_dim.where(F.col("_d") == OWL_THING)
+    have_thing = have_svf and not thing.isEmpty()
     svf_fillers = F.broadcast(
         svf_dim.where(F.col("_d") != OWL_THING).select("_d").distinct()
     )
     avf_classes = F.broadcast(avf_dim.select("_c").distinct())
 
-    facts = t.localCheckpoint(eager=True)
-    for _ in range(max_rounds):
-        types = facts.where(
+    def _types_of(frame: DataFrame) -> DataFrame:
+        return frame.where(
             (F.col("pred") == RDF_TYPE) & ~F.col("obj_is_literal")
         )
+
+    def _derive(delta: DataFrame, allf: DataFrame, first: bool) -> DataFrame | None:
+        """One semi-naive round: the LINEAR rules (hv1/hv2/svf2) read
+        only the delta; the two-fact rules (svf1/avf) correlate
+        delta-vs-all in BOTH orientations (first round: all-vs-all
+        once — delta IS all, two orientations would double-derive)."""
+        d_types = _types_of(delta)
         derived: list[DataFrame] = []
-        if not hv_dim.isEmpty():
+        if have_hv:
             derived.append(
-                types.join(
-                    F.broadcast(hv_dim), types["obj"] == hv_dim["_c"]
+                d_types.join(
+                    F.broadcast(hv_dim), d_types["obj"] == hv_dim["_c"]
                 ).select(
                     "subj",
                     F.col("_p").alias("pred"),
@@ -1412,62 +1425,75 @@ def restrictions_entail(
                     F.col("_vlit").alias("obj_is_literal"),
                 )
             )
-            hv2 = facts.join(
+            # full RDF term identity on the value — null-safe lang
+            # equality (NULL and '' are DIFFERENT tags, matching
+            # _row_key's sentinel)
+            hv2 = delta.join(
                 F.broadcast(hv_dim),
-                (facts["pred"] == hv_dim["_p"])
-                & (facts["obj"] == hv_dim["_v"])
-                & (
-                    F.coalesce(facts["obj_lang"], F.lit(""))
-                    == F.coalesce(hv_dim["_vl"], F.lit(""))
-                )
-                & (facts["obj_is_literal"] == hv_dim["_vlit"]),
+                (delta["pred"] == hv_dim["_p"])
+                & (delta["obj"] == hv_dim["_v"])
+                & delta["obj_lang"].eqNullSafe(hv_dim["_vl"])
+                & (delta["obj_is_literal"] == hv_dim["_vlit"]),
             )
-            derived.append(_new_type(facts["subj"], F.col("_c"), hv2))
-        if not svf_dim.isEmpty():
-            # svf2 (owl:Thing filler): no typing needed on y
-            thing = svf_dim.where(F.col("_d") == OWL_THING)
-            if not thing.isEmpty():
-                sv2 = facts.join(
-                    F.broadcast(thing), facts["pred"] == thing["_p"]
-                )
-                derived.append(_new_type(facts["subj"], F.col("_c"), sv2))
-            # svf1: prune the type side to filler-class rows, then ONE
-            # equi-join fact.obj = typed.subj
-            typed_d = types.join(
-                svf_fillers, types["obj"] == F.col("_d"), "left_semi"
-            ).select(
-                F.col("subj").alias("_y"), F.col("obj").alias("_yd")
+            derived.append(_new_type(delta["subj"], F.col("_c"), hv2))
+        if have_thing:
+            sv2 = delta.join(
+                F.broadcast(thing), delta["pred"] == thing["_p"]
             )
+            derived.append(_new_type(delta["subj"], F.col("_c"), sv2))
+
+        def _svf1(facts_side: DataFrame, types_side: DataFrame) -> DataFrame:
+            typed_d = _types_of(types_side).join(
+                svf_fillers, F.col("obj") == F.col("_d"), "left_semi"
+            ).select(F.col("subj").alias("_y"), F.col("obj").alias("_yd"))
             sv1 = (
-                facts.where(~F.col("obj_is_literal"))
-                .join(typed_d, facts["obj"] == typed_d["_y"])
+                facts_side.where(~F.col("obj_is_literal"))
+                .join(typed_d, facts_side["obj"] == typed_d["_y"])
                 .join(
                     F.broadcast(svf_dim),
-                    (facts["pred"] == svf_dim["_p"])
+                    (facts_side["pred"] == svf_dim["_p"])
                     & (F.col("_yd") == svf_dim["_d"]),
                 )
             )
-            derived.append(_new_type(facts["subj"], F.col("_c"), sv1))
-        if not avf_dim.isEmpty():
-            # avf: prune typings to restriction classes, join on subj
-            typed_c = types.join(
-                avf_classes, types["obj"] == F.col("_c"), "left_semi"
+            return _new_type(facts_side["subj"], F.col("_c"), sv1)
+
+        def _avf(types_side: DataFrame, facts_side: DataFrame) -> DataFrame:
+            typed_c = _types_of(types_side).join(
+                avf_classes, F.col("obj") == F.col("_c"), "left_semi"
             ).select(F.col("subj").alias("_x"), F.col("obj").alias("_xc"))
             av = (
-                facts.where(~F.col("obj_is_literal"))
-                .join(typed_c, facts["subj"] == typed_c["_x"])
+                facts_side.where(~F.col("obj_is_literal"))
+                .join(typed_c, facts_side["subj"] == typed_c["_x"])
                 .join(
                     F.broadcast(avf_dim),
-                    (facts["pred"] == avf_dim["_p"])
+                    (facts_side["pred"] == avf_dim["_p"])
                     & (F.col("_xc") == avf_dim["_c"]),
                 )
             )
-            derived.append(_new_type(facts["obj"], F.col("_d"), av))
+            return _new_type(facts_side["obj"], F.col("_d"), av)
+
+        if have_svf:
+            derived.append(_svf1(delta, allf))
+            if not first:
+                derived.append(_svf1(allf, delta))
+        if have_avf:
+            derived.append(_avf(allf, delta))
+            if not first:
+                derived.append(_avf(delta, allf))
         if not derived:
-            break
+            return None
         new = derived[0]
         for d in derived[1:]:
             new = new.unionByName(d)
+        return new
+
+    facts = t.localCheckpoint(eager=True)
+    delta, first = facts, True
+    for _ in range(max_rounds):
+        new = _derive(delta, facts, first)
+        first = False
+        if new is None:
+            break
         new = (
             new.distinct()
             .withColumn("_k", _row_key())
@@ -1477,10 +1503,15 @@ def restrictions_entail(
                 "left_anti",
             )
             .drop("_k")
+            .localCheckpoint(eager=True)
         )
         if new.isEmpty():
             break
-        facts = facts.unionByName(new).localCheckpoint(eager=True)
+        # union of eagerly-checkpointed leaves: re-reads are cheap and
+        # the accumulated graph is never re-copied per round (the
+        # transitive_closure pattern)
+        facts = facts.unionByName(new)
+        delta = new
     else:
         raise ValueError(
             f"restrictions_entail: no fixpoint within {max_rounds} rounds"

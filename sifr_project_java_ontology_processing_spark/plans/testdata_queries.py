@@ -52,7 +52,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # New oracle-gated queries should be appended here in the round they
 # land so they get a driver row immediately.
 _DRIVER_FIRST: list[str] = [
-    "dedup_clusters",
+    "sparql_graph_path_group",
     "turtle_full_parse",
     "multimodal_real_decode",
     "rdfxml_full_parse",
@@ -86,7 +86,7 @@ _DRIVER_FIRST: list[str] = [
     "rdfs_entailment",
     "skos_integrity_audit",
     "sparql_named_graphs",
-    "nquads_roundtrip",
+    "sparql_path_elem_mod",
     "rdfs_plus_entailment",
     "sparql_subquery",
     "table_profile",
@@ -5666,14 +5666,15 @@ def q_owl_restrictions_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT doc_id,
         len(words) AS n_words,
-        round(list_sum(list_transform(words, w -> CAST(strlen(w) AS DOUBLE)))
+        round(coalesce(list_sum(list_transform(words,
+                                w -> CAST(length(w) AS DOUBLE))), 0)
               / greatest(len(words), 1), 6) AS mean_word_len,
         round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
               / CAST(greatest(len(words), 1) AS DOUBLE), 6) AS frac_alpha_words,
         round((
-            (strlen(t) - strlen(replace(t, '#', '')))
-          + (strlen(t) - strlen(replace(t, '...', ''))) / 3.0
-          + (strlen(t) - strlen(replace(t, '…', '')))
+            (length(t) - length(replace(t, '#', '')))
+          + (length(t) - length(replace(t, '...', ''))) / 3.0
+          + (length(t) - length(replace(t, '…', '')))
         ) / greatest(len(words), 1), 6) AS symbol_word_ratio,
         round(len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[•\\-\\*]')))
               / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS bullet_line_frac,
