@@ -936,70 +936,102 @@ _RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
 _RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
 
-def extract_property_chains(triples: DataFrame) -> list[tuple[str, list[str]]]:
-    """Collect ``(r, owl:propertyChainAxiom, (p1 p2 ...))`` axioms as
-    ``(r, [p1, p2, ...])`` — the RDF list (rdf:first/rdf:rest chains,
-    which both the Turtle ``( )`` and RDF/XML parseType=Collection
-    readers emit) is walked DRIVER-side: axioms are a schema dimension
-    (same stance as _schema_closure's driver path). Malformed lists
-    (missing first/rest, FORKED nodes with duplicate first/rest arcs,
-    cycles) raise rather than silently shortening or nondeterministically
-    picking a chain. The list-cell collect is capped at
-    ``_DRIVER_CLOSURE_MAX`` rows: a graph whose INSTANCE data carries
-    millions of RDF collections (OWL class expressions, SKOS ordered
-    collections) must pass ``chains=`` explicitly rather than OOM the
-    driver."""
+#: one RDF-list member: (lexical form, lang tag, is-literal flag)
+ListMember = tuple[str, "str | None", bool]
+
+
+def _collect_rdf_lists(
+    triples: DataFrame, axiom_pred: str, label: str
+) -> list[tuple[str, list[ListMember]]]:
+    """Collect ``(s, axiom_pred, (m1 m2 ...))`` axioms as
+    ``(s, [(obj, lang, is_lit), ...])`` — the RDF list
+    (rdf:first/rdf:rest chains, which both the Turtle ``( )`` and
+    RDF/XML parseType=Collection readers emit) is walked DRIVER-side:
+    axioms are a schema dimension (same stance as _schema_closure's
+    driver path). Malformed lists (missing first/rest, FORKED nodes
+    with duplicate first/rest arcs, cycles) raise rather than silently
+    shortening or nondeterministically reordering members. The
+    list-cell collect is capped at ``_DRIVER_CLOSURE_MAX`` rows: a
+    graph whose INSTANCE data carries millions of RDF collections
+    (OWL class expressions, SKOS ordered collections) must pass the
+    axioms explicitly rather than OOM the driver. ``rdf:first``
+    members keep full literal term identity (oneOf lists may hold
+    literals); ``rdf:rest`` arcs must be IRIs/blank nodes."""
     t = triples.select(*_TRIPLE_COLS)
     axioms = t.where(
-        (F.col("pred") == OWL_PROPERTY_CHAIN) & ~F.col("obj_is_literal")
+        (F.col("pred") == axiom_pred) & ~F.col("obj_is_literal")
     ).select("subj", "obj").collect()
     if not axioms:
         return []
     cell_rows = (
         t.where(
-            F.col("pred").isin(_RDF_FIRST, _RDF_REST) & ~F.col("obj_is_literal")
+            (F.col("pred") == _RDF_FIRST)
+            | ((F.col("pred") == _RDF_REST) & ~F.col("obj_is_literal"))
         )
-        .select("subj", "pred", "obj")
+        .select("subj", "pred", "obj", "obj_lang", "obj_is_literal")
         .limit(_DRIVER_CLOSURE_MAX + 1)
         .collect()
     )
     if len(cell_rows) > _DRIVER_CLOSURE_MAX:
         raise ValueError(
             f"graph carries > {_DRIVER_CLOSURE_MAX} rdf:first/rdf:rest "
-            "cells — extract the chain axioms from the schema graph and "
-            "pass them via apply_property_chains(chains=...) instead of "
-            "walking instance-data collections driver-side"
+            f"cells — extract the {label} axioms from the schema graph "
+            "and pass them explicitly instead of walking instance-data "
+            "collections driver-side"
         )
-    cells: dict[tuple[str, str], str] = {}
+    cells: dict[tuple[str, str], ListMember] = {}
     for r in cell_rows:
         key = (r["subj"], r["pred"])
-        if key in cells and cells[key] != r["obj"]:
+        val = (r["obj"], r["obj_lang"], bool(r["obj_is_literal"]))
+        if key in cells and cells[key] != val:
             raise ValueError(
-                f"forked propertyChainAxiom list node {r['subj']!r}: "
+                f"forked {label} list node {r['subj']!r}: "
                 f"duplicate {r['pred']!r} arcs"
             )
-        cells[key] = r["obj"]
-    chains: list[tuple[str, list[str]]] = []
+        cells[key] = val
+    out: list[tuple[str, list[ListMember]]] = []
     for ax in axioms:
         node, elems, seen = ax["obj"], [], set()
         while node != _RDF_NIL:
             if node in seen:
-                raise ValueError(f"propertyChainAxiom list cycle at {node!r}")
+                raise ValueError(f"{label} list cycle at {node!r}")
             seen.add(node)
             first = cells.get((node, _RDF_FIRST))
             rest = cells.get((node, _RDF_REST))
             if first is None or rest is None:
                 raise ValueError(
-                    f"malformed propertyChainAxiom list node {node!r} "
+                    f"malformed {label} list node {node!r} "
                     "(missing rdf:first/rdf:rest)"
                 )
             elems.append(first)
-            node = rest
+            node = rest[0]
+        out.append((ax["subj"], elems))
+    return out
+
+
+def extract_property_chains(triples: DataFrame) -> list[tuple[str, list[str]]]:
+    """Collect ``(r, owl:propertyChainAxiom, (p1 p2 ...))`` axioms as
+    ``(r, [p1, p2, ...])`` via the driver-side RDF-list walk
+    (``_collect_rdf_lists`` — capped, fork/cycle/malformation-checked).
+    Chain elements must be IRIs; a literal member or a <2-element
+    chain raises."""
+    chains: list[tuple[str, list[str]]] = []
+    for subj, members in _collect_rdf_lists(
+        triples, OWL_PROPERTY_CHAIN, "propertyChainAxiom"
+    ):
+        elems: list[str] = []
+        for obj, _lang, is_lit in members:
+            if is_lit:
+                raise ValueError(
+                    f"malformed propertyChainAxiom for {subj!r}: "
+                    f"literal list member {obj!r}"
+                )
+            elems.append(obj)
         if len(elems) < 2:
             raise ValueError(
-                f"propertyChainAxiom for {ax['subj']!r} needs >= 2 elements"
+                f"propertyChainAxiom for {subj!r} needs >= 2 elements"
             )
-        chains.append((ax["subj"], elems))
+        chains.append((subj, elems))
     return chains
 
 
@@ -1515,5 +1547,277 @@ def restrictions_entail(
     else:
         raise ValueError(
             f"restrictions_entail: no fixpoint within {max_rounds} rounds"
+        )
+    return facts
+
+
+# ---------------------------------------------------------------------------
+# OWL RL boolean class expressions: intersectionOf / unionOf / oneOf
+# ---------------------------------------------------------------------------
+
+OWL_INTERSECTION = "http://www.w3.org/2002/07/owl#intersectionOf"
+OWL_UNION = "http://www.w3.org/2002/07/owl#unionOf"
+OWL_ONEOF = "http://www.w3.org/2002/07/owl#oneOf"
+
+#: driver-extracted class-expression axioms:
+#: (intersections, unions, oneofs) — each [(class IRI, members)]
+ClassAxioms = tuple[
+    "list[tuple[str, list[str]]]",
+    "list[tuple[str, list[str]]]",
+    "list[tuple[str, list[ListMember]]]",
+]
+
+
+def extract_class_expressions(triples: DataFrame) -> ClassAxioms:
+    """Collect ``owl:intersectionOf`` / ``owl:unionOf`` / ``owl:oneOf``
+    axioms via the driver-side RDF-list walk (``_collect_rdf_lists`` —
+    capped, fork/cycle/malformation-checked). Intersection and union
+    members must be class IRIs (a literal member raises); an EMPTY
+    intersection list raises too — a vacuous conjunction would type
+    every resource. ``oneOf`` members keep full literal term identity
+    (enumerated datatype classes are legal OWL)."""
+
+    def _iri_members(
+        axioms: list[tuple[str, list[ListMember]]], label: str
+    ) -> list[tuple[str, list[str]]]:
+        out = []
+        for subj, members in axioms:
+            elems: list[str] = []
+            for obj, _lang, is_lit in members:
+                if is_lit:
+                    raise ValueError(
+                        f"malformed {label} for {subj!r}: "
+                        f"literal list member {obj!r}"
+                    )
+                elems.append(obj)
+            if label == "intersectionOf" and not elems:
+                raise ValueError(
+                    f"malformed intersectionOf for {subj!r}: empty list "
+                    "(a vacuous conjunction would type every resource)"
+                )
+            out.append((subj, elems))
+        return out
+
+    inter = _iri_members(
+        _collect_rdf_lists(triples, OWL_INTERSECTION, "intersectionOf"),
+        "intersectionOf",
+    )
+    uni = _iri_members(
+        _collect_rdf_lists(triples, OWL_UNION, "unionOf"), "unionOf"
+    )
+    oneof = _collect_rdf_lists(triples, OWL_ONEOF, "oneOf")
+    return inter, uni, oneof
+
+
+def class_expressions_entail(
+    triples: DataFrame,
+    axioms: "ClassAxioms | None" = None,
+    *,
+    max_rounds: int = 10,
+) -> DataFrame:
+    """OWL RL boolean class-expression rules to fixpoint — the tier
+    Jena's OWL reasoners add for ``owl:intersectionOf`` / ``unionOf`` /
+    ``oneOf`` (reference parity: SIFR ontologies loaded through Jena
+    OntModelSpec get these from the reference's model layer for free;
+    see reference OntologyLoader.java model construction):
+
+    * scm-int: ``C intersectionOf (c1..ck) ⇒ C rdfs:subClassOf ci``
+    * scm-uni: ``C unionOf (c1..ck) ⇒ ci rdfs:subClassOf C``
+    * cls-oo:  ``C oneOf (v1..vk) ⇒ vi rdf:type C`` (IRI members;
+      typing a literal is not valid RDF, so literal members only
+      define the enumeration and emit no typing — cls-avf stance)
+    * cls-int1: ``C intersectionOf (c1..ck), x type c1..ck (ALL)
+      ⇒ x type C``
+    * cls-int2: ``C intersectionOf (c1..ck), x type C ⇒ x type ci``
+    * cls-uni:  ``C unionOf (c1..ck), x type ci (ANY) ⇒ x type C``
+
+    Rules chain (a oneOf/union-derived typing can complete an
+    intersection), so they run semi-naive to fixpoint with a per-round
+    novelty anti-join on the null-safe row key. Returns
+    input ∪ entailed (idempotent).
+
+    Scale shape: the axioms are SCHEMA — member lists walk driver-side
+    (capped) and become broadcast literal dimensions; scm-int/scm-uni/
+    cls-oo derive once from the dimensions alone. cls-int2 and cls-uni
+    are broadcast joins against the type slice of the DELTA (map-side,
+    no exchange). cls-int1 — the only conjunctive rule — prunes the
+    accumulated type slice to member-class typings with a broadcast
+    semi-join FIRST, so its one equi-join per round exchanges only
+    restriction-relevant rows, and the ALL-k check is a partial-agg
+    ``count == k`` (map-side combinable), never a per-entity window."""
+    t = triples.select(*_TRIPLE_COLS)
+    if axioms is None:
+        axioms = extract_class_expressions(t)
+    inter, uni, oneof = axioms
+    if not inter and not uni and not oneof:
+        return t
+    spark = t.sparkSession
+
+    def _typing(subj: str, cls: str) -> tuple:
+        return (subj, RDF_TYPE, cls, None, False)
+
+    sch = (
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean"
+    )
+    static_rows: list[tuple] = []
+    for c, members in inter:
+        for m in members:
+            static_rows.append((c, RDFS_SUBCLASSOF, m, None, False))
+    for c, members in uni:
+        for m in members:
+            static_rows.append((m, RDFS_SUBCLASSOF, c, None, False))
+    for c, members in oneof:
+        for obj, _lang, is_lit in members:
+            if not is_lit:
+                static_rows.append(_typing(obj, c))
+
+    # intersections key on the AXIOM instance (_i), not the class IRI:
+    # a class may carry several equivalent intersection lists, and
+    # pooling their members would conflate the conjunctions. Member
+    # sets dedupe per axiom — a duplicated list member must not
+    # inflate the required conjunct count.
+    int_members = [
+        (i, c, m) for i, (c, ms) in enumerate(inter) for m in sorted(set(ms))
+    ]
+    int_counts = [(i, c, len(set(ms))) for i, (c, ms) in enumerate(inter)]
+    uni_members = [(c, m) for c, ms in uni for m in ms]
+    mem_sch = "_c string, _m string"
+    int_dim = (
+        F.broadcast(
+            spark.createDataFrame(int_members, "_i long, _c string, _m string")
+        )
+        if int_members
+        else None
+    )
+    cnt_dim = (
+        F.broadcast(
+            spark.createDataFrame(int_counts, "_i long, _c string, _k long")
+        )
+        if int_counts
+        else None
+    )
+    uni_dim = (
+        F.broadcast(spark.createDataFrame(uni_members, mem_sch).distinct())
+        if uni_members
+        else None
+    )
+    member_classes = (
+        F.broadcast(
+            spark.createDataFrame(
+                [(m,) for _i, _c, m in int_members], "_m string"
+            ).distinct()
+        )
+        if int_members
+        else None
+    )
+
+    def _types_of(frame: DataFrame) -> DataFrame:
+        return frame.where(
+            (F.col("pred") == RDF_TYPE) & ~F.col("obj_is_literal")
+        )
+
+    def _derive(delta: DataFrame, allf: DataFrame) -> DataFrame | None:
+        d_types = _types_of(delta)
+        derived: list[DataFrame] = []
+        if int_dim is not None:
+            # cls-int2 (linear): delta typing of the intersection class
+            i2 = d_types.join(int_dim, d_types["obj"] == int_dim["_c"])
+            derived.append(
+                i2.select(
+                    "subj",
+                    F.lit(RDF_TYPE).alias("pred"),
+                    F.col("_m").alias("obj"),
+                    F.lit(None).cast("string").alias("obj_lang"),
+                    F.lit(False).alias("obj_is_literal"),
+                )
+            )
+            # cls-int1 (conjunctive): only (x, axiom) pairs TOUCHED by
+            # the delta can newly satisfy the conjunction
+            cand = (
+                d_types.join(int_dim, d_types["obj"] == int_dim["_m"])
+                .select("subj", "_i")
+                .distinct()
+            )
+            req = cand.join(int_dim, "_i")  # (subj, _i, _c, _m) required
+            typed = (
+                _types_of(allf)
+                .join(
+                    member_classes,
+                    F.col("obj") == member_classes["_m"],
+                    "left_semi",
+                )
+                .select(F.col("subj").alias("_ts"), F.col("obj").alias("_tc"))
+            )
+            sat = (
+                req.join(
+                    typed,
+                    (req["subj"] == typed["_ts"]) & (req["_m"] == typed["_tc"]),
+                    "left_semi",
+                )
+                .groupBy("subj", "_i", "_c")
+                .agg(F.count("*").alias("_n"))
+                .join(cnt_dim.select("_i", "_k"), "_i")
+                .where(F.col("_n") == F.col("_k"))
+            )
+            derived.append(
+                sat.select(
+                    "subj",
+                    F.lit(RDF_TYPE).alias("pred"),
+                    F.col("_c").alias("obj"),
+                    F.lit(None).cast("string").alias("obj_lang"),
+                    F.lit(False).alias("obj_is_literal"),
+                )
+            )
+        if uni_dim is not None:
+            # cls-uni (linear): delta typing of any union member
+            u = d_types.join(uni_dim, d_types["obj"] == uni_dim["_m"])
+            derived.append(
+                u.select(
+                    "subj",
+                    F.lit(RDF_TYPE).alias("pred"),
+                    F.col("_c").alias("obj"),
+                    F.lit(None).cast("string").alias("obj_lang"),
+                    F.lit(False).alias("obj_is_literal"),
+                )
+            )
+        if not derived:
+            return None
+        new = derived[0]
+        for d in derived[1:]:
+            new = new.unionByName(d)
+        return new
+
+    facts = t.localCheckpoint(eager=True)
+    if static_rows:
+        new0 = (
+            spark.createDataFrame(sorted(set(static_rows)), sch)
+            .withColumn("_k", _row_key())
+            .join(facts.select(_row_key().alias("_k")), "_k", "left_anti")
+            .drop("_k")
+            .localCheckpoint(eager=True)
+        )
+        if not new0.isEmpty():
+            facts = facts.unionByName(new0)
+    delta = facts
+    for _ in range(max_rounds):
+        new = _derive(delta, facts)
+        if new is None:
+            break
+        new = (
+            new.distinct()
+            .withColumn("_k", _row_key())
+            .join(facts.select(_row_key().alias("_k")), "_k", "left_anti")
+            .drop("_k")
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        facts = facts.unionByName(new)
+        delta = new
+    else:
+        raise ValueError(
+            f"class_expressions_entail: no fixpoint within {max_rounds} "
+            "rounds"
         )
     return facts

@@ -70,7 +70,7 @@ _DRIVER_FIRST: list[str] = [
     "gopher_quality",
     "transitive_closure",
     "sparql_path_closure",
-    "sparql_path_seq_alt",
+    "owl_class_expr_entail",
     "sparql_agg",
     "sparql_construct",
     "sparql_values_bind",
@@ -5817,3 +5817,161 @@ def q_sparql_path_elem_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
         """PREFIX ex: <http://ex/>
            SELECT ?n ?rg WHERE { ?n (ex:prev+/ex:within) ?rg }""",
     )
+
+
+@register(
+    "owl_class_expr_entail",
+    """
+    WITH nat AS (SELECT n_nationkey AS k FROM nation),
+    rows AS (
+      -- class-expression axioms + their RDF lists (schema dimension)
+      SELECT 'CI' AS subj, 'http://www.w3.org/2002/07/owl#intersectionOf' AS pred,
+             '_:i0' AS obj, CAST(NULL AS VARCHAR) AS obj_lang, FALSE AS obj_is_literal
+      UNION ALL SELECT '_:i0', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 'A', NULL, FALSE
+      UNION ALL SELECT '_:i0', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', '_:i1', NULL, FALSE
+      UNION ALL SELECT '_:i1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 'B', NULL, FALSE
+      UNION ALL SELECT '_:i1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil', NULL, FALSE
+      UNION ALL SELECT 'CU', 'http://www.w3.org/2002/07/owl#unionOf', '_:u0', NULL, FALSE
+      UNION ALL SELECT '_:u0', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 'B', NULL, FALSE
+      UNION ALL SELECT '_:u0', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', '_:u1', NULL, FALSE
+      UNION ALL SELECT '_:u1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 'E', NULL, FALSE
+      UNION ALL SELECT '_:u1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil', NULL, FALSE
+      UNION ALL SELECT 'CJ', 'http://www.w3.org/2002/07/owl#intersectionOf', '_:j0', NULL, FALSE
+      UNION ALL SELECT '_:j0', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 'CU', NULL, FALSE
+      UNION ALL SELECT '_:j0', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', '_:j1', NULL, FALSE
+      UNION ALL SELECT '_:j1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 'D', NULL, FALSE
+      UNION ALL SELECT '_:j1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil', NULL, FALSE
+      UNION ALL SELECT 'CO', 'http://www.w3.org/2002/07/owl#oneOf', '_:o0', NULL, FALSE
+      UNION ALL SELECT '_:o0', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 'n:1', NULL, FALSE
+      UNION ALL SELECT '_:o0', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', '_:o1', NULL, FALSE
+      UNION ALL SELECT '_:o1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 'n:2', NULL, FALSE
+      UNION ALL SELECT '_:o1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', '_:o2', NULL, FALSE
+      UNION ALL SELECT '_:o2', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 'gold', NULL, TRUE
+      UNION ALL SELECT '_:o2', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil', NULL, FALSE
+      UNION ALL SELECT 'y', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'CI', NULL, FALSE
+      -- instance typings per nation key
+      UNION ALL SELECT 'x:' || CAST(k AS VARCHAR),
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'A',
+                       NULL, FALSE FROM nat WHERE k % 2 = 0
+      UNION ALL SELECT 'x:' || CAST(k AS VARCHAR),
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'B',
+                       NULL, FALSE FROM nat WHERE k % 3 = 0
+      UNION ALL SELECT 'x:' || CAST(k AS VARCHAR),
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'E',
+                       NULL, FALSE FROM nat WHERE k % 5 = 0
+      UNION ALL SELECT 'x:' || CAST(k AS VARCHAR),
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'D',
+                       NULL, FALSE FROM nat WHERE k % 4 = 0
+      -- scm-int / scm-uni schema entailments
+      UNION ALL SELECT 'CI', 'http://www.w3.org/2000/01/rdf-schema#subClassOf', 'A', NULL, FALSE
+      UNION ALL SELECT 'CI', 'http://www.w3.org/2000/01/rdf-schema#subClassOf', 'B', NULL, FALSE
+      UNION ALL SELECT 'CJ', 'http://www.w3.org/2000/01/rdf-schema#subClassOf', 'CU', NULL, FALSE
+      UNION ALL SELECT 'CJ', 'http://www.w3.org/2000/01/rdf-schema#subClassOf', 'D', NULL, FALSE
+      UNION ALL SELECT 'B', 'http://www.w3.org/2000/01/rdf-schema#subClassOf', 'CU', NULL, FALSE
+      UNION ALL SELECT 'E', 'http://www.w3.org/2000/01/rdf-schema#subClassOf', 'CU', NULL, FALSE
+      -- cls-oo: IRI members typed; the literal member emits nothing
+      UNION ALL SELECT 'n:1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'CO', NULL, FALSE
+      UNION ALL SELECT 'n:2', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'CO', NULL, FALSE
+      -- cls-int2 on y (asserted CI), then cls-uni on the DERIVED y:B
+      UNION ALL SELECT 'y', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'A', NULL, FALSE
+      UNION ALL SELECT 'y', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'B', NULL, FALSE
+      UNION ALL SELECT 'y', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'CU', NULL, FALSE
+      -- cls-int1: x:k : CI iff A and B (k % 6 = 0)
+      UNION ALL SELECT 'x:' || CAST(k AS VARCHAR),
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'CI',
+                       NULL, FALSE FROM nat WHERE k % 6 = 0
+      -- cls-uni: x:k : CU iff B or E (k % 3 = 0 or k % 5 = 0)
+      UNION ALL SELECT 'x:' || CAST(k AS VARCHAR),
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'CU',
+                       NULL, FALSE FROM nat WHERE k % 3 = 0 OR k % 5 = 0
+      -- chained cls-int1: x:k : CJ iff CU (derived) and D
+      UNION ALL SELECT 'x:' || CAST(k AS VARCHAR),
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'CJ',
+                       NULL, FALSE FROM nat WHERE (k % 3 = 0 OR k % 5 = 0) AND k % 4 = 0
+    )
+    SELECT DISTINCT * FROM rows
+    """,
+)
+def q_owl_class_expr_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL RL boolean class expressions to fixpoint
+    (inference.class_expressions_entail — intersectionOf / unionOf /
+    oneOf, the tier Jena OntModels add over the restriction rules;
+    reference parity: reference OntologyLoader.java model layer):
+    RDF lists walk DRIVER-side into broadcast member dimensions,
+    scm-int/scm-uni/cls-oo derive from the dimensions alone, cls-int2
+    and cls-uni are broadcast joins on the DELTA's type slice, and
+    cls-int1's ALL-k conjunction is a partial-agg count==k over
+    member-pruned typings. Real chaining: cls-uni derives x:CU, which
+    completes the CJ = CU∧D conjunction in round 2 (and y's asserted
+    CI unfolds through int2 then re-lifts through uni). The oracle
+    unrolls the fixpoint closed-form per nation key."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_INTERSECTION,
+        OWL_ONEOF,
+        OWL_UNION,
+        RDF_TYPE,
+        class_expressions_entail,
+    )
+
+    RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    first, rest, nil = RDF_NS + "first", RDF_NS + "rest", RDF_NS + "nil"
+    sch = (
+        "subj string, pred string, obj string, obj_lang string, "
+        "obj_is_literal boolean"
+    )
+
+    def rdf_list(prefix: str, members: list) -> list:
+        rows = []
+        for i, (m, lit) in enumerate(members):
+            node = f"{prefix}{i}"
+            nxt = f"{prefix}{i + 1}" if i + 1 < len(members) else nil
+            rows.append((node, first, m, None, lit))
+            rows.append((node, rest, nxt, None, False))
+        return rows
+
+    axioms = spark.createDataFrame(
+        [
+            ("CI", OWL_INTERSECTION, "_:i0", None, False),
+            *rdf_list("_:i", [("A", False), ("B", False)]),
+            ("CU", OWL_UNION, "_:u0", None, False),
+            *rdf_list("_:u", [("B", False), ("E", False)]),
+            ("CJ", OWL_INTERSECTION, "_:j0", None, False),
+            *rdf_list("_:j", [("CU", False), ("D", False)]),
+            ("CO", OWL_ONEOF, "_:o0", None, False),
+            *rdf_list("_:o", [("n:1", False), ("n:2", False), ("gold", True)]),
+            ("y", RDF_TYPE, "CI", None, False),
+        ],
+        sch,
+    )
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    x_iri = F.concat(F.lit("x:"), k.cast("string"))
+
+    def typ(cls):
+        return F.struct(
+            x_iri.alias("subj"),
+            F.lit(RDF_TYPE).alias("pred"),
+            F.lit(cls).alias("obj"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+
+    inst = (
+        n.select(
+            F.explode(
+                F.array(
+                    F.when(k % 2 == 0, typ("A")),
+                    F.when(k % 3 == 0, typ("B")),
+                    F.when(k % 5 == 0, typ("E")),
+                    F.when(k % 4 == 0, typ("D")),
+                )
+            ).alias("t")
+        )
+        .where(F.col("t").isNotNull())
+        .select("t.*")
+    )
+    return class_expressions_entail(axioms.unionByName(inst))

@@ -973,3 +973,173 @@ def test_restrictions_no_axioms_is_identity(spark):
 
     t = _restr(spark, [("a", "p", "b", None, False)])
     assert restrictions_entail(t).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# OWL RL boolean class expressions (class_expressions_entail)
+# ---------------------------------------------------------------------------
+
+_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+
+
+def _rdf_list(prefix, members):
+    """rows for an rdf:first/rdf:rest chain; members = [(obj, lang, lit)]."""
+    rows = []
+    for i, (m, lang, lit) in enumerate(members):
+        node = f"{prefix}{i}"
+        nxt = f"{prefix}{i + 1}" if i + 1 < len(members) else _NIL
+        rows.append((node, _FIRST, m, lang, lit))
+        rows.append((node, _REST, nxt, None, False))
+    return rows
+
+
+def test_class_expressions_full_rule_set(spark):
+    """int1/int2/uni/oo plus scm-int/scm-uni, with REAL chaining:
+    z typed C1 unfolds to A,B (int2), A lifts to C2 (uni), and
+    C2∧B completes C3 (int1) — three semi-naive rounds."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_INTERSECTION,
+        OWL_ONEOF,
+        OWL_UNION,
+        class_expressions_entail,
+    )
+
+    rows = [
+        _iri("C1", OWL_INTERSECTION, "_:i0"),
+        *_rdf_list("_:i", [("A", None, False), ("B", None, False)]),
+        _iri("C2", OWL_UNION, "_:u0"),
+        *_rdf_list("_:u", [("A", None, False), ("E", None, False)]),
+        _iri("C3", OWL_INTERSECTION, "_:j0"),
+        *_rdf_list("_:j", [("C2", None, False), ("B", None, False)]),
+        _iri("C4", OWL_ONEOF, "_:o0"),
+        *_rdf_list("_:o", [("n1", None, False), ("v", None, True)]),
+        _iri("x", RDF_TYPE, "A"),
+        _iri("x", RDF_TYPE, "B"),
+        _iri("y", RDF_TYPE, "E"),
+        _iri("z", RDF_TYPE, "C1"),
+    ]
+    res = class_expressions_entail(_triples(spark, rows))
+    types = {
+        (r["subj"], r["obj"])
+        for r in res.where(f"pred = '{RDF_TYPE}'").collect()
+    }
+    subs = {
+        (r["subj"], r["obj"])
+        for r in res.where(f"pred = '{RDFS_SUBCLASSOF}'").collect()
+    }
+    # cls-int1 + cls-uni on asserted typings
+    assert ("x", "C1") in types and ("x", "C2") in types
+    # chained: x's C2 (derived) + B completes C3
+    assert ("x", "C3") in types
+    # partial conjunction never fires
+    assert ("y", "C2") in types
+    assert ("y", "C1") not in types and ("y", "C3") not in types
+    # cls-int2 unfold, then re-lift through uni and int1
+    assert {("z", "A"), ("z", "B"), ("z", "C2"), ("z", "C3")} <= types
+    # cls-oo: IRI member typed, literal member skipped
+    assert ("n1", "C4") in types
+    assert ("v", "C4") not in types
+    # scm-int / scm-uni schema triples
+    assert {("C1", "A"), ("C1", "B"), ("A", "C2"), ("E", "C2")} <= subs
+    # idempotent
+    assert class_expressions_entail(res).count() == res.count()
+
+
+def test_class_expressions_guards(spark):
+    """Literal members of intersection/union raise; empty intersection
+    raises; no axioms = identity; forked/cyclic lists raise through the
+    shared walker."""
+    import pytest as _pytest
+
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_INTERSECTION,
+        OWL_UNION,
+        class_expressions_entail,
+    )
+
+    plain = _triples(spark, [_iri("a", "p", "b")])
+    assert class_expressions_entail(plain).count() == 1
+
+    lit_member = _triples(
+        spark,
+        [
+            _iri("C", OWL_UNION, "_:l0"),
+            *_rdf_list("_:l", [("oops", None, True)]),
+        ],
+    )
+    with _pytest.raises(ValueError, match="literal list member"):
+        class_expressions_entail(lit_member)
+
+    empty_int = _triples(
+        spark,
+        [
+            _iri("C", OWL_INTERSECTION, _NIL),
+            _iri("x", RDF_TYPE, "A"),
+        ],
+    )
+    with _pytest.raises(ValueError, match="empty list"):
+        class_expressions_entail(empty_int)
+
+    cyclic = _triples(
+        spark,
+        [
+            _iri("C", OWL_INTERSECTION, "_:c0"),
+            ("_:c0", _FIRST, "A", None, False),
+            _iri("_:c0", _REST, "_:c0"),
+        ],
+    )
+    with _pytest.raises(ValueError, match="cycle"):
+        class_expressions_entail(cyclic)
+
+
+def test_class_expressions_duplicate_member_count(spark):
+    """A DUPLICATED member in an intersection list must not inflate the
+    required conjunct count: C = A ∧ A ∧ B is satisfied by {A, B}."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_INTERSECTION,
+        class_expressions_entail,
+    )
+
+    rows = [
+        _iri("C", OWL_INTERSECTION, "_:d0"),
+        *_rdf_list(
+            "_:d",
+            [("A", None, False), ("A", None, False), ("B", None, False)],
+        ),
+        _iri("x", RDF_TYPE, "A"),
+        _iri("x", RDF_TYPE, "B"),
+    ]
+    res = class_expressions_entail(_triples(spark, rows))
+    types = {
+        (r["subj"], r["obj"])
+        for r in res.where(f"pred = '{RDF_TYPE}'").collect()
+    }
+    assert ("x", "C") in types
+
+
+def test_class_expressions_multiple_axioms_same_class(spark):
+    """Two intersection axioms on ONE class stay independent
+    conjunctions (members must not pool): C = A∧B and C = D —
+    x:{D} satisfies the second alone; y:{A} satisfies neither."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_INTERSECTION,
+        class_expressions_entail,
+    )
+
+    rows = [
+        _iri("C", OWL_INTERSECTION, "_:a0"),
+        *_rdf_list("_:a", [("A", None, False), ("B", None, False)]),
+        _iri("C", OWL_INTERSECTION, "_:b0"),
+        *_rdf_list("_:b", [("D", None, False)]),
+        _iri("x", RDF_TYPE, "D"),
+        _iri("y", RDF_TYPE, "A"),
+    ]
+    res = class_expressions_entail(_triples(spark, rows))
+    types = {
+        (r["subj"], r["obj"])
+        for r in res.where(f"pred = '{RDF_TYPE}'").collect()
+    }
+    assert ("x", "C") in types
+    assert ("y", "C") not in types
