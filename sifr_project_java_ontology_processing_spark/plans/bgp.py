@@ -506,15 +506,66 @@ def _filter_to_sql(
                 raise ValueError("BGP: bound() needs a ?variable")
             out.append(f"(`{v.value}` IS NOT NULL)")
         elif t.lower() == "regex":
-            # regex(?v, "pat") -> (v RLIKE 'pat')
+            # regex(?v, "pat"[, "flags"]) -> (v RLIKE '(?flags)pat');
+            # flags i/s/m/x compile to the inline Java-regex group the
+            # oracle replays as regexp_matches(v, pat, flags)
             p.expect("(")
             v = p.term()
             p.expect(",")
             pat = p.term()
+            flags = ""
+            if p.peek() == ",":
+                p.next()
+                fl = p.term()
+                if fl.kind != "literal":
+                    raise ValueError('BGP: regex() flags must be a "literal"')
+                flags = fl.value
             p.expect(")")
             if v.kind != "var" or pat.kind != "literal":
                 raise ValueError("BGP: regex() needs (?var, \"pattern\")")
-            out.append(f"(`{v.value}` RLIKE {_sql_str(pat.value)})")
+            if not set(flags) <= set("ismx"):
+                raise ValueError(f"BGP: unsupported regex flags {flags!r}")
+            rx = f"(?{flags}){pat.value}" if flags else pat.value
+            out.append(f"(`{v.value}` RLIKE {_sql_str(rx)})")
+        elif t.lower() in ("md5", "sha1", "sha256", "sha384", "sha512"):
+            # SPARQL 17.4.4.12-16 hash builtins over the lexical form:
+            # lowercase hex, matching DuckDB's md5()/sha256() twins
+            # (sha1/384/512 have no DuckDB twin — pytest-gated vs
+            # hashlib instead)
+            fn = t.lower()
+            p.expect("(")
+            v = p.term()
+            p.expect(")")
+            arg = f"`{v.value}`" if v.kind == "var" else _sql_str(v.value)
+            if fn in ("md5", "sha1"):
+                out.append(f"{fn}({arg})")
+            else:
+                out.append(f"sha2({arg}, {fn[3:]})")
+        elif t.lower() in ("iri", "uri"):
+            # IRI(?v) / URI(?v): the triples frame is lexical, so an
+            # IRI constructor over a full-IRI string is identity on the
+            # lexical form (base resolution is out of scope); the
+            # result term is an IRI, not a literal
+            p.expect("(")
+            v = p.term()
+            p.expect(")")
+            out.append(
+                f"`{v.value}`" if v.kind == "var" else _sql_str(v.value)
+            )
+        elif t.lower() == "encode_for_uri":
+            # SPARQL 17.4.2.8 = RFC 3986 percent-encoding (unreserved
+            # A-Za-z0-9-._~ pass through, UTF-8 percent-octets upper-
+            # case hex). Spark's url_encode is form-style; rewrite its
+            # three deviations: '+'->%20 (space), %7E->'~' (unreserved
+            # tilde), '*'->%2A (reserved in 3986, bare in form style).
+            p.expect("(")
+            v = p.term()
+            p.expect(")")
+            arg = f"`{v.value}`" if v.kind == "var" else _sql_str(v.value)
+            out.append(
+                "replace(replace(replace(url_encode("
+                f"{arg}), '+', '%20'), '%7E', '~'), '*', '%2A')"
+            )
         elif t.lower() == "str":
             p.expect("(")
             v = p.term()

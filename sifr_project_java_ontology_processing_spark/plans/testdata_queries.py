@@ -5289,6 +5289,51 @@ def q_sparql_str_num_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_hash_fns",
+    """
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS s,
+           md5(n_name) AS h,
+           sha256(n_name) AS h2,
+           'n:' || CAST(n_nationkey AS VARCHAR) AS u
+    FROM nation
+    WHERE regexp_matches(n_name, 'nation_1', 'i')
+    """,
+)
+def q_sparql_hash_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 17.4.4 hash builtins + 17.4.3.14 regex flags +
+    17.4.2.8 IRI() (plans/bgp.py round 5): MD5/SHA256 over the lexical
+    form as lowercase hex (DuckDB twins exist for exactly these two —
+    SHA1/384/512 and ENCODE_FOR_URI are pytest-gated against
+    hashlib/urllib instead), regex(?v, pat, "i") compiled to the
+    inline (?i) Java/RE2-common flag group, and IRI(?s) as identity on
+    an already-absolute lexical form. All map-side Catalyst
+    expressions on one pattern scan."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    nat = _t(spark, sf_dir, "nation")
+    nul = F.lit(None).cast("string")
+    triples = nat.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("http://ex/name").alias("pred"),
+        F.col("n_name").alias("obj"),
+        nul.alias("obj_lang"),
+        F.lit(True).alias("obj_is_literal"),
+        nul.alias("obj_datatype"),
+    )
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?s ?h ?h2 ?u WHERE {
+             ?s ex:name ?v .
+             BIND(MD5(?v) AS ?h)
+             BIND(SHA256(?v) AS ?h2)
+             BIND(IRI(?s) AS ?u)
+             FILTER(regex(?v, "nation_1", "i"))
+           }""",
+    )
+
+
+@register(
     "semantic_dedup",
     f"""
     WITH cents(cidx, cvec) AS (VALUES {_ivf_cents_values()}),

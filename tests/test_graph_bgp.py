@@ -1679,6 +1679,90 @@ def test_langmatches(spark):
     assert run("en-US-x") == []
 
 
+def test_hash_builtins_match_hashlib(spark):
+    import hashlib
+
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _fns_triples(spark)
+    q = (
+        "SELECT ?s ?h1 ?h2 ?h3 ?h4 ?h5 WHERE { ?s <http://x/lbl> ?l . "
+        "BIND(MD5(?l) AS ?h1) BIND(SHA1(?l) AS ?h2) "
+        "BIND(SHA256(?l) AS ?h3) BIND(SHA384(?l) AS ?h4) "
+        "BIND(SHA512(?l) AS ?h5) }"
+    )
+    out = {r.s: r for r in execute_bgp(t, q).collect()}
+    for s, text in [("a", "hello world"), ("b", "bonjour"), ("c", "plain")]:
+        b = text.encode()
+        r = out[s]
+        assert r.h1 == hashlib.md5(b).hexdigest()
+        assert r.h2 == hashlib.sha1(b).hexdigest()
+        assert r.h3 == hashlib.sha256(b).hexdigest()
+        assert r.h4 == hashlib.sha384(b).hexdigest()
+        assert r.h5 == hashlib.sha512(b).hexdigest()
+
+
+def test_encode_for_uri_rfc3986(spark):
+    """ENCODE_FOR_URI = fn:encode-for-uri: RFC 3986 unreserved chars
+    pass through, everything else (incl. space, '+', '*', multi-byte
+    UTF-8) becomes uppercase %-octets — i.e. urllib quote(safe='')."""
+    from urllib.parse import quote
+
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    texts = ["Los Angeles", "~tilde*star+plus/slash?q=1", "héllo€", "a_b-c.d"]
+    rows = [
+        (f"s{i}", "http://x/v", txt, True, None, None)
+        for i, txt in enumerate(texts)
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, obj_datatype string",
+    )
+    q = (
+        "SELECT ?s ?e WHERE { ?s <http://x/v> ?v . "
+        "BIND(ENCODE_FOR_URI(?v) AS ?e) }"
+    )
+    out = {r.s: r.e for r in execute_bgp(t, q).collect()}
+    for i, txt in enumerate(texts):
+        assert out[f"s{i}"] == quote(txt, safe=""), txt
+
+
+def test_iri_uri_builtin_identity_on_lexical_form(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _fns_triples(spark)
+    q = (
+        "SELECT ?s ?u ?u2 WHERE { ?s <http://x/lbl> ?l . "
+        "BIND(IRI(?s) AS ?u) BIND(URI(?s) AS ?u2) }"
+    )
+    for r in execute_bgp(t, q).collect():
+        assert r.u == r.s and r.u2 == r.s
+
+
+def test_regex_flags(spark):
+    import pytest as _pytest
+
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    t = _fns_triples(spark)
+
+    def run(pat, fl):
+        q = (
+            "SELECT ?s WHERE { ?s <http://x/lbl> ?l "
+            f'FILTER(regex(?l, "{pat}", "{fl}")) }}'
+        )
+        return sorted(r.s for r in execute_bgp(t, q).collect())
+
+    assert run("BONJOUR", "i") == ["b"]
+    assert run("BONJOUR", "") == []
+    assert run("^WORLD$", "im") == []  # ^$ anchor whole string w/o m
+    # unsupported flag is a parse-time error, not silent
+    with _pytest.raises(ValueError, match="regex flags"):
+        run("x", "g")
+
+
 def test_compat_negation_join_vs_bruteforce(spark):
     """Exhaustive randomized check of _compat_negation_join against a
     pure-Python implementation of SPARQL compatibility semantics:
