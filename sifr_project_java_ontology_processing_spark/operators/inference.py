@@ -1821,3 +1821,259 @@ def class_expressions_entail(
             "rounds"
         )
     return facts
+
+
+OWL_DISJOINTWITH = "http://www.w3.org/2002/07/owl#disjointWith"
+OWL_PROPDISJOINTWITH = "http://www.w3.org/2002/07/owl#propertyDisjointWith"
+OWL_IRREFLEXIVE = "http://www.w3.org/2002/07/owl#IrreflexiveProperty"
+OWL_ASYMMETRIC = "http://www.w3.org/2002/07/owl#AsymmetricProperty"
+OWL_DIFFERENTFROM = "http://www.w3.org/2002/07/owl#differentFrom"
+OWL_NOTHING = "http://www.w3.org/2002/07/owl#Nothing"
+OWL_NPA = "http://www.w3.org/2002/07/owl#NegativePropertyAssertion"
+OWL_NPA_SOURCE = "http://www.w3.org/2002/07/owl#sourceIndividual"
+OWL_NPA_PROP = "http://www.w3.org/2002/07/owl#assertionProperty"
+OWL_NPA_TARGET = "http://www.w3.org/2002/07/owl#targetIndividual"
+OWL_NPA_VALUE = "http://www.w3.org/2002/07/owl#targetValue"
+
+
+def consistency_violations(triples: DataFrame) -> DataFrame:
+    """OWL RL consistency audit: the profile's "false"-conclusion rules
+    materialized as a violations frame instead of an exception — one
+    row per inconsistency, ``(rule, subj, pred, obj)``.  The reference
+    never validates its merged SKOS/UMLS graph (OntologyMerger.java
+    unions models unchecked); at web scale a KG build wants the
+    violation SET, not a boolean, so every rule lands as rows:
+
+    * cax-dw      — ``(C1 disjointWith C2) (x type C1) (x type C2)``;
+                    row ``(x, least(C1,C2), greatest(C1,C2))``
+    * prp-irp     — ``(P type IrreflexiveProperty) (x P x)``;
+                    row ``(x, P, x)``
+    * prp-asyp    — ``(P type AsymmetricProperty) (x P y) (y P x)``;
+                    row ``(least(x,y), P, greatest(x,y))`` (pair once)
+    * prp-pdw     — ``(P1 propertyDisjointWith P2) (x P1 y) (x P2 y)``;
+                    row ``(x, least(P1,P2)|greatest(P1,P2), y)``
+    * eq-diff1    — ``(x sameAs y) (x differentFrom y)``;
+                    row ``(least(x,y), owl:sameAs, greatest(x,y))``
+    * cls-nothing2— ``(x type owl:Nothing)``; row ``(x, rdf:type,
+                    owl:Nothing)``
+    * prp-npa1/2  — a reified NegativePropertyAssertion whose asserted
+                    triple nevertheless holds; row = the asserted triple
+
+    Scale shape (the WebPIE stance shared by the rest of this module):
+    every schema dimension (disjoint class pairs, declared irreflexive/
+    asymmetric props, disjoint property pairs, assembled NPAs) is tiny
+    and broadcast; the instance stream is scanned per rule family with
+    a predicate pushdown filter and never shuffled except (a) the
+    type-slice self-equi-join on ``subj`` for cax-dw — both sides are
+    the SAME semi-join-pruned slice of typing triples whose classes
+    appear in some disjoint pair, so the exchange is dimension-bounded,
+    not fact-bounded — and (b) the pred-filtered slice ⋈ its own
+    mirror for prp-asyp, again pruned to declared-asymmetric predicates
+    first.  eq-diff1 is a broadcast join when either side fits
+    (sameAs/differentFrom assertions are canonicalization inputs, not
+    the fact stream).  Symmetric axiom declarations are normalized with
+    least/greatest so mirror declarations don't double-report."""
+    t = triples.select(*_TRIPLE_COLS)
+
+    def _decl(type_iri: str) -> DataFrame:
+        return (
+            t.where((F.col("pred") == RDF_TYPE) & (F.col("obj") == type_iri))
+            .select(F.col("subj").alias("_p"))
+            .distinct()
+        )
+
+    def _pairs(pred_iri: str) -> DataFrame:
+        # symmetric axiom: normalize so (a,b) and (b,a) declare once
+        return (
+            t.where((F.col("pred") == pred_iri) & ~F.col("obj_is_literal"))
+            .select(
+                F.least("subj", "obj").alias("_a"),
+                F.greatest("subj", "obj").alias("_b"),
+            )
+            .distinct()
+        )
+
+    out_cols = [
+        F.col("rule"), F.col("subj"), F.col("pred"), F.col("obj"),
+    ]
+
+    # cax-dw — prune the typing slice to classes in SOME disjoint pair
+    # (semi-join against the broadcast dim) before the subj self-join.
+    dw = _pairs(OWL_DISJOINTWITH)
+    dw_classes = (
+        dw.select(F.col("_a").alias("_c"))
+        .unionByName(dw.select(F.col("_b").alias("_c")))
+        .distinct()
+    )
+    types = (
+        t.where(F.col("pred") == RDF_TYPE)
+        .join(F.broadcast(dw_classes), F.col("obj") == F.col("_c"))
+        .select(F.col("subj").alias("_x"), F.col("obj").alias("_cls"))
+        .distinct()
+    )
+    t2 = types.select(F.col("_x").alias("_x2"), F.col("_cls").alias("_cls2"))
+    cax_dw = (
+        types.join(t2, (types["_x"] == t2["_x2"]) & (types["_cls"] < t2["_cls2"]))
+        .join(
+            F.broadcast(dw),
+            (F.col("_cls") == F.col("_a")) & (F.col("_cls2") == F.col("_b")),
+            "left_semi",
+        )
+        .select(
+            F.lit("cax-dw").alias("rule"),
+            F.col("_x").alias("subj"),
+            F.col("_cls").alias("pred"),
+            F.col("_cls2").alias("obj"),
+        )
+    )
+
+    # prp-irp — map-side: broadcast declared props, filter subj == obj
+    irp = (
+        t.where((F.col("subj") == F.col("obj")) & ~F.col("obj_is_literal"))
+        .join(F.broadcast(_decl(OWL_IRREFLEXIVE)), F.col("pred") == F.col("_p"), "left_semi")
+        .select(
+            F.lit("prp-irp").alias("rule"), "subj", "pred", "obj",
+        )
+        .distinct()
+    )
+
+    # prp-asyp — pred-pruned slice ⋈ its mirror; emit each pair once
+    asy_slice = (
+        t.where(~F.col("obj_is_literal"))
+        .join(F.broadcast(_decl(OWL_ASYMMETRIC)), F.col("pred") == F.col("_p"), "left_semi")
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
+    mirror = asy_slice.select(
+        F.col("obj").alias("subj"), F.col("pred").alias("pred"),
+        F.col("subj").alias("obj"),
+    )
+    asyp = (
+        asy_slice.intersect(mirror)
+        .where(F.col("subj") <= F.col("obj"))  # pair once; x==y also irp-shaped but asserted both ways
+        .select(
+            F.lit("prp-asyp").alias("rule"),
+            F.least("subj", "obj").alias("subj"),
+            "pred",
+            F.greatest("subj", "obj").alias("obj"),
+        )
+    )
+
+    # prp-pdw — disjoint property pairs: (x P1 y) ∧ (x P2 y). Prune the
+    # fact stream to predicates in SOME pair, then self-join on (x, y)
+    # — exchange bounded by the pruned slice.
+    pdw = _pairs(OWL_PROPDISJOINTWITH)
+    pdw_props = (
+        pdw.select(F.col("_a").alias("_c"))
+        .unionByName(pdw.select(F.col("_b").alias("_c")))
+        .distinct()
+    )
+    val = F.concat_ws(
+        "\x1f", F.col("obj"), F.coalesce(F.col("obj_lang"), F.lit("")),
+        F.col("obj_is_literal").cast("string"),
+    )
+    pslice = (
+        t.join(F.broadcast(pdw_props), F.col("pred") == F.col("_c"), "left_semi")
+        .select(F.col("subj").alias("_x"), F.col("pred").alias("_q"), val.alias("_v"), F.col("obj").alias("_o"))
+        .distinct()
+    )
+    p2 = pslice.select(
+        F.col("_x").alias("_x2"), F.col("_q").alias("_q2"), F.col("_v").alias("_v2")
+    )
+    prp_pdw = (
+        pslice.join(
+            p2,
+            (pslice["_x"] == p2["_x2"]) & (pslice["_v"] == p2["_v2"])
+            & (pslice["_q"] < p2["_q2"]),
+        )
+        .join(
+            F.broadcast(pdw),
+            (F.col("_q") == F.col("_a")) & (F.col("_q2") == F.col("_b")),
+            "left_semi",
+        )
+        .select(
+            F.lit("prp-pdw").alias("rule"),
+            F.col("_x").alias("subj"),
+            F.concat_ws("|", F.col("_q"), F.col("_q2")).alias("pred"),
+            F.col("_o").alias("obj"),
+        )
+    )
+
+    # eq-diff1 — sameAs ∩ differentFrom, order-normalized on both sides
+    same = (
+        t.where(F.col("pred") == OWL_SAMEAS)
+        .select(F.least("subj", "obj").alias("subj"), F.greatest("subj", "obj").alias("obj"))
+        .distinct()
+    )
+    diff = (
+        t.where(F.col("pred") == OWL_DIFFERENTFROM)
+        .select(F.least("subj", "obj").alias("subj"), F.greatest("subj", "obj").alias("obj"))
+        .distinct()
+    )
+    eq_diff = same.intersect(diff).select(
+        F.lit("eq-diff1").alias("rule"), "subj",
+        F.lit(OWL_SAMEAS).alias("pred"), "obj",
+    )
+
+    # cls-nothing2 — membership in the empty class
+    nothing = (
+        t.where((F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_NOTHING))
+        .select(
+            F.lit("cls-nothing2").alias("rule"), "subj",
+            F.lit(RDF_TYPE).alias("pred"), "obj",
+        )
+        .distinct()
+    )
+
+    # prp-npa1/2 — assemble the reified NPA dimension (schema-sized:
+    # one groupBy over the 4 reification predicates), broadcast it,
+    # probe the fact stream for the asserted triple.
+    npa_preds = [OWL_NPA_SOURCE, OWL_NPA_PROP, OWL_NPA_TARGET, OWL_NPA_VALUE]
+    npa = (
+        t.where(F.col("pred").isin(npa_preds))
+        .groupBy("subj")
+        .agg(
+            F.min(F.when(F.col("pred") == OWL_NPA_SOURCE, F.col("obj"))).alias("_src"),
+            F.min(F.when(F.col("pred") == OWL_NPA_PROP, F.col("obj"))).alias("_prop"),
+            F.min(F.when(F.col("pred") == OWL_NPA_TARGET, F.col("obj"))).alias("_tgt"),
+            F.min(
+                F.when(
+                    F.col("pred") == OWL_NPA_VALUE,
+                    F.concat_ws(
+                        "\x1f", F.col("obj"),
+                        F.coalesce(F.col("obj_lang"), F.lit("")), F.lit("true"),
+                    ),
+                )
+            ).alias("_tval"),
+        )
+        .where(F.col("_src").isNotNull() & F.col("_prop").isNotNull())
+    )
+    npa1 = npa.where(F.col("_tgt").isNotNull()).select("_src", "_prop", F.col("_tgt").alias("_want"))
+    npa2 = npa.where(F.col("_tval").isNotNull()).select("_src", "_prop", F.col("_tval").alias("_want"))
+    fact_keyed = t.select(
+        "subj", "pred", "obj",
+        F.when(F.col("obj_is_literal"), val).otherwise(F.col("obj")).alias("_k"),
+    )
+    def _npa_hits(dim: DataFrame, rule: str) -> DataFrame:
+        return (
+            fact_keyed.join(
+                F.broadcast(dim),
+                (F.col("subj") == F.col("_src"))
+                & (F.col("pred") == F.col("_prop"))
+                & (F.col("_k") == F.col("_want")),
+                "left_semi",
+            )
+            .select(F.lit(rule).alias("rule"), "subj", "pred", "obj")
+            .distinct()
+        )
+
+    return (
+        cax_dw.select(*out_cols)
+        .unionByName(irp.select(*out_cols))
+        .unionByName(asyp.select(*out_cols))
+        .unionByName(prp_pdw.select(*out_cols))
+        .unionByName(eq_diff.select(*out_cols))
+        .unionByName(nothing.select(*out_cols))
+        .unionByName(_npa_hits(npa1, "prp-npa1").select(*out_cols))
+        .unionByName(_npa_hits(npa2, "prp-npa2").select(*out_cols))
+    )

@@ -6020,3 +6020,147 @@ def q_owl_class_expr_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t.*")
     )
     return class_expressions_entail(axioms.unionByName(inst))
+
+
+@register(
+    "owl_consistency_check",
+    """
+    WITH n AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+         s AS (SELECT s_suppkey AS k FROM supplier)
+    SELECT 'cax-dw' AS rule, 'n:' || CAST(k AS VARCHAR) AS subj,
+           'c:even' AS pred, 'c:small' AS obj
+    FROM n WHERE k % 2 = 0 AND k < 10
+    UNION ALL
+    SELECT 'prp-irp', 'n:' || CAST(k AS VARCHAR), 'p:near',
+           'n:' || CAST(k AS VARCHAR)
+    FROM n WHERE k % 7 = k
+    UNION ALL
+    SELECT 'prp-asyp',
+           least('n:' || CAST(k AS VARCHAR),
+                 'n:' || CAST((k + 1) % 25 AS VARCHAR)),
+           'p:gt',
+           greatest('n:' || CAST(k AS VARCHAR),
+                    'n:' || CAST((k + 1) % 25 AS VARCHAR))
+    FROM n WHERE k % 6 = 0
+    UNION ALL
+    SELECT 'prp-pdw', 'n:' || CAST(k AS VARCHAR), 'p:reg|p:reg2',
+           'r:' || CAST(r AS VARCHAR)
+    FROM n WHERE k % 4 = 0
+    UNION ALL
+    SELECT 'eq-diff1',
+           least('n:' || CAST(k AS VARCHAR), 'n:' || CAST(k + 100 AS VARCHAR)),
+           'http://www.w3.org/2002/07/owl#sameAs',
+           greatest('n:' || CAST(k AS VARCHAR),
+                    'n:' || CAST(k + 100 AS VARCHAR))
+    FROM n WHERE k % 6 = 0
+    UNION ALL
+    SELECT 'cls-nothing2', 'n:' || CAST(k AS VARCHAR),
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+           'http://www.w3.org/2002/07/owl#Nothing'
+    FROM n WHERE k % 11 = 10
+    UNION ALL
+    SELECT 'prp-npa1', 's:' || CAST(k AS VARCHAR), 'p:rank',
+           'v:' || CAST(k % 5 AS VARCHAR)
+    FROM s WHERE k % 10 = k % 5
+    UNION ALL
+    SELECT 'prp-npa2', 's:' || CAST(k AS VARCHAR), 'p:tag',
+           't' || CAST(k % 4 AS VARCHAR)
+    FROM s WHERE k % 3 = k % 4
+    """,
+)
+def q_owl_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL RL consistency audit (inference.consistency_violations): the
+    profile's "false"-conclusion rules (cax-dw, prp-irp, prp-asyp,
+    prp-pdw, eq-diff1, cls-nothing2, prp-npa1/2) materialized as a
+    violations frame over a synthetic graph built from nation (25
+    individuals, disjoint classes / irreflexive / asymmetric /
+    property-disjoint / sameAs-differentFrom / owl:Nothing plants) and
+    supplier (reified NegativePropertyAssertions, individual- and
+    literal-valued). The oracle states each rule's violation set
+    closed-form from the same arithmetic plants. The reference merges
+    SKOS/UMLS models unchecked (OntologyMerger.java:34-58); this is the
+    validation pass a web-scale KG build runs after merge."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_ASYMMETRIC,
+        OWL_DIFFERENTFROM,
+        OWL_DISJOINTWITH,
+        OWL_IRREFLEXIVE,
+        OWL_NOTHING,
+        OWL_NPA_PROP,
+        OWL_NPA_SOURCE,
+        OWL_NPA_TARGET,
+        OWL_NPA_VALUE,
+        OWL_PROPDISJOINTWITH,
+        OWL_SAMEAS,
+        RDF_TYPE,
+        consistency_violations,
+    )
+
+    nat = _t(spark, sf_dir, "nation")
+    sup = _t(spark, sf_dir, "supplier")
+    nul = F.lit(None).cast("string")
+
+    def row(s, p, o, lit=False):
+        return F.struct(
+            s.alias("subj"),
+            (p if not isinstance(p, str) else F.lit(p)).alias("pred"),
+            o.alias("obj"),
+            nul.alias("obj_lang"), F.lit(lit).alias("obj_is_literal"),
+        )
+
+    k = F.col("n_nationkey")
+    ni = F.concat(F.lit("n:"), k.cast("string"))
+    succ = F.concat(F.lit("n:"), ((k + 1) % 25).cast("string"))
+    far = F.concat(F.lit("n:"), (k + 100).cast("string"))
+    ri = F.concat(F.lit("r:"), F.col("n_regionkey").cast("string"))
+    nt = nat.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    row(ni, RDF_TYPE, F.when(k % 2 == 0, F.lit("c:even")).otherwise(F.lit("c:odd"))),
+                    F.when(k < 10, row(ni, RDF_TYPE, F.lit("c:small"))),
+                    row(ni, "p:near", F.concat(F.lit("n:"), (k % 7).cast("string"))),
+                    row(ni, "p:gt", succ),
+                    F.when(k % 6 == 0, row(succ, "p:gt", ni)),
+                    row(ni, "p:reg", ri),
+                    F.when(k % 4 == 0, row(ni, "p:reg2", ri)),
+                    F.when(k % 3 == 0, row(ni, OWL_SAMEAS, far)),
+                    F.when(k % 6 == 0, row(far, OWL_DIFFERENTFROM, ni)),
+                    F.when(k % 11 == 10, row(ni, RDF_TYPE, F.lit(OWL_NOTHING))),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("t")
+    ).select("t.*")
+
+    sk = F.col("s_suppkey")
+    si = F.concat(F.lit("s:"), sk.cast("string"))
+    na = F.concat(F.lit("_:na"), sk.cast("string"))
+    nb = F.concat(F.lit("_:nb"), sk.cast("string"))
+    st = sup.select(
+        F.explode(
+            F.array(
+                row(na, OWL_NPA_SOURCE, si),
+                row(na, OWL_NPA_PROP, F.lit("p:rank")),
+                row(na, OWL_NPA_TARGET, F.concat(F.lit("v:"), (sk % 10).cast("string"))),
+                row(si, "p:rank", F.concat(F.lit("v:"), (sk % 5).cast("string"))),
+                row(nb, OWL_NPA_SOURCE, si),
+                row(nb, OWL_NPA_PROP, F.lit("p:tag")),
+                row(nb, OWL_NPA_VALUE, F.concat(F.lit("t"), (sk % 3).cast("string")), True),
+                row(si, "p:tag", F.concat(F.lit("t"), (sk % 4).cast("string")), True),
+            )
+        ).alias("t")
+    ).select("t.*")
+
+    axioms = spark.createDataFrame(
+        [
+            ("c:even", OWL_DISJOINTWITH, "c:small", None, False),
+            ("p:near", RDF_TYPE, OWL_IRREFLEXIVE, None, False),
+            ("p:gt", RDF_TYPE, OWL_ASYMMETRIC, None, False),
+            ("p:reg", OWL_PROPDISJOINTWITH, "p:reg2", None, False),
+        ],
+        "subj string, pred string, obj string, obj_lang string, obj_is_literal boolean",
+    )
+    return consistency_violations(
+        nt.unionByName(st).unionByName(axioms)
+    ).select("rule", "subj", "pred", "obj")

@@ -1143,3 +1143,107 @@ def test_class_expressions_multiple_axioms_same_class(spark):
     }
     assert ("x", "C") in types
     assert ("y", "C") not in types
+
+
+def test_consistency_violations_all_rules(spark):
+    """Every OWL RL "false" rule fires exactly on its planted
+    inconsistency and nowhere else; symmetric pairs report once."""
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_ASYMMETRIC,
+        OWL_DIFFERENTFROM,
+        OWL_DISJOINTWITH,
+        OWL_IRREFLEXIVE,
+        OWL_NOTHING,
+        OWL_NPA_PROP,
+        OWL_NPA_SOURCE,
+        OWL_NPA_TARGET,
+        OWL_NPA_VALUE,
+        OWL_PROPDISJOINTWITH,
+        OWL_SAMEAS,
+        consistency_violations,
+    )
+
+    rows = [
+        # cax-dw (axiom asserted in BOTH directions -> still one row)
+        _iri("C1", OWL_DISJOINTWITH, "C2"),
+        _iri("C2", OWL_DISJOINTWITH, "C1"),
+        _iri("x1", RDF_TYPE, "C1"),
+        _iri("x1", RDF_TYPE, "C2"),
+        _iri("x2", RDF_TYPE, "C1"),  # only one side: fine
+        # prp-irp
+        _iri("pIr", RDF_TYPE, OWL_IRREFLEXIVE),
+        _iri("a", "pIr", "a"),
+        _iri("a", "pIr", "b"),  # fine
+        _iri("c", "pUn", "c"),  # undeclared: fine
+        # prp-asyp (mutual pair reported once, normalized)
+        _iri("pAs", RDF_TYPE, OWL_ASYMMETRIC),
+        _iri("n", "pAs", "m"),
+        _iri("m", "pAs", "n"),
+        _iri("m", "pAs", "q"),  # one-way: fine
+        # prp-pdw
+        _iri("p1", OWL_PROPDISJOINTWITH, "p2"),
+        _iri("s", "p1", "o"),
+        _iri("s", "p2", "o"),
+        _iri("s", "p2", "o2"),  # different object: fine
+        ("s2", "p1", "lv", None, True),  # literal twins violate too
+        ("s2", "p2", "lv", None, True),
+        ("s3", "p1", "lv", "en", True),  # lang differs from plain:
+        ("s3", "p2", "lv", "fr", True),  # DIFFERENT values, fine
+        # eq-diff1 (stated in opposite orders)
+        _iri("u", OWL_SAMEAS, "v"),
+        _iri("v", OWL_DIFFERENTFROM, "u"),
+        _iri("u", OWL_SAMEAS, "w"),  # no differentFrom: fine
+        # cls-nothing2
+        _iri("z", RDF_TYPE, OWL_NOTHING),
+        # prp-npa1 violated, npa2 violated, third NPA holds vacuously
+        _iri("_:n1", OWL_NPA_SOURCE, "i"),
+        _iri("_:n1", OWL_NPA_PROP, "pN"),
+        _iri("_:n1", OWL_NPA_TARGET, "j"),
+        _iri("i", "pN", "j"),
+        _iri("_:n2", OWL_NPA_SOURCE, "i"),
+        _iri("_:n2", OWL_NPA_PROP, "pV"),
+        ("_:n2", OWL_NPA_VALUE, "42", None, True),
+        ("i", "pV", "42", None, True),
+        _iri("_:n3", OWL_NPA_SOURCE, "i"),
+        _iri("_:n3", OWL_NPA_PROP, "pN"),
+        _iri("_:n3", OWL_NPA_TARGET, "nope"),
+        # npa2 with a matching lexical form but an IRI object: no hit
+        _iri("_:n4", OWL_NPA_SOURCE, "i"),
+        _iri("_:n4", OWL_NPA_PROP, "pW"),
+        ("_:n4", OWL_NPA_VALUE, "53", None, True),
+        _iri("i", "pW", "53"),
+    ]
+    out = {
+        (r.rule, r.subj, r.pred, r.obj)
+        for r in consistency_violations(
+            spark.createDataFrame(rows, SCHEMA)
+        ).collect()
+    }
+    assert out == {
+        ("cax-dw", "x1", "C1", "C2"),
+        ("prp-irp", "a", "pIr", "a"),
+        ("prp-asyp", "m", "pAs", "n"),
+        ("prp-pdw", "s", "p1|p2", "o"),
+        ("prp-pdw", "s2", "p1|p2", "lv"),
+        ("eq-diff1", "u", OWL_SAMEAS, "v"),
+        ("cls-nothing2", "z", RDF_TYPE, OWL_NOTHING),
+        ("prp-npa1", "i", "pN", "j"),
+        ("prp-npa2", "i", "pV", "42"),
+    }
+
+
+def test_consistency_violations_clean_graph_empty(spark):
+    from sifr_project_java_ontology_processing_spark.operators.inference import (
+        OWL_DISJOINTWITH,
+        consistency_violations,
+    )
+
+    rows = [
+        _iri("C1", OWL_DISJOINTWITH, "C2"),
+        _iri("x", RDF_TYPE, "C1"),
+        _iri("y", RDF_TYPE, "C2"),
+        _iri("x", "p", "y"),
+    ]
+    assert (
+        consistency_violations(spark.createDataFrame(rows, SCHEMA)).count() == 0
+    )
