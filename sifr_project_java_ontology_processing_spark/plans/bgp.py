@@ -458,7 +458,8 @@ def _filter_to_sql(
     expression.
 
     Supported: regex(?v, "pat"), str(?v), bound(?v), the _SQL_FUNCS
-    string builtins (incl. IF/COALESCE), comparisons, && || !,
+    string builtins (incl. IF/COALESCE), IN / NOT IN term lists,
+    sameTerm(?a, ?b), comparisons, && || !,
     parentheses, string/number literals, <IRI> terms (compared on the
     lexical form), variables, and the RDF-term inspectors lang(?v) /
     datatype(?v) / isIRI / isLiteral / isBlank — these compile against
@@ -571,6 +572,71 @@ def _filter_to_sql(
             v = p.term()
             p.expect(")")
             out.append(f"`{v.value}`")
+        elif t.lower() == "in" or (
+            t.lower() == "not"
+            and p.peek() is not None
+            and p.peek().lower() == "in"
+        ):
+            # SPARQL 17.4.1.9/10 IN / NOT IN: equality against an
+            # explicit term list, compared on the lexical form (a
+            # number in the list compiles as its lexical string —
+            # consistent with the frame's string columns and the
+            # DuckDB oracle's VARCHAR IN list). SQL's IN shares the
+            # spec's short-circuit NULL semantics: an unbound left
+            # operand is a type error -> NULL -> row filtered.
+            neg = t.lower() == "not"
+            if neg:
+                p.next()  # the IN keyword
+            p.expect("(")
+            if p.peek() == ")":
+                # `?x IN ()` is legal SPARQL (always false) but SQL
+                # syntax rejects an empty list; nothing useful to
+                # compile against, so fail loudly instead of guessing
+                raise ValueError("BGP: empty IN () list is unsupported")
+            elems: list[str] = []
+            while True:
+                e = p.term()
+                elems.append(
+                    f"`{e.value}`" if e.kind == "var" else _sql_str(e.value)
+                )
+                nxt = p.next()
+                if nxt == ")":
+                    break
+                if nxt != ",":
+                    raise ValueError("BGP: IN list expects ',' or ')'")
+            kw = "NOT IN" if neg else "IN"
+            out.append(f"{kw} ({', '.join(elems)})")
+        elif t.lower() == "sameterm":
+            # SPARQL 17.4.1.8 sameTerm: RDF term identity — lexical
+            # form AND literal-ness AND lang tag AND datatype all
+            # equal. Compiled against the __m_* companions (projected
+            # at the pattern scan via `meta`); an unbound argument is
+            # a type error (NULL = ... -> NULL -> row filtered),
+            # matching Jena/ARQ. The datatype leg coalesces to
+            # xsd:string, not '': RDF 1.1 makes a plain literal THE
+            # SAME TERM as an explicit ^^xsd:string one (the constant
+            # is also applied to IRI bindings, where it is inert —
+            # both sides coalesce to the same value).
+            p.expect("(")
+            a = p.term()
+            p.expect(",")
+            b = p.term()
+            p.expect(")")
+            if a.kind != "var" or b.kind != "var":
+                raise ValueError("BGP: sameTerm() needs two ?variables")
+            meta.add(a.value)
+            meta.add(b.value)
+            av, bv = a.value, b.value
+            out.append(
+                f"(`{av}` = `{bv}` "
+                f"AND `__m_lit_{av}` = `__m_lit_{bv}` "
+                f"AND coalesce(`__m_lang_{av}`, '') = "
+                f"coalesce(`__m_lang_{bv}`, '') "
+                f"AND coalesce(`__m_dt_{av}`, "
+                f"'http://www.w3.org/2001/XMLSchema#string') = "
+                f"coalesce(`__m_dt_{bv}`, "
+                f"'http://www.w3.org/2001/XMLSchema#string'))"
+            )
         elif t.lower() in ("abs", "ceil", "floor", "round"):
             # SPARQL numeric builtins: a non-numeric lexical form is a
             # type error -> try_cast yields NULL and the enclosing

@@ -6164,3 +6164,72 @@ def q_owl_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return consistency_violations(
         nt.unionByName(st).unionByName(axioms)
     ).select("rule", "subj", "pred", "obj")
+
+
+@register(
+    "sparql_in_sameterm",
+    """
+    SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS s, n_name AS nm
+    FROM nation
+    WHERE ((n_nationkey % 2 = 0) = (n_nationkey % 3 = 0))
+      AND CAST(n_nationkey AS VARCHAR)
+            IN ('0','3','4','6','9','11','12','15','18','21','24')
+      AND n_name NOT IN ('KENYA', 'PERU')
+    """,
+)
+def q_sparql_in_sameterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 IN / NOT IN term lists and sameTerm() (plans/bgp.py
+    round 5). Fixture: every nation carries the SAME lexical note
+    under ex:a and ex:b but with lang tags assigned by different
+    moduli (fr on even keys vs fr on %3==0 keys), so
+    ``sameTerm(?va, ?vb)`` is true exactly when the two tag rules
+    agree — term identity discriminates on the lang leg while the
+    lexical leg is constant. ``?w IN (...)`` then keeps an explicit
+    key list compared on the lexical form (numbers in the list
+    compile as their lexical strings), and ``?nm NOT IN`` drops two
+    names. All three compile to one map-side Catalyst predicate over
+    the pattern join — no shuffle beyond the subject equi-joins. The
+    oracle replays the modulus identity and both lists closed-form."""
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    nat = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    n_iri = F.concat(F.lit("n:"), k.cast("string"))
+    nul = F.lit(None).cast("string")
+
+    def note(pred, tag_cond):
+        return nat.select(
+            n_iri.alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.col("n_name").alias("obj"),
+            F.when(tag_cond, F.lit("fr")).otherwise(nul).alias("obj_lang"),
+            F.lit(True).alias("obj_is_literal"),
+            nul.alias("obj_datatype"),
+        )
+
+    score = nat.select(
+        n_iri.alias("subj"),
+        F.lit("http://ex/score").alias("pred"),
+        k.cast("string").alias("obj"),
+        nul.alias("obj_lang"),
+        F.lit(True).alias("obj_is_literal"),
+        nul.alias("obj_datatype"),
+    )
+    triples = (
+        note("http://ex/a", k % 2 == 0)
+        .unionByName(note("http://ex/b", k % 3 == 0))
+        .unionByName(score)
+    )
+    return execute_bgp(
+        triples,
+        """PREFIX ex: <http://ex/>
+           SELECT ?s ?nm WHERE {
+             ?s ex:a ?va .
+             ?s ex:b ?vb .
+             ?s ex:score ?w .
+             BIND(str(?va) AS ?nm)
+             FILTER(sameTerm(?va, ?vb))
+             FILTER(?w IN (0, 3, 4, 6, 9, 11, 12, 15, 18, 21, 24))
+             FILTER(?nm NOT IN ("KENYA", "PERU"))
+           }""",
+    )

@@ -2039,3 +2039,79 @@ def test_optional_groups_join_in_text_order(spark):
         """,
     ).collect()
     assert [(r["s"], r["x"]) for r in out] == [("s1", "w1!")]
+
+
+_SAMETERM_NT = [
+    '<http://x/1> <http://x/p> "v"@fr .',
+    '<http://x/1> <http://x/q> "v"@fr .',
+    '<http://x/2> <http://x/p> "v"@fr .',
+    '<http://x/2> <http://x/q> "v"@en .',
+    '<http://x/3> <http://x/p> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+    '<http://x/3> <http://x/q> "5" .',
+    '<http://x/4> <http://x/p> "w"^^<http://www.w3.org/2001/XMLSchema#string> .',
+    '<http://x/4> <http://x/q> "w" .',
+    '<http://x/5> <http://x/p> "a" .',
+    '<http://x/5> <http://x/q> "b" .',
+    '<http://x/6> <http://x/p> <http://x/ref> .',
+    '<http://x/6> <http://x/q> <http://x/ref> .',
+]
+
+
+def test_sameterm_builtin(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        parse_ntriples_lines,
+    )
+
+    lines = spark.createDataFrame(
+        [(l,) for l in _SAMETERM_NT], "value string"
+    )
+    t = parse_ntriples_lines(lines, keep_datatype=True).drop("_raw")
+    same = {
+        r.s
+        for r in execute_bgp(
+            t,
+            "SELECT ?s WHERE { ?s <http://x/p> ?v . ?s <http://x/q> ?w "
+            "FILTER(sameTerm(?v, ?w)) }",
+        ).collect()
+    }
+    # 1: identical lang-tagged; 4: explicit ^^xsd:string IS the plain
+    # literal per RDF 1.1; 6: same IRI term. 2 differs by lang, 3 by
+    # datatype (integer vs string), 5 by lexical form.
+    assert same == {"http://x/1", "http://x/4", "http://x/6"}
+
+
+def test_filter_in_and_not_in(spark):
+    from sifr_project_java_ontology_processing_spark.plans.bgp import execute_bgp
+
+    lines = spark.createDataFrame(
+        [(l,) for l in _SAMETERM_NT], "value string"
+    )
+    from sifr_project_java_ontology_processing_spark.sources.rdf_io import (
+        parse_ntriples_lines,
+    )
+
+    t = parse_ntriples_lines(lines, keep_datatype=True).drop("_raw")
+    kept = {
+        r.s
+        for r in execute_bgp(
+            t,
+            'SELECT ?s WHERE { ?s <http://x/p> ?v '
+            'FILTER(?v IN ("v", "5", "a")) }',
+        ).collect()
+    }
+    # lexical-form membership: both "v"@fr rows, the typed "5", and "a"
+    assert kept == {"http://x/1", "http://x/2", "http://x/3", "http://x/5"}
+    kept = {
+        r.s
+        for r in execute_bgp(
+            t,
+            "SELECT ?s WHERE { ?s <http://x/p> ?v "
+            'FILTER(?v NOT IN ("v", "5", "a") && ?s NOT IN (<http://x/6>)) }',
+        ).collect()
+    }
+    assert kept == {"http://x/4"}
+    with pytest.raises(ValueError, match="empty IN"):
+        execute_bgp(
+            t, "SELECT ?s WHERE { ?s <http://x/p> ?v FILTER(?v IN ()) }"
+        )
