@@ -228,6 +228,59 @@ def triples_to_edges(triples: DataFrame, *, preds: list[str] | None = None) -> D
     return e.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
 
 
+_CLOSURE_DRIVER_EDGE_MAX = 65_536  # edge count below which the closure
+# runs driver-side (the _schema_closure / connected_components hybrid
+# pattern: a ≤65k-edge relation is dimension-class — collecting it costs
+# the same as one broadcast, and the driver loop replaces the 2-jobs-
+# per-BFS-level frontier chain with one collect + one createDataFrame)
+_CLOSURE_DRIVER_PAIR_MAX = 4_000_000  # output guard: a pathological
+# small graph (one long chain) has a quadratic closure; past this many
+# pairs the driver loop abandons its work and the distributed frontier
+# BFS (output-partitioned, spillable) takes over
+
+
+def _driver_transitive_closure(
+    rows, cap: int, max_depth: int | None
+) -> list[tuple] | None:
+    """Driver-side twin of the frontier BFS: level-synchronous expansion
+    with first-seen (= minimal) depth, cycle-safe via the pair set.
+    Level 1 reproduces the distributed loop's exact output — the input
+    rows with their MULTIPLICITY (the first level is a projection, not
+    a distinct); deeper levels are deduplicated pairs, and a pair seen
+    at any earlier level is never re-emitted (the anti-join). Returns
+    None when the pair count passes ``_CLOSURE_DRIVER_PAIR_MAX``
+    (caller falls back to the distributed loop)."""
+    adj: dict = {}
+    seen: set = set()
+    frontier = []
+    for r in rows:
+        key = (r[0], r[1])
+        if key not in seen:  # dedupes the adjacency as a side effect
+            seen.add(key)
+            frontier.append(key)
+            adj.setdefault(r[0], []).append(r[1])
+    out = [(r[0], r[1], 1) for r in rows]  # multiplicity preserved
+    depth = 1
+    while depth < cap and frontier:
+        new = []
+        for a, b in frontier:
+            for c in adj.get(b, ()):
+                if (a, c) not in seen:
+                    seen.add((a, c))
+                    new.append((a, c))
+        out.extend((a, b, depth + 1) for a, b in new)
+        if len(seen) > _CLOSURE_DRIVER_PAIR_MAX:
+            return None
+        frontier = new
+        depth += 1
+    if frontier and depth >= cap and max_depth is None:
+        raise ValueError(
+            "transitive_closure: no fixpoint in 1000 levels "
+            "(set max_depth for >1000-step diameters)"
+        )
+    return sorted(out)
+
+
 def transitive_closure(
     edges: DataFrame,
     *,
@@ -235,12 +288,21 @@ def transitive_closure(
     dst: str = "dst",
     max_depth: int | None = None,
     partitions: int | None = None,
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """Reachability pairs (src, dst, depth) with BFS-minimal depth —
     the SKOS ``broader+`` / ontology-ancestor expansion (the reference
     hand-writes exactly the 2-hop case as chained joins,
     OntologyCUIProcessor mapping stage / cascade J3; this is the
     general fixed-point twin).
+
+    Hybrid: an edge set up to ``driver_threshold`` (default 65k, the
+    _schema_closure / connected_components bound; pass 0 to disable)
+    closes in a driver-side BFS loop — one collect + one
+    createDataFrame instead of 2 Spark jobs per level — with an
+    output-size guard (≈4M pairs) that falls back to the distributed
+    loop for pathological quadratic closures. Larger edge sets go
+    straight to the frontier BFS below.
 
     Frontier BFS over iterative self-joins: each level joins the
     previous frontier to the (cached, src-partitioned) edge relation,
@@ -260,6 +322,29 @@ def transitive_closure(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     raw = edges.select(F.col(src).alias("_mid"), F.col(dst).alias("dst"))
+    cap0 = max_depth if max_depth is not None else 1000
+    thresh = (
+        _CLOSURE_DRIVER_EDGE_MAX if driver_threshold is None else driver_threshold
+    )
+    if thresh:
+        sample = raw.limit(thresh + 1).collect()
+        if len(sample) <= thresh:
+            closed = _driver_transitive_closure(sample, cap0, max_depth)
+            if closed is not None:
+                from pyspark.sql.types import (
+                    IntegerType,
+                    StructField,
+                    StructType,
+                )
+
+                schema = StructType(
+                    [
+                        StructField("src", raw.schema[0].dataType, True),
+                        StructField("dst", raw.schema[1].dataType, True),
+                        StructField("depth", IntegerType(), False),
+                    ]
+                )
+                return edges.sparkSession.createDataFrame(closed, schema)
     if partitions is not None:
         n_part = partitions
     else:

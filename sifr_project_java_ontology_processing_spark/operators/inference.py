@@ -184,14 +184,28 @@ def rdfs_entail(
         g1 = g1.localCheckpoint(eager=False)
 
     # --- stratum 2: class hierarchy + domain/range -----------------------
-    sc = _schema_closure(g1, RDFS_SUBCLASSOF, max_depth=max_schema_depth)
+    # ONE schema-dim-sized slice feeds the subClassOf closure AND the
+    # domain/range dimensions: without it each build is its own full
+    # scan of the (fact-scale) g1 stream — three passes where one
+    # suffices (guide §2.3 "shuffle/scan fewer bytes"). The slice is a
+    # lazy localCheckpoint: the sc closure's collect materializes it,
+    # dom/rng then read the tiny materialized frame.
+    schema_slice = (
+        g1.where(
+            F.col("pred").isin(RDFS_SUBCLASSOF, RDFS_DOMAIN, RDFS_RANGE)
+            & ~F.col("obj_is_literal")
+        )
+        .select(*_TRIPLE_COLS)
+        .localCheckpoint(eager=False)
+    )
+    sc = _schema_closure(schema_slice, RDFS_SUBCLASSOF, max_depth=max_schema_depth)
     dom = (
-        g1.where((F.col("pred") == RDFS_DOMAIN) & ~F.col("obj_is_literal"))
+        schema_slice.where(F.col("pred") == RDFS_DOMAIN)
         .select(F.col("subj").alias("_p"), F.col("obj").alias("_c"))
         .distinct()
     )
     rng = (
-        g1.where((F.col("pred") == RDFS_RANGE) & ~F.col("obj_is_literal"))
+        schema_slice.where(F.col("pred") == RDFS_RANGE)
         .select(F.col("subj").alias("_p"), F.col("obj").alias("_c"))
         .distinct()
     )
@@ -361,6 +375,7 @@ def rdfs_plus_entail(
     *,
     max_schema_depth: int = 20,
     max_transitive_depth: int = 20,
+    materialize_strata: bool = True,
 ) -> DataFrame:
     """RDFS-Plus materialization: the full ``rdfs_entail`` rule set
     plus the three OWL property characteristics every production
@@ -453,10 +468,33 @@ def rdfs_plus_entail(
         F.col("obj_is_literal"),
     )
     g1 = t.unionByName(derived7)
+    if materialize_strata:
+        # g1 has MANY consumers below (the property-dimension slice,
+        # both expansion passes, the transitive-edge extraction, and
+        # the inner rdfs_entail) — without a checkpoint each broadcast
+        # build and closure probe re-evaluates the full input stream
+        # (~10 evaluations measured on the bench fixture). Same
+        # tradeoff knob as rdfs_entail's materialize_strata.
+        g1 = g1.localCheckpoint(eager=False)
 
-    # stratum 2: inverse + symmetric expansion (IRI objects only)
+    # stratum 2: inverse + symmetric expansion (IRI objects only).
+    # The three property dimensions (inverseOf pairs, Symmetric,
+    # Transitive) come from ONE schema-dim-sized slice of g1 so the
+    # stream is scanned once for all of them, and the eager checkpoint
+    # pins the tiny slice for its five broadcast consumers.
+    prop_slice = (
+        g1.where(
+            ((F.col("pred") == OWL_INVERSEOF) & ~F.col("obj_is_literal"))
+            | (
+                (F.col("pred") == RDF_TYPE)
+                & F.col("obj").isin(OWL_SYMMETRIC, OWL_TRANSITIVE)
+            )
+        )
+        .select("subj", "pred", "obj")
+        .localCheckpoint(eager=True)
+    )
     inv = (
-        g1.where((F.col("pred") == OWL_INVERSEOF) & ~F.col("obj_is_literal"))
+        prop_slice.where(F.col("pred") == OWL_INVERSEOF)
         .select(F.col("subj").alias("_p"), F.col("obj").alias("_q"))
         .distinct()
     )
@@ -464,7 +502,7 @@ def rdfs_plus_entail(
         inv.select(F.col("_q").alias("_p"), F.col("_p").alias("_q"))
     ).distinct()
     sym = (
-        g1.where((F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_SYMMETRIC))
+        prop_slice.where(F.col("obj") == OWL_SYMMETRIC)
         .select(F.col("subj").alias("_p"))
         .distinct()
     )
@@ -473,8 +511,16 @@ def rdfs_plus_entail(
         return _expand_inv_sym(g, inv_both, sym)
 
     g2 = _inv_sym_expand(g1)
+    if materialize_strata:
+        # g2 is read by the transitive-edge extraction AND three times
+        # by the g3 expansion (x ∪ inv(x) ∪ sym(x) references x per
+        # branch) — checkpoint once instead of four evaluations
+        g2 = g2.localCheckpoint(eager=False)
 
     # stratum 3: pooled transitive closure over every TransitiveProperty
+    # (from g2, as before — an inverse/symmetric mirror can in principle
+    # mint a new typing triple; with g1 checkpointed this probe is one
+    # map-side pass over the materialized stream, not a re-derivation)
     trans = (
         g2.where((F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_TRANSITIVE))
         .select(F.col("subj").alias("_p"))
@@ -510,7 +556,18 @@ def rdfs_plus_entail(
     # (the inner rdfs7 pass is still needed — inverse/transitive-derived
     # assertions must be generalized too — but it reuses the checkpointed
     # subPropertyOf closure instead of re-running the closure job chain)
-    out = rdfs_entail(g3, max_schema_depth=max_schema_depth, _sp=sp)
+    out = rdfs_entail(
+        g3,
+        max_schema_depth=max_schema_depth,
+        materialize_strata=materialize_strata,
+        _sp=sp,
+    )
+    if materialize_strata:
+        # `out` feeds BOTH the stratum-5 schema slice and the final
+        # union: un-checkpointed, the whole entailed stream evaluates
+        # twice (the docstring's former "two fact-stream evaluations");
+        # one lazy checkpoint halves that.
+        out = out.localCheckpoint(eager=False)
 
     # stratum 5: re-derive closed equivalences from mutual subsumption
     # (scm-eqc2 / scm-eqp2) — this is how ≡'s own symmetry and
@@ -688,6 +745,11 @@ def rdfs_entail_delta(
     ).isEmpty()
     if schema_in_delta:
         return rdfs_entail(e.unionByName(d), max_schema_depth=max_schema_depth)
+    # lazy checkpoint before the rules: apply_rules_to_delta's union
+    # tree references its input ~12× (see rdfs_plus_entail_delta) —
+    # one delta-sized copy beats a dozen re-evaluations of the live
+    # delta plan
+    d = d.localCheckpoint(eager=False)
     fresh = apply_rules_to_delta(d, sp, sc, dom, rng).distinct()
 
     # null-safe anti-join: keep only genuinely new triples, then append
@@ -857,8 +919,16 @@ def rdfs_plus_entail_delta(
     )
 
     # stratum 4: mirror the NEW closure pairs (inverse of a transitive
-    # property mirrors the closure), then class rules over everything
-    n3 = _expand_inv_sym(n2.unionByName(derived_trans), inv_both, sym)
+    # property mirrors the closure), then class rules over everything.
+    # n3 is lazily checkpointed first: apply_rules_to_delta's union tree
+    # references its input ~12× (n1 = 2×d, n2 = 3×n1, out = 2×n2 — each
+    # union branch re-evaluates the shared subtree), and without the
+    # checkpoint every reference re-runs the delta bridging joins. The
+    # frame is delta-sized, so the copy is the cheap side of that trade
+    # at any scale.
+    n3 = _expand_inv_sym(
+        n2.unionByName(derived_trans), inv_both, sym
+    ).localCheckpoint(eager=False)
     fresh = apply_rules_to_delta(n3, sp, sc, dom, rng).distinct()
 
     cond = None

@@ -88,24 +88,27 @@ def train_word_lm(
     corpus: DataFrame, text_col: str = "text", alpha: float = 0.1
 ) -> WordBigramLM:
     """Count bigram and context frequencies over the reference corpus.
-    One persisted tokenization pass feeds the two partial-agg groupBys
-    and the V count; the MODEL frames (the count dimensions — the
-    trained artifact) are then materialized with an eager
-    localCheckpoint and the exploded pairs cache is RELEASED, so
-    training several models (the per-language CCNet shape) never
-    accumulates reference-corpus-sized caches across calls."""
+
+    ONE tokenization pass over the corpus (the bigram groupBy, partial-
+    aggregated map-side); the context counts and the vocabulary size
+    are aggregations OF THE BIGRAM COUNTS — count(ctx) over pairs is
+    sum(c) over (ctx, tok, c), and distinct successors over pairs are
+    distinct tok over the count table — so both derive from the
+    dimension-sized model frame instead of re-scanning the corpus
+    (guide §2.3: aggregate before you shuffle/scan again). The MODEL
+    frames (the trained artifact) are materialized with eager
+    localCheckpoints, so training several models (the per-language
+    CCNet shape) never accumulates reference-corpus-sized caches."""
     pairs = corpus.select(
         F.explode(_bigram_pairs(F.col(text_col))).alias("p")
     ).select("p.ctx", "p.tok")
-    pairs = pairs.persist()
     bigrams = pairs.groupBy("ctx", "tok").agg(
         F.count("*").alias("c")
     ).localCheckpoint(eager=True)
-    contexts = pairs.groupBy("ctx").agg(
-        F.count("*").alias("cc")
+    contexts = bigrams.groupBy("ctx").agg(
+        F.sum("c").alias("cc")
     ).localCheckpoint(eager=True)
-    vocab_size = pairs.select("tok").distinct().count()
-    pairs.unpersist()
+    vocab_size = bigrams.select("tok").distinct().count()
     return WordBigramLM(
         bigrams=bigrams, contexts=contexts,
         vocab_size=vocab_size, alpha=alpha,
@@ -115,22 +118,25 @@ def train_word_lm(
 def score_perplexity(
     docs: DataFrame,
     lm: WordBigramLM,
-    id_col: str = "doc_id",
+    id_col: str | list[str] = "doc_id",
     text_col: str = "text",
     broadcast_model: bool = True,
 ) -> DataFrame:
-    """→ (id, n_bigrams, cross_entropy, perplexity) for every doc.
+    """→ (id..., n_bigrams, cross_entropy, perplexity) for every doc.
+    ``id_col`` may be a list for composite keys (e.g. scoring several
+    text VARIANTS of each doc in one pass instead of one scan each).
 
     Map-side explode → two broadcast left joins against the count
     dimensions → one partial-aggregated groupBy on the doc id. An
     unseen (ctx, tok) takes the α numerator; an unseen ctx takes the
     1/(V+1) floor — no document is unscoreable."""
+    id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
     bi, cx = lm.bigrams, lm.contexts
     if broadcast_model:
         bi, cx = F.broadcast(bi), F.broadcast(cx)
     exploded = docs.select(
-        F.col(id_col), F.explode(_bigram_pairs(F.col(text_col))).alias("p")
-    ).select(id_col, "p.ctx", "p.tok")
+        *id_cols, F.explode(_bigram_pairs(F.col(text_col))).alias("p")
+    ).select(*id_cols, "p.ctx", "p.tok")
     denom_v = F.lit(float(lm.alpha)) * (lm.vocab_size + 1)
     logp = F.log(
         (F.coalesce(F.col("c"), F.lit(0)) + lm.alpha)
@@ -139,7 +145,7 @@ def score_perplexity(
     scored = (
         exploded.join(bi, on=["ctx", "tok"], how="left")
         .join(cx, on="ctx", how="left")
-        .groupBy(id_col)
+        .groupBy(*id_cols)
         .agg(
             F.count("*").alias("n_bigrams"),
             (-F.sum(logp) / F.count("*")).alias("cross_entropy"),

@@ -3580,17 +3580,23 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    real = score_perplexity(docs, lm).select(
-        "doc_id", F.col("cross_entropy").alias("ce_r")
-    )
-    gib_sc = score_perplexity(docs.select("doc_id", gib.alias("text")), lm).select(
-        "doc_id", F.col("cross_entropy").alias("ce_g")
-    )
-    return real.join(gib_sc, on="doc_id").select(
-        "doc_id",
-        F.round("ce_r", 4).alias("ce_real"),
-        F.round("ce_g", 4).alias("ce_gib"),
-        (F.col("ce_g") > F.col("ce_r")).alias("gib_worse"),
+    # score BOTH variants in one pass (union + composite key) instead of
+    # two separate explode→join→agg pipelines self-joined at the end —
+    # one corpus scan, one exchange, no join (guide §2.4); every doc
+    # yields both variants (empty text still scores the (<s>,</s>)
+    # bigram), so the max-when pivot is exactly the former inner join
+    both = docs.select(
+        "doc_id", F.lit("r").alias("_v"), F.col("text")
+    ).unionByName(docs.select("doc_id", F.lit("g").alias("_v"), gib.alias("text")))
+    scored = score_perplexity(both, lm, id_col=["doc_id", "_v"])
+    ce = F.col("cross_entropy")
+    return scored.groupBy("doc_id").agg(
+        F.round(F.max(F.when(F.col("_v") == "r", ce)), 4).alias("ce_real"),
+        F.round(F.max(F.when(F.col("_v") == "g", ce)), 4).alias("ce_gib"),
+        (
+            F.max(F.when(F.col("_v") == "g", ce))
+            > F.max(F.when(F.col("_v") == "r", ce))
+        ).alias("gib_worse"),
     )
 
 
