@@ -43,13 +43,23 @@ def tokens(text_col) -> Column:
 
 def shingle_array(text_col, n: int = 5) -> Column:
     """Distinct word n-gram shingles; docs with < n tokens yield none.
-    Pure Catalyst expressions (sequence/transform/slice) — no UDF."""
+    Pure Catalyst expressions (sequence/transform/slice) — no UDF.
+
+    The token array is LET-BOUND via a single-element ``transform``:
+    Catalyst does not CSE inside higher-order lambdas, so referencing
+    the split/filter expression from ``slice(toks, i, n)`` re-evaluates
+    the tokenization once per shingle index — O(n²) per document.
+    Binding it to a lambda variable evaluates it once per row."""
     toks = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    arr = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(F.size(toks) >= n, F.array_distinct(arr)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def _shingles(ts):
+        idx = F.sequence(F.lit(1), F.size(ts) - (n - 1))
+        arr = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i, n)))
+        return F.when(F.size(ts) >= n, F.array_distinct(arr)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(toks), _shingles), 1)
 
 
 def doc_shingles(

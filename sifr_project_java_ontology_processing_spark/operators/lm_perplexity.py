@@ -55,19 +55,31 @@ def _bigram_pairs(text_col) -> F.Column:
     """(ctx, tok) bigrams of the boundary-padded, lower-cased,
     whitespace-tokenized text — pure codegen expressions, no UDF.
     Empty/NULL text still yields the single (<s>, </s>) bigram, so
-    every document gets a score."""
+    every document gets a score.
+
+    The padded token array is LET-BOUND via a single-element
+    ``transform`` before use: Catalyst does not common-subexpression-
+    eliminate inside higher-order lambdas, so the previous
+    ``element_at(padded, i)``-per-index shape re-evaluated the whole
+    split/filter/concat once PER TOKEN — O(n²) per document (measured
+    31× slower at sf0.1). Binding ``padded`` to a lambda variable
+    evaluates it once; ``zip_with`` over the two shifted slices then
+    reads the materialized array."""
     toks = F.filter(
         F.split(F.lower(F.coalesce(text_col, F.lit(""))), r"\s+"),
         lambda t: t != "",
     )
     padded = F.concat(F.array(F.lit(BOS)), toks, F.array(F.lit(EOS)))
-    return F.transform(
-        F.sequence(F.lit(1), F.size(padded) - 1),
-        lambda i: F.struct(
-            F.element_at(padded, i).alias("ctx"),
-            F.element_at(padded, (i + 1).cast("int")).alias("tok"),
-        ),
-    )
+
+    def _pairs(pt):
+        n1 = F.size(pt) - 1
+        return F.zip_with(
+            F.slice(pt, 1, n1),
+            F.slice(pt, 2, n1),
+            lambda a, b: F.struct(a.alias("ctx"), b.alias("tok")),
+        )
+
+    return F.element_at(F.transform(F.array(padded), _pairs), 1)
 
 
 @dataclass

@@ -108,15 +108,21 @@ def word_ngrams(text: Column, n: int) -> Column:
     empties dropped) as an array of space-joined strings. Pure codegen
     expressions — no UDF. Empty when the text has fewer than n tokens."""
     toks = F.filter(F.split(F.lower(text), " "), lambda x: x != "")
-    k = F.size(toks) - (n - 1)
-    grams = F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+
+    # let-bind the token array (single-element transform): no CSE
+    # happens inside higher-order lambdas, so slice(toks, i, n) would
+    # re-tokenize the text once per n-gram index — O(n²) per doc
+    def _grams(ts):
+        k = F.size(ts) - (n - 1)
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(ts, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.array_distinct(F.element_at(F.transform(F.array(toks), _grams), 1))
 
 
 def ngram_decontaminate(
@@ -180,24 +186,38 @@ def repetition_ratios(
     O(n·distinct) array work — bounded by document length, no shuffle."""
     toks = tokens(F.lower(F.col(text_col)))
     n = F.size(toks)
-    bg = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+
+    # both features let-bind the token array (single-element transform):
+    # no CSE inside higher-order lambdas, so element_at(toks, i) /
+    # filter(toks, ...) would re-tokenize the text per index / per
+    # distinct token — O(n²) (and O(n·d·n) for the mode) per doc
+    def _bigrams(ts):
+        n1 = F.size(ts) - 1
+        return F.when(
+            F.size(ts) >= 2,
+            F.zip_with(
+                F.slice(ts, 1, n1),
+                F.slice(ts, 2, n1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    bg = F.element_at(F.transform(F.array(toks), _bigrams), 1)
     n_bg = F.size(bg)
     dup_frac = F.when(n_bg == 0, F.lit(0.0)).otherwise(
         (n_bg - F.size(F.array_distinct(bg))) / n_bg.cast("double")
     )
-    mode_count = F.array_max(
+    mode_count = F.element_at(
         F.transform(
-            F.array_distinct(toks),
-            lambda d: F.size(F.filter(toks, lambda x: x == d)),
-        )
+            F.array(toks),
+            lambda ts: F.array_max(
+                F.transform(
+                    F.array_distinct(ts),
+                    lambda d: F.size(F.filter(ts, lambda x: x == d)),
+                )
+            ),
+        ),
+        1,
     )
     top_frac = F.when(n == 0, F.lit(0.0)).otherwise(
         mode_count / n.cast("double")
