@@ -407,17 +407,21 @@ def triangle_count(
     (clustering around hub entities; a canonicalization merge that
     collapses distinct entities shows up as a triangle spike).
 
-    Scale shape — degree orientation, the standard subquadratic trick:
-    every edge is oriented from the (degree, node)-smaller endpoint to
-    the larger, so wedges are enumerated only at their lowest-degree
-    corner: the join fan-out per node is bounded by its ORIENTED
-    out-degree (≤ O(sqrt(m)) on any graph, vs the raw degree a naive
-    wedge join pays on hubs). The orientation changes enumeration
-    order only — the triangle SET is orientation-invariant, which is
-    what the relational oracle replays with plain lexical a<b<c
-    orientation. Wedge close is one self-equi-join against the
-    oriented edge set; per-node counts explode each triangle's three
-    corners and partially aggregate.
+    Scale shape — degree orientation + edge-iterator intersection, the
+    standard subquadratic pair: every edge is oriented from the
+    (degree, node)-smaller endpoint to the larger, so per-node oriented
+    out-degree is O(sqrt(m)) on any graph; triangles are then counted
+    per EDGE as |N⁺(lo) ∩ N⁺(hi)| over collected out-neighbor arrays
+    (the "forward" algorithm) instead of materializing every wedge
+    through a shuffle and semi-joining it closed — the wedge set is
+    often 20×+ the triangle set (41M wedges vs 1.9M triangles on the
+    bench fixture), and the intersection form never shuffles it. The
+    orientation changes enumeration order only — the triangle SET is
+    orientation-invariant, which is what the relational oracle replays
+    with plain lexical a<b<c self-joins. Per-node counts explode each
+    edge's corner contributions (lo and hi get |common|, each common
+    neighbor gets 1) and partially aggregate — integer arithmetic, no
+    FP order dependence.
 
     ``materialize=True`` (default) eagerly localCheckpoints the
     (per-node, small) result and releases the oriented-edge cache;
@@ -432,14 +436,22 @@ def triangle_count(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
+    if materialize:
+        # und feeds the degree aggregation AND both oriented-join legs;
+        # un-materialized, each consumer re-runs the whole upstream
+        # edge derivation (often a join) plus the distinct — measured
+        # ~3 full evaluations on the bench fixture. Eager (lazy would
+        # race: the consumers run inside one job and each would compute
+        # the unpopulated cache).
+        und = und.localCheckpoint(eager=True)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("_d"))
     )
-    # orient by (degree, node): lo -> hi, persisted once for its three
-    # consumers (wedge left, wedge right, closing probe)
+    # orient by (degree, node): lo -> hi, persisted once for its two
+    # consumers (the adjacency aggregation and the edge-iterator join)
     oriented = (
         und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("_d", "_da"), "a")
         .join(deg.withColumnRenamed("node", "b").withColumnRenamed("_d", "_db"), "b")
@@ -455,20 +467,48 @@ def triangle_count(
         .select("e.lo", "e.hi")
         .persist()
     )
-    w1 = oriented.select(F.col("lo").alias("_c"), F.col("hi").alias("_x"))
-    w2 = oriented.select(F.col("lo").alias("_c"), F.col("hi").alias("_y"))
-    wedges = w1.join(w2, "_c").where(F.col("_x") < F.col("_y"))
-    closed = wedges.join(
-        oriented.select(
-            F.least("lo", "hi").alias("_x"), F.greatest("lo", "hi").alias("_y")
-        ),
-        ["_x", "_y"],
-        "left_semi",
+    # out-neighbor adjacency arrays (bounded by the oriented out-degree,
+    # the orientation's O(sqrt(m)) guarantee). Every triangle a<b<c in
+    # orientation order has edges a→b, a→c, b→c and is found exactly
+    # once at its (a, b) edge as c ∈ N⁺(a) ∩ N⁺(b).
+    adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("_ns"))
+    ed = (
+        oriented.join(
+            adj.select(F.col("lo").alias("_la"), F.col("_ns").alias("_na")),
+            F.col("lo") == F.col("_la"),
+        )
+        .join(
+            adj.select(F.col("lo").alias("_lb"), F.col("_ns").alias("_nb")),
+            F.col("hi") == F.col("_lb"),
+            "left",  # a hi with no out-edges has an empty neighbor set
+        )
+        .select(
+            "lo",
+            "hi",
+            F.array_intersect(
+                F.col("_na"),
+                # slice(_na, 1, 0) = a type-correct empty array (node
+                # ids are not necessarily strings)
+                F.coalesce(F.col("_nb"), F.slice(F.col("_na"), 1, 0)),
+            ).alias("_w"),
+        )
     )
-    corners = closed.select(
-        F.explode(F.array("_c", "_x", "_y")).alias("node")
-    )
-    out = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    # one pass over ed: lo and hi each gain |common| triangles, every
+    # common neighbor gains 1 — map-side explode, partial-agg sum
+    corners = ed.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("lo").alias("n"), F.size("_w").alias("c")),
+                    F.struct(F.col("hi").alias("n"), F.size("_w").alias("c")),
+                ),
+                F.transform(
+                    "_w", lambda w: F.struct(w.alias("n"), F.lit(1).alias("c"))
+                ),
+            )
+        ).alias("t")
+    ).select(F.col("t.n").alias("node"), F.col("t.c").alias("_c"))
+    out = corners.groupBy("node").agg(F.sum("_c").alias("triangles"))
     # nodes in no triangle still report 0 (deg is the node universe)
     result = (
         deg.select("node")

@@ -3832,18 +3832,31 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_count,
     )
 
+    # co-occurrence pairs via per-order part-set arrays: one groupBy
+    # shuffle + map-side pair enumeration (orders are tiny sets), not a
+    # self-join that shuffles the fact table twice (guide §2.4). No
+    # .distinct() here — triangle_count's own undirected-dedup covers
+    # it, so the former fixture distinct was a redundant full shuffle.
+    # Same pair SET as the l1⋈l2 self-join the oracle replays.
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    l2 = li.select(
-        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pk2")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("_pk")
     )
-    pairs = (
-        li.join(l2, (F.col("l_orderkey") == F.col("_ok")))
-        .where(F.col("l_partkey") < F.col("_pk2"))
-        .select(
-            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
-            F.concat(F.lit("p:"), F.col("_pk2").cast("string")).alias("dst"),
-        )
-        .distinct()
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "_pk",
+                    lambda a: F.transform(
+                        F.filter(F.col("_pk"), lambda b: a < b),
+                        lambda b: F.struct(a.alias("_a"), b.alias("_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(
+        F.concat(F.lit("p:"), F.col("p._a").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("p._b").cast("string")).alias("dst"),
     )
     out = triangle_count(pairs)
     return out.select("node", F.col("triangles").cast("long").alias("triangles"))
