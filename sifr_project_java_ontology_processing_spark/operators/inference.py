@@ -455,6 +455,12 @@ def rdfs_plus_entail(
     t = t.unionByName(_eq_to_sub(OWL_EQCLASS, RDFS_SUBCLASSOF)).unionByName(
         _eq_to_sub(OWL_EQPROP, RDFS_SUBPROPERTYOF)
     )
+    if materialize_strata:
+        # t is evaluated by the subPropertyOf closure probe AND again
+        # when g1 materializes; when the input arrives as a live plan
+        # (joins/unions upstream) each evaluation re-runs it. One lazy
+        # checkpoint; the g1 checkpoint below then copies from it.
+        t = t.localCheckpoint(eager=False)
 
     # stratum 1: property hierarchy (reuse rdfs_entail's rules later;
     # here we only need the generalized assertions for owl expansion)
@@ -728,7 +734,20 @@ def rdfs_entail_delta(
     e = entailed.select(*_TRIPLE_COLS)
     if materialize_entailed:
         e = e.localCheckpoint(eager=False)
-    sp, sc, dom, rng = saturated_schema_views(e)
+    # one pinned schema slice for the four saturated views (see
+    # rdfs_plus_entail_delta) instead of four full scans of the old
+    # graph; materializes the lazy e-checkpoint as a side effect
+    e_schema = (
+        e.where(
+            F.col("pred").isin(
+                RDFS_SUBPROPERTYOF, RDFS_SUBCLASSOF, RDFS_DOMAIN, RDFS_RANGE
+            )
+            & ~F.col("obj_is_literal")
+        )
+        .select(*_TRIPLE_COLS)
+        .localCheckpoint(eager=True)
+    )
+    sp, sc, dom, rng = saturated_schema_views(e_schema)
     # a delta triple is schema-bearing if its predicate IS a schema
     # predicate, types a property characteristic, OR is a declared
     # SUBPROPERTY of a schema predicate / rdf:type in the old graph
@@ -814,7 +833,29 @@ def rdfs_plus_entail_delta(
     e = entailed.select(*_TRIPLE_COLS)
     if materialize_entailed:
         e = e.localCheckpoint(eager=False)
-    sp, sc, dom, rng = saturated_schema_views(e)
+    # ONE schema-dim-sized slice of the saturated graph feeds all seven
+    # dimension builds below (sp/sc/dom/rng views + inv/sym/trans) —
+    # without it each build is its own full scan of the old graph. The
+    # eager checkpoint also forces the lazy e-checkpoint to materialize
+    # here, so every later job reads stored blocks.
+    e_schema = (
+        e.where(
+            F.col("pred").isin(
+                RDFS_SUBPROPERTYOF,
+                RDFS_SUBCLASSOF,
+                RDFS_DOMAIN,
+                RDFS_RANGE,
+                OWL_INVERSEOF,
+            )
+            | (
+                (F.col("pred") == RDF_TYPE)
+                & F.col("obj").isin(OWL_SYMMETRIC, OWL_TRANSITIVE)
+            )
+        )
+        .select(*_TRIPLE_COLS)
+        .localCheckpoint(eager=True)
+    )
+    sp, sc, dom, rng = saturated_schema_views(e_schema)
     meta_preds = sp.where(
         F.col("_sup").isin(*_SCHEMA_PREDS, OWL_EQCLASS, OWL_EQPROP)
         | (F.col("_sup") == RDF_TYPE)
@@ -832,9 +873,11 @@ def rdfs_plus_entail_delta(
             max_transitive_depth=max_transitive_depth,
         )
 
-    # property dimensions from the saturated graph (schema-dim-sized)
+    # property dimensions from the pinned schema slice (schema-dim-sized)
     inv = (
-        e.where((F.col("pred") == OWL_INVERSEOF) & ~F.col("obj_is_literal"))
+        e_schema.where(
+            (F.col("pred") == OWL_INVERSEOF) & ~F.col("obj_is_literal")
+        )
         .select(F.col("subj").alias("_p"), F.col("obj").alias("_q"))
         .distinct()
     )
@@ -842,12 +885,16 @@ def rdfs_plus_entail_delta(
         inv.select(F.col("_q").alias("_p"), F.col("_p").alias("_q"))
     ).distinct()
     sym = (
-        e.where((F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_SYMMETRIC))
+        e_schema.where(
+            (F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_SYMMETRIC)
+        )
         .select(F.col("subj").alias("_p"))
         .distinct()
     )
     trans = (
-        e.where((F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_TRANSITIVE))
+        e_schema.where(
+            (F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_TRANSITIVE)
+        )
         .select(F.col("subj").alias("_p"))
         .distinct()
     )

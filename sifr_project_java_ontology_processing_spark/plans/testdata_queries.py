@@ -2892,6 +2892,9 @@ _PR_EDGES_SQL = """
 
 
 def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one lineitem scan emitting all three edge kinds map-side (explode
+    # of a 3-struct array) instead of three scans unioned — same edge
+    # SET after the distinct (guide §2.3: scan once, project early)
     li = _t(spark, sf_dir, "lineitem")
     s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
     p = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
@@ -2900,9 +2903,16 @@ def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("s:"), ((F.col("l_partkey") % 50) * 2 % 100).cast("string")
     )
     return (
-        li.select(s.alias("src"), p.alias("dst"))
-        .unionByName(li.select(p.alias("src"), g.alias("dst")))
-        .unionByName(li.select(g.alias("src"), s2.alias("dst")))
+        li.select(
+            F.explode(
+                F.array(
+                    F.struct(s.alias("src"), p.alias("dst")),
+                    F.struct(p.alias("src"), g.alias("dst")),
+                    F.struct(g.alias("src"), s2.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
 
