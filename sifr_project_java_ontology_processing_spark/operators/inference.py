@@ -1526,7 +1526,12 @@ def restrictions_entail(
         .join(onprop, "_c")
         .localCheckpoint(eager=True)
     )
-    if hv_dim.isEmpty() and svf_dim.isEmpty() and avf_dim.isEmpty():
+    # single emptiness probe per dimension (reused below — the previous
+    # shape probed each checkpointed dim twice, 6 jobs where 3 suffice)
+    have_hv = not hv_dim.isEmpty()
+    have_svf = not svf_dim.isEmpty()
+    have_avf = not avf_dim.isEmpty()
+    if not (have_hv or have_svf or have_avf):
         return t
 
     def _new_type(subj_col: F.Column, cls_col: F.Column, frame: DataFrame) -> DataFrame:
@@ -1539,10 +1544,7 @@ def restrictions_entail(
         )
 
     # loop-invariant hoists: the axiom dimensions never change, so
-    # their emptiness probes and the owl:Thing slice run ONCE
-    have_hv = not hv_dim.isEmpty()
-    have_svf = not svf_dim.isEmpty()
-    have_avf = not avf_dim.isEmpty()
+    # the owl:Thing slice and its probe run ONCE
     thing = svf_dim.where(F.col("_d") == OWL_THING)
     have_thing = have_svf and not thing.isEmpty()
     svf_fillers = F.broadcast(
