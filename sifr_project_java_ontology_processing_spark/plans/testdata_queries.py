@@ -3864,12 +3864,18 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("p")
-    ).select(
-        F.concat(F.lit("p:"), F.col("p._a").cast("string")).alias("src"),
-        F.concat(F.lit("p:"), F.col("p._b").cast("string")).alias("dst"),
-    )
+    ).select(F.col("p._a").alias("src"), F.col("p._b").alias("dst"))
+    # Count on the raw integer partkeys and prefix "p:" only on the
+    # per-node RESULT: the triangle set is invariant under any injective
+    # relabeling (least/greatest merely canonicalizes pair order, and
+    # the (degree, node) orientation changes enumeration order, never
+    # the set), so shuffles, sorts and the ~170M-element
+    # array_intersect all run on longs instead of strings.
     out = triangle_count(pairs)
-    return out.select("node", F.col("triangles").cast("long").alias("triangles"))
+    return out.select(
+        F.concat(F.lit("p:"), F.col("node").cast("string")).alias("node"),
+        F.col("triangles").cast("long").alias("triangles"),
+    )
 
 
 @register(

@@ -14,11 +14,40 @@ Scale notes (100 TB / 1000-executor design, tested on local[N]):
 
 from __future__ import annotations
 
+import math
 import os
+import re
 
 from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "sifr-kg-spark"
+
+
+def _default_driver_mem(master: str) -> str:
+    """Heap default for ``spark.driver.memory``.
+
+    In local mode the driver JVM hosts every executor thread, so the
+    heap must scale with the thread count like executor memory would on
+    a cluster (guide §5: an undersized heap turns the whole run into
+    GC) — ~0.75 GiB per thread, never below the old 8g default, capped
+    at half of physical RAM so small boxes still start. For non-local
+    masters the driver only plans and collects; 8g stays right and
+    executor sizing belongs to the cluster manager.
+    """
+    m = re.fullmatch(r"local\[(\*|\d+)\](,\d+)?", master)
+    if master != "local" and not m:
+        return "8g"
+    if m is None or m.group(1) == "*":
+        threads = os.cpu_count() or 8
+    else:
+        threads = int(m.group(1))
+    gb = max(8, math.ceil(threads * 0.75))
+    try:
+        phys_gib = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 2**30
+        gb = min(gb, max(8, int(phys_gib / 2)))
+    except (ValueError, OSError, AttributeError):
+        gb = 8
+    return f"{gb}g"
 
 
 def get_spark(
@@ -58,7 +87,10 @@ def get_spark(
         # --- Quieter local runs ------------------------------------------
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem(master),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
